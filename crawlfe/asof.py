@@ -1,0 +1,222 @@
+"""Point-in-time (as-of) join — the engine's core temporal operator.
+
+The reference's benchmark stage compares every entity against every other
+entity in an O(N²) pairwise loop (ref: acoss/benchmark/
+algorithm_template.py::CoverAlgorithm.all_pairwise + per-algorithm
+``similarity`` kernels [R]). The engine re-semanticizes that stage as a
+point-in-time join (SURVEY.md §2.A A13/A14): each probe (url, join_ts)
+is matched to the LATEST build row of the same url with
+warc_ts <= join_ts — a merge-scan, not a cross product.
+
+Two physical strategies, identical semantics (both tested for parity):
+
+  * ``merge_scan`` (default — the BASELINE.json:6-mandated shape):
+    hash-bucket both sides on the key, cogroup, and run a vectorized
+    two-pointer backward scan (pd.merge_asof) per bucket. Buckets (not
+    raw urls) are the cogroup key so groups stay large and few — at
+    10^12 rows, per-url groups would mean billions of tiny Arrow
+    exchanges. Within a bucket the kernel sorts by ts and merges with
+    by=key: the repartition+sort+merge of SURVEY.md §4.3 with the sort
+    pushed into the kernel where it is a single numpy argsort.
+  * ``union_window``: tag sides, union, and forward-fill build columns
+    with last(..., ignorenulls) over (key ORDER BY ts, side). 100%
+    JVM/whole-stage-codegen (zero Python), one shuffle — the scale
+    path when build payloads are narrow.
+
+Zero temporal leakage (BASELINE.json:6): merge_asof(direction="backward",
+allow_exact_matches=True) can never read a build row with ts > join_ts;
+the union_window frame ends at the current row with probes ordered after
+build rows at equal ts. Property-tested in tests/test_leakage.py.
+
+Skew (BASELINE.json:6 "salted range partitioning"): ``salt_k`` > 1
+replicates every build row to all K salt buckets and routes each probe
+row to one hash-chosen bucket, so a hot url's probes spread over K tasks
+while every task still sees the url's full build history — leakage-safe
+by construction. AQE skew-join splitting is enabled globally (conf.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+DEFAULT_BUCKETS = 256
+
+
+def _out_schema(
+    probe: DataFrame, build: DataFrame, ts_build: str, build_cols: list[str]
+) -> StructType:
+    fields = list(probe.schema.fields)
+    bmap = {f.name: f for f in build.schema.fields}
+    fields.append(StructField(ts_build, bmap[ts_build].dataType, True))
+    for c in build_cols:
+        f = bmap[c]
+        fields.append(StructField(c, f.dataType, True))
+    return StructType(fields)
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str = "url",
+    ts_probe: str = "join_ts",
+    ts_build: str = "warc_ts",
+    build_cols: Iterable[str] | None = None,
+    strategy: str = "merge_scan",
+    num_buckets: int = DEFAULT_BUCKETS,
+    salt_k: int = 1,
+    tolerance: pd.Timedelta | None = None,
+) -> DataFrame:
+    """As-of join: for each probe row, attach the latest build row of the
+    same ``key`` with ``ts_build`` <= ``ts_probe`` (nulls if none).
+
+    Output = all probe columns + ``ts_build`` (matched, nullable) +
+    ``build_cols``. Column names must be disjoint from probe's.
+    """
+    if build_cols is None:
+        build_cols = [
+            c for c in build.columns if c not in (key, ts_build)
+        ]
+    build_cols = list(build_cols)
+    clash = set(build_cols + [ts_build]) & set(probe.columns)
+    if clash:
+        raise ValueError(f"build columns clash with probe columns: {clash}")
+    if strategy == "merge_scan":
+        return _asof_merge_scan(
+            probe, build, key, ts_probe, ts_build, build_cols,
+            num_buckets, salt_k, tolerance,
+        )
+    if strategy == "union_window":
+        return _asof_union_window(
+            probe, build, key, ts_probe, ts_build, build_cols
+        )
+    raise ValueError(f"unknown asof strategy: {strategy}")
+
+
+def _asof_merge_scan(
+    probe, build, key, ts_probe, ts_build, build_cols,
+    num_buckets, salt_k, tolerance,
+):
+    schema = _out_schema(probe, build, ts_build, build_cols)
+    probe_cols = list(probe.columns)
+    b_needed = [key, ts_build] + build_cols
+
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).alias("__b")
+    if salt_k > 1:
+        # probe rows go to ONE hash-chosen salt bucket; build rows are
+        # replicated to ALL of them -> every task sees the full history.
+        p = probe.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)) * salt_k
+            + F.pmod(F.xxhash64(F.col(ts_probe)), F.lit(salt_k)),
+        )
+        b = (
+            build.select(*b_needed)
+            .withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))))
+            .withColumn(
+                "__b",
+                F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)) * salt_k
+                + F.col("__s"),
+            )
+            .drop("__s")
+        )
+    else:
+        p = probe.withColumn("__b", bucket)
+        b = build.select(*b_needed).withColumn("__b", bucket)
+
+    def kernel(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+        if len(pl) == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        pl = pl.drop(columns="__b").sort_values(
+            ts_probe, kind="mergesort", ignore_index=True
+        )
+        if len(pr) == 0 or key not in pr.columns:
+            # bucket has probes but no build history: all-null attach
+            # (Spark may hand an empty column-less frame here)
+            merged = pl
+            try:
+                merged[ts_build] = pd.Series(
+                    [None] * len(pl), dtype=pl[ts_probe].dtype
+                )
+            except (TypeError, ValueError):
+                merged[ts_build] = None
+            for c in build_cols:
+                merged[c] = None
+            return merged[probe_cols + [ts_build] + build_cols]
+        pr = pr.drop(columns="__b", errors="ignore").sort_values(
+            ts_build, kind="mergesort", ignore_index=True
+        )
+        merged = pd.merge_asof(
+            pl,
+            pr,
+            left_on=ts_probe,
+            right_on=ts_build,
+            by=key,
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=tolerance,
+        )
+        merged = merged[probe_cols + [ts_build] + build_cols]
+        # unmatched probes: merge_asof fills NaN; object-typed columns
+        # (arrays, strings) must carry real None for Arrow
+        for c in [ts_build] + build_cols:
+            col = merged[c]
+            if col.dtype == object:
+                mask = col.isna()
+                if mask.any():
+                    merged[c] = col.where(~mask, None)
+        return merged
+
+    return (
+        p.groupBy("__b")
+        .cogroup(b.groupBy("__b"))
+        .applyInPandas(kernel, schema=schema)
+    )
+
+
+def _asof_union_window(probe, build, key, ts_probe, ts_build, build_cols):
+    from pyspark.sql import Window
+
+    probe_payload = [c for c in probe.columns if c not in (key, ts_probe)]
+    b = build.select(
+        F.col(key),
+        F.col(ts_build).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(ts_build).alias(ts_build),
+        *[F.col(c) for c in build_cols],
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe_payload],
+    )
+    p = probe.select(
+        F.col(key),
+        F.col(ts_probe).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(build.schema[ts_build].dataType).alias(ts_build),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(c)
+          for c in build_cols],
+        *[F.col(c) for c in probe_payload],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = b.unionByName(p).select(
+        key,
+        F.col("__ts"),
+        F.col("__side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in [ts_build] + build_cols],
+        *probe_payload,
+    )
+    return filled.where(F.col("__side") == 1).select(
+        key,
+        F.col("__ts").alias(ts_probe),
+        *probe_payload,
+        ts_build,
+        *build_cols,
+    )

@@ -1,0 +1,144 @@
+"""iceberg-lite: local parquet-directory table with atomic snapshot
+commits, manifest-embedded lineage, and exactly-once resume.
+
+No Iceberg runtime jar exists in the sandbox (SURVEY.md §1.3), so the
+table format hides behind this shim: in production the same call sites
+become ``df.writeTo(catalog.table).append()`` (Iceberg snapshot commit);
+locally a commit is: write parquet to ``_staging/<uuid>/`` → hard-rename
+data files into ``data/`` → atomically rename a JSON manifest into
+``_manifest/``. Readers list committed manifests and pass the explicit
+data-file list to ``spark.read.parquet`` — uncommitted staging files are
+invisible, exactly like an Iceberg snapshot.
+
+Lineage + resume (BASELINE.json:6): each manifest embeds the per-
+partition lineage rows (partition id, first/last row offset, n_rows,
+order-independent feature hash) for the data it commits, keyed by
+``input_snapshot``. Because lineage lives INSIDE the atomic manifest,
+"features visible" and "lineage recorded" cannot diverge: a crash before
+the manifest rename leaves only invisible staging files, and a rerun
+redoes exactly the uncommitted input snapshots (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergLite:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = os.path.join(path, "_manifest")
+        self.staging_dir = os.path.join(path, "_staging")
+        for d in (self.data_dir, self.manifest_dir, self.staging_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- read side ---------------------------------------------------------
+
+    def manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def data_files(self) -> list[str]:
+        return [
+            os.path.join(self.data_dir, f)
+            for m in self.manifests()
+            for f in m["files"]
+        ]
+
+    def committed_snapshots(self) -> set[str]:
+        return {m["input_snapshot"] for m in self.manifests()}
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        files = self.data_files()
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    def lineage(self, spark: SparkSession) -> DataFrame | None:
+        """The metrics/lineage table, reconstructed from manifests."""
+        rows = []
+        for m in self.manifests():
+            for r in m["lineage"]:
+                rows.append(
+                    {
+                        **r,
+                        "input_snapshot": m["input_snapshot"],
+                        "committed_at": m["committed_at"],
+                    }
+                )
+        if not rows:
+            return None
+        return spark.createDataFrame(rows).selectExpr(
+            "cast(partition_id as int) partition_id",
+            "input_snapshot",
+            "cast(first_offset as long) first_offset",
+            "cast(last_offset as long) last_offset",
+            "cast(n_rows as long) n_rows",
+            "feature_hash",
+            "cast(committed_at as timestamp) committed_at",
+        )
+
+    # -- write side --------------------------------------------------------
+
+    def stage(self, df: DataFrame) -> str:
+        """Write df's parquet files to a staging dir (invisible to read())
+        and return the staging path. Idempotent to abandon: a crash here
+        leaves only orphan staging files, never partial table state."""
+        stage = os.path.join(self.staging_dir, f"snap-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        return stage
+
+    def commit(
+        self,
+        stage_path: str,
+        input_snapshot: str,
+        lineage_rows: list[dict] | None = None,
+    ) -> str:
+        """Atomically publish a staged write: hard-rename data files into
+        data/, then rename the JSON manifest (data+lineage) into place —
+        the manifest rename is the commit point."""
+        if input_snapshot in self.committed_snapshots():
+            raise ValueError(f"snapshot already committed: {input_snapshot}")
+        moved = []
+        for name in sorted(os.listdir(stage_path)):
+            if not name.endswith(".parquet"):
+                continue
+            dst_name = f"{uuid.uuid4().hex}-{name}"
+            os.rename(
+                os.path.join(stage_path, name),
+                os.path.join(self.data_dir, dst_name),
+            )
+            moved.append(dst_name)
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex,
+            "input_snapshot": input_snapshot,
+            "files": moved,
+            "lineage": lineage_rows or [],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        tmp = os.path.join(self.manifest_dir, f".tmp-{manifest['snapshot_id']}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        seq = len(
+            [n for n in os.listdir(self.manifest_dir) if n.endswith(".json")]
+        )
+        os.rename(tmp, os.path.join(self.manifest_dir, f"{seq:06d}.json"))
+        shutil.rmtree(stage_path, ignore_errors=True)
+        return manifest["snapshot_id"]
+
+    def append(
+        self, df: DataFrame, input_snapshot: str,
+        lineage_rows: list[dict] | None = None,
+    ) -> str:
+        return self.commit(self.stage(df), input_snapshot, lineage_rows)
