@@ -105,7 +105,16 @@ def _asof_merge_scan(
     probe_cols = list(probe.columns)
     b_needed = [key, ts_build] + build_cols
 
-    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)).alias("__b")
+    # Alias every build column to a fresh name BEFORE the cogroup: when
+    # probe and build derive from the same source relation (self-as-of),
+    # Catalyst deduplicates attribute ids across the two cogroup children
+    # and then prunes "duplicate" columns off the build side, handing the
+    # kernel a frame without the join key. Fresh aliases = fresh exprIds
+    # = no cross-side dedup. The kernel strips the prefix back off.
+    pfx = "__r_"
+    bsel = build.select(*[F.col(c).alias(pfx + c) for c in b_needed])
+    rkey = pfx + key
+
     if salt_k > 1:
         # probe rows go to ONE hash-chosen salt bucket; build rows are
         # replicated to ALL of them -> every task sees the full history.
@@ -115,24 +124,31 @@ def _asof_merge_scan(
             + F.pmod(F.xxhash64(F.col(ts_probe)), F.lit(salt_k)),
         )
         b = (
-            build.select(*b_needed)
+            bsel
             .withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))))
             .withColumn(
                 "__b",
-                F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets)) * salt_k
+                F.pmod(F.xxhash64(F.col(rkey)), F.lit(num_buckets)) * salt_k
                 + F.col("__s"),
             )
             .drop("__s")
         )
     else:
-        p = probe.withColumn("__b", bucket)
-        b = build.select(*b_needed).withColumn("__b", bucket)
+        p = probe.withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(key)), F.lit(num_buckets))
+        )
+        b = bsel.withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(rkey)), F.lit(num_buckets))
+        )
 
     def kernel(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
         if len(pl) == 0:
             return pd.DataFrame(columns=[f.name for f in schema.fields])
         pl = pl.drop(columns="__b").sort_values(
             ts_probe, kind="mergesort", ignore_index=True
+        )
+        pr = pr.rename(
+            columns=lambda c: c[len(pfx):] if c.startswith(pfx) else c
         )
         if len(pr) == 0 or key not in pr.columns:
             # bucket has probes but no build history: all-null attach

@@ -1,0 +1,1269 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2.B as
+(idiomatic-DataFrame Spark query, ANSI-SQL DuckDB oracle) pairs over the
+driver testdata tables (TESTDATA.md / FIXTURES.md §B).
+
+Conventions that make the driver's order-insensitive value-hash compare
+(row count + schema + values) engine-portable:
+  * timestamps are returned as epoch MICROSECONDS bigint (Spark
+    ``unix_micros`` == DuckDB ``epoch_us``) — immune to session-timezone
+    and datetime-repr differences;
+  * every double is ``round(x, 4)`` (or 3 for float-sourced vectors) in
+    BOTH engines so association-order last-ulp drift can't flip the hash;
+  * integer sums are cast to bigint (DuckDB would widen to hugeint);
+  * window orderings always carry a unique tie-break key (event_id etc.);
+  * every computed column is aliased identically in both engines.
+
+The events table stands in for the pages time axis (entity=user_id,
+event time=ts): as-of, lag/lead, sessionize, backfill run there exactly
+as they run over (url, warc_ts) in the engine proper (FIXTURES.md §B
+mapping note). documents/embeddings carry the text/vector operators.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import windows as W
+from .asof import asof_join
+from .textfeat import featurize_batch
+
+SESSION_GAP_S = 1800  # 30 min session gap on the events stream
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col):
+    c = F.col(col) if isinstance(col, str) else col
+    # parquet µs timestamps load as TIMESTAMP_NTZ in Spark 4; unix_micros
+    # needs TIMESTAMP (session tz is UTC so the cast is exact)
+    return F.unix_micros(c.cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# Temporal core (events): as-of join, windows, sessionize, backfill
+# --------------------------------------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """clicks as-of joined to the latest prior purchase per user
+    (merge-scan kernel — the engine's flagship operator)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id")
+    )
+    build = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    j = asof_join(
+        probe, build, key="user_id", ts_probe="click_ts", ts_build="ts",
+        build_cols=["purchase_value"], strategy="merge_scan",
+        num_buckets=64,
+    )
+    return j.select(
+        "user_id",
+        F.col("event_id"),
+        _us("click_ts").alias("click_ts_us"),
+        _us("ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+SQL_ASOF = """
+WITH probe AS (
+  SELECT user_id, ts AS click_ts, event_id FROM events WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.event_id,
+       epoch_us(p.click_ts) AS click_ts_us,
+       epoch_us(b.ts) AS purchase_ts_us,
+       round(b.purchase_value, 4) AS purchase_value
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.click_ts >= b.ts
+"""
+
+
+def q_win_lag_lead(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("ts_us"),
+        (_us("ts") - _us(F.lag("ts").over(w))).alias("lag_gap_us"),
+        (_us(F.lead("ts").over(w)) - _us("ts")).alias("lead_gap_us"),
+    )
+
+
+SQL_WIN_LAG_LEAD = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS lag_gap_us,
+       lead(epoch_us(ts)) OVER w - epoch_us(ts) AS lead_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_win_rank(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wv).alias("rk"),
+        F.dense_rank().over(wv).alias("drk"),
+    )
+
+
+SQL_WIN_RANK = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+       rank()       OVER (PARTITION BY user_id ORDER BY value DESC) AS rk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS drk
+FROM events
+"""
+
+
+def q_win_rolling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
+        F.round(F.min("value").over(w), 4).alias("roll_min"),
+        F.round(F.max("value").over(w), 4).alias("roll_max"),
+    )
+
+
+SQL_WIN_ROLLING = """
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 4) AS roll_avg,
+       round(min(value) OVER w, 4) AS roll_min,
+       round(max(value) OVER w, 4) AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_win_cumsum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+        F.count(F.lit(1)).over(w).alias("cum_n"),
+    )
+
+
+SQL_WIN_CUMSUM = """
+SELECT user_id, event_id,
+       round(sum(value) OVER w, 4) AS cum_value,
+       count(*) OVER w AS cum_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = W.sessionize(ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S)
+    return s.select(
+        "user_id", "event_id", _us("ts").alias("ts_us"), "session_id"
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+         AS session_id
+FROM flagged
+"""
+
+
+def q_session_bounds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    b = W.session_bounds(
+        ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S
+    )
+    return b.select(
+        "user_id",
+        "session_id",
+        _us("session_start").alias("start_us"),
+        _us("session_end").alias("end_us"),
+        F.col("n_snapshots").alias("n_events"),
+    )
+
+
+SQL_SESSION_BOUNDS = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_backfill(spark, sf_dir):
+    """Daily grid per user between first/last event, forward-filled
+    day-avg value (grid-expansion + last(ignorenulls))."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day_ts")
+    ).agg(F.round(F.avg("value"), 4).alias("day_value"))
+    filled = W.backfill_grid(
+        daily, ["day_value"], key="user_id", ts="day_ts", step="1 day"
+    )
+    return filled.select(
+        "user_id",
+        _us("grid_ts").alias("grid_ts_us"),
+        F.round("day_value", 4).alias("day_value"),
+        "backfilled",
+    )
+
+
+SQL_BACKFILL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day_ts,
+         round(avg(value), 4) AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day_ts) AS t0, max(day_ts) AS t1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS grid_ts
+  FROM bounds
+), slots AS (
+  SELECT g.user_id, g.grid_ts, NULL::DOUBLE AS day_value, 0 AS obs
+  FROM grid g LEFT JOIN daily d
+    ON d.user_id = g.user_id AND d.day_ts = g.grid_ts
+  WHERE d.user_id IS NULL
+  UNION ALL
+  SELECT user_id, day_ts AS grid_ts, day_value, 1 AS obs FROM daily
+)
+SELECT user_id, epoch_us(grid_ts) AS grid_ts_us,
+       round(last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY grid_ts, obs DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS day_value,
+       obs = 0 AS backfilled
+FROM slots
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rn")
+    )
+
+
+SQL_TOPK = """
+SELECT user_id, event_id, round(value, 4) AS value, rn
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / nulls / sort
+# --------------------------------------------------------------------------
+
+def q_project_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("net_price"),
+        )
+    )
+
+
+SQL_PROJECT_FILTER = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+"""
+
+
+def q_null_handling(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_filled"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull().alias("was_open"),
+    )
+
+
+SQL_NULL_HANDLING = """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+       nullif(o_orderstatus, 'O') IS NULL AS was_open
+FROM orders
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("l_extendedprice"),
+        )
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+def q_agg_basic(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (hash agg, map-side partials)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_BASIC = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
+            "sum_total",
+            "n",
+        )
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+       coalesce(o_orderpriority, '<ALL>') AS priority,
+       round(sum(o_totalprice), 4) AS sum_total,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_cube(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.cube("c_nationkey", "c_mktsegment")
+        .agg(
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("c_nationkey").cast("long"), F.lit(-1)).alias(
+                "nationkey"
+            ),
+            F.coalesce("c_mktsegment", F.lit("<ALL>")).alias("segment"),
+            "sum_bal",
+            "n",
+        )
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT coalesce(CAST(c_nationkey AS BIGINT), -1) AS nationkey,
+       coalesce(c_mktsegment, '<ALL>') AS segment,
+       round(sum(c_acctbal), 4) AS sum_bal,
+       count(*) AS n
+FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)
+"""
+
+
+def q_agg_grouped_udf(spark, sf_dir):
+    """Median event value per user — vectorized GROUPED_AGG pandas UDF
+    (the engine's A17 median-of-profile analog)."""
+    @F.pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(v.median())
+
+    @F.pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(median_udf("value"), 4).alias("median_value"),
+        count_udf("value").alias("n_events"),
+    )
+
+
+SQL_AGG_GROUPED_UDF = """
+SELECT user_id, round(median(value), 4) AS median_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def q_join_inner(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+SQL_JOIN_INNER = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_join_broadcast(spark, sf_dir):
+    """Fact ⋈ broadcast(dim): the 100 TB pattern for small dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_join_left(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "sum_total"
+            ),
+        )
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 4) AS sum_total
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Resume-set shape (BASELINE.json:6): incoming minus committed."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_range(spark, sf_dir):
+    """Non-equi interval join: events probed against session intervals
+    (session membership: range predicate on ts)."""
+    ev = _t(spark, sf_dir, "events")
+    s = W.session_bounds(
+        ev.where(F.col("event_type") == "purchase").select("user_id", "ts"),
+        key="user_id", ts="ts", gap_seconds=SESSION_GAP_S,
+    )
+    probes = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    j = probes.alias("p").join(
+        s.alias("s"),
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.session_start"))
+        & (F.col("p.ts") <= F.col("s.session_end")),
+        "inner",
+    )
+    return j.select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("event_id"),
+        F.col("s.session_id").alias("session_id"),
+    )
+
+
+SQL_JOIN_RANGE = f"""
+WITH purch AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM purch
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM flagged
+), bounds AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT p.user_id, p.event_id, b.session_id
+FROM events p JOIN bounds b
+  ON p.user_id = b.user_id
+ AND p.ts >= b.session_start AND p.ts <= b.session_end
+WHERE p.event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def q_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+SQL_SET_UNION = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+UNION
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+SQL_SET_INTERSECT = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+"""
+
+
+def q_set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.exceptAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_SET_EXCEPT = """
+SELECT nationkey, count(*) AS n FROM (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+) GROUP BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar function families
+# --------------------------------------------------------------------------
+
+def q_scalar_string(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.lower(F.substring("text", 1, 12)).alias("prefix12"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+    )
+
+
+SQL_SCALAR_STRING = """
+SELECT doc_id,
+       length(text) AS text_len,
+       lower(substr(text, 1, 12)) AS prefix12,
+       coalesce(regexp_extract(text, '([a-z]+)', 1), '') AS first_word,
+       len(string_split(trim(text), ' ')) AS n_tokens
+FROM documents
+"""
+
+
+def q_scalar_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+SQL_SCALAR_HASH = """
+SELECT doc_id, sha256(text) AS text_sha256, md5(text) AS text_md5
+FROM documents
+"""
+
+
+def q_scalar_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        _us(F.date_trunc("month", F.col("o_orderdate"))).alias("month_us"),
+    )
+
+
+SQL_SCALAR_DATETIME = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+       CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+       CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+       epoch_us(date_trunc('month', o_orderdate)) AS month_us
+FROM orders
+"""
+
+
+def q_scalar_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log1p("l_extendedprice"), 4).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+    )
+
+
+SQL_SCALAR_MATH = """
+SELECT l_orderkey, l_linenumber,
+       round(ln(1 + l_extendedprice), 4) AS log_price,
+       round(sqrt(l_quantity), 4) AS sqrt_qty,
+       greatest(l_tax, l_discount) AS max_rate,
+       round(pow(l_discount, 2), 6) AS disc_sq
+FROM lineitem
+"""
+
+
+def q_scalar_array(spark, sf_dir):
+    """Array higher-order functions over the embedding vectors:
+    size / L2 norm (aggregate) / max element (array_max)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    vec_d, F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+            3,
+        ).alias("l2_norm"),
+        F.round(F.array_max(vec_d), 3).alias("max_elem"),
+    )
+
+
+SQL_SCALAR_ARRAY = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 3)
+         AS max_elem
+FROM embeddings
+"""
+
+
+def q_scalar_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+SQL_SCALAR_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+def q_scalar_map(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").cast("long").alias("k_value"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+SQL_SCALAR_MAP = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(len(json_keys(props)) AS INT) AS n_keys
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Text-analysis / dedup / similarity pack (documents, embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy — scale path for 100 TB
+    is sha2 then groupBy, never string compare)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_sha"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_sha,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+         AS n_distinct_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-score features: length, type-token ratio, mean token len."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / n_tok.cast("double"), 4
+        ).alias("ttr"),
+        F.round(
+            (F.length(F.regexp_replace("text", "\\s+", ""))).cast("double")
+            / n_tok.cast("double"),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4)
+         AS ttr,
+       round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+         AS mean_token_len
+FROM documents
+"""
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for the first 20 vectors
+    (broadcast probe set; per-row JVM higher-order dot product)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", vec_d.alias("v"))
+    probes = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    pairs = base.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(dot / (norm("q") * norm("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+SQL_KNN_COSINE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS q_id, v AS q FROM base WHERE vec_id < 20
+), scored AS (
+  SELECT p.q_id, b.vec_id,
+         round(list_sum(list_transform(list_zip(p.q, b.v), t -> t[1] * t[2]))
+               / (sqrt(list_sum(list_transform(p.q, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+           AS cosine
+  FROM base b, probes p WHERE b.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cosine, rn FROM (
+  SELECT q_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """3-token-shingle Jaccard near-dup score for consecutive doc pairs
+    (doc_id, doc_id+1) — set ops via array higher-order functions."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i + 1, 3)
+            ),
+        )
+    )
+    shingled = d.select("doc_id", sh.alias("shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pairs = a.join(
+        b, F.col("a.doc_id") + 1 == F.col("b.doc_id")
+    )
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    uni = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / uni.cast("double"), 6).alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 3, 0)),
+           i -> array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                                           i + 1, i + 3), ' ')
+         )) AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+         AS jaccard
+FROM shingled a JOIN shingled b ON a.doc_id + 1 = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (no SQL oracle — non-SQL-expressible, checked by the
+# pytest parity suite instead; driver records rows-only)
+# --------------------------------------------------------------------------
+
+def q_featurize_documents(spark, sf_dir):
+    """The engine featurizer (ngram profile + cepstrum) over documents —
+    allclose-parity-tested against the numpy oracle in pytest."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feat(it):
+        for pdf in it:
+            m = featurize_batch(list(pdf["text"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "feat": list(m),
+                }
+            )
+
+    return d.mapInPandas(feat, schema="doc_id long, feat array<double>")
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup candidate pairs over documents:
+    shingle -> minhash sig -> band buckets -> bucket self-join."""
+    import numpy as np
+    import pandas as pd
+
+    from .hashing import splitmix64_np
+
+    N_HASH, N_BANDS = 64, 16
+    R = N_HASH // N_BANDS
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sigs(it):
+        seeds = np.arange(1, N_HASH + 1, dtype=np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split()
+                sh = {
+                    " ".join(toks[i : i + 3])
+                    for i in range(max(len(toks) - 2, 1))
+                }
+                hv = np.array(
+                    [hash_shingle(s) for s in sh], dtype=np.uint64
+                )
+                mins = np.array(
+                    [
+                        int(splitmix64_np(hv ^ seed).min())
+                        for seed in seeds
+                    ],
+                    dtype=np.uint64,
+                )
+                for band in range(N_BANDS):
+                    key = int(
+                        splitmix64_np(
+                            mins[band * R : (band + 1) * R]
+                        ).sum()
+                        % np.uint64(2**63)
+                    )
+                    rows.append((int(doc_id), band, key))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "band", "bucket"]
+            )
+
+    def hash_shingle(s: str) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+        )
+
+    buckets = d.mapInPandas(
+        sigs, schema="doc_id long, band int, bucket long"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprint per document (token-hash bit voting)."""
+    import numpy as np
+    import pandas as pd
+
+    from .hashing import splitmix64_np
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sim(it):
+        for pdf in it:
+            out = []
+            for text in pdf["text"]:
+                toks = text.split()
+                if not toks:
+                    out.append(0)
+                    continue
+                import hashlib as _hl
+
+                hv = np.array(
+                    [
+                        int.from_bytes(
+                            _hl.blake2b(
+                                t.encode(), digest_size=8
+                            ).digest(),
+                            "big",
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                hv = splitmix64_np(hv)
+                bits = (
+                    (hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                ).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                fp = int(
+                    ((votes > 0).astype(np.uint64)
+                     << np.arange(64, dtype=np.uint64)).sum()
+                    % np.uint64(2**63)
+                )
+                out.append(fp)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": out}
+            )
+
+    return d.mapInPandas(sim, schema="doc_id long, simhash long")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # temporal core
+    "asof_join": (q_asof_join, SQL_ASOF),
+    "win_lag_lead": (q_win_lag_lead, SQL_WIN_LAG_LEAD),
+    "win_rank": (q_win_rank, SQL_WIN_RANK),
+    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
+    "win_cumsum": (q_win_cumsum, SQL_WIN_CUMSUM),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_bounds": (q_session_bounds, SQL_SESSION_BOUNDS),
+    "backfill": (q_backfill, SQL_BACKFILL),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK),
+    # projection/filter/null/sort
+    "project_filter": (q_project_filter, SQL_PROJECT_FILTER),
+    "null_handling": (q_null_handling, SQL_NULL_HANDLING),
+    "sort_limit": (q_sort_limit, SQL_SORT_LIMIT),
+    # aggregation
+    "agg_basic": (q_agg_basic, SQL_AGG_BASIC),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "agg_grouped_udf": (q_agg_grouped_udf, SQL_AGG_GROUPED_UDF),
+    # joins
+    "join_inner": (q_join_inner, SQL_JOIN_INNER),
+    "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
+    "join_left": (q_join_left, SQL_JOIN_LEFT),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    "join_range": (q_join_range, SQL_JOIN_RANGE),
+    # set ops
+    "set_union": (q_set_union, SQL_SET_UNION),
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    # scalar families
+    "scalar_string": (q_scalar_string, SQL_SCALAR_STRING),
+    "scalar_hash": (q_scalar_hash, SQL_SCALAR_HASH),
+    "scalar_datetime": (q_scalar_datetime, SQL_SCALAR_DATETIME),
+    "scalar_math": (q_scalar_math, SQL_SCALAR_MATH),
+    "scalar_array": (q_scalar_array, SQL_SCALAR_ARRAY),
+    "scalar_json": (q_scalar_json, SQL_SCALAR_JSON),
+    "scalar_map": (q_scalar_map, SQL_SCALAR_MAP),
+    # text/dedup/similarity pack
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # rows-only (non-SQL-expressible; pytest parity instead)
+    "featurize_documents": (q_featurize_documents, None),
+    "minhash_near_dup": (q_minhash_near_dup, None),
+    "simhash": (q_simhash, None),
+}

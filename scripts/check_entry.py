@@ -1,0 +1,137 @@
+"""Mimic the driver's correctness harness (see __spark_entry__.py header):
+run entry(), then every queries()[name] on Spark and its oracle_sql()
+twin on DuckDB at sf0.01, and compare row count, column names, and
+order-insensitive values (exact for non-floats; exact-preferred for
+floats with an allclose fallback reported as RISK since the driver
+hashes exact values).
+
+Usage: python scripts/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    key = [c for c in pdf.columns if pdf[c].dtype != object or True]
+    try:
+        pdf = pdf.sort_values(key, kind="mergesort", ignore_index=True, na_position="last")
+    except TypeError:
+        pdf = pdf.sort_values(
+            key, kind="mergesort", ignore_index=True, na_position="last",
+            key=lambda s: s.astype(str),
+        )
+    return pdf
+
+
+def compare(name: str, spdf: pd.DataFrame, opdf: pd.DataFrame) -> str:
+    if len(spdf) != len(opdf):
+        return f"ROWS {len(spdf)} != {len(opdf)}"
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        return f"SCHEMA {sorted(spdf.columns)} != {sorted(opdf.columns)}"
+    s, o = canon(spdf.copy()), canon(opdf.copy())
+    risks = []
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
+            a, b = sv.to_numpy(float), ov.to_numpy(float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            exact = (a == b) | both_nan
+            if not exact.all():
+                close = np.isclose(a, b, rtol=1e-9, atol=1e-12) | both_nan
+                if close.all():
+                    risks.append(f"{c}: {int((~exact).sum())} float-inexact")
+                else:
+                    i = int(np.argmax(~close))
+                    return f"VALUES col={c} row{i}: {a[i]!r} != {b[i]!r}"
+        else:
+            sa = sv.astype(object).where(pd.notna(sv), None)
+            oa = ov.astype(object).where(pd.notna(ov), None)
+            neq = sa.to_numpy() != oa.to_numpy()
+            if neq.any():
+                i = int(np.argmax(neq))
+                return (
+                    f"VALUES col={c} row{i}: {sa.iloc[i]!r} != {oa.iloc[i]!r}"
+                    f" (types {type(sa.iloc[i]).__name__}/{type(oa.iloc[i]).__name__})"
+                )
+    return "OK" + (f" [RISK {'; '.join(risks)}]" if risks else "")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from crawlfe.conf import get_spark
+
+    spark = get_spark(app="check_entry", cores=8)
+
+    print("== entry() smoke ==")
+    edf = entrymod.entry(spark)
+    n = edf.count()
+    print(f"entry rows={n} schema={[f.name for f in edf.schema.fields]}")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            msg = str(e).splitlines()[0][:160]
+            print(f"{name:22s} SPARK-ERROR {msg}")
+            fails.append(name)
+            continue
+        if name in oracles:
+            try:
+                opdf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                msg = str(e).splitlines()[0][:160]
+                print(f"{name:22s} ORACLE-ERROR {msg}")
+                fails.append(name)
+                continue
+            verdict = compare(name, spdf, opdf)
+        else:
+            verdict = f"rows-only ({len(spdf)} rows)"
+        dt = time.time() - t0
+        status = "PASS" if verdict.startswith(("OK", "rows-only")) else "FAIL"
+        if status == "FAIL":
+            fails.append(name)
+        print(f"{name:22s} {status} {verdict}  [{dt:.1f}s]")
+    spark.stop()
+    print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL GREEN")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
