@@ -1,0 +1,90 @@
+"""Checkpoint/resume + lineage tests (BASELINE.json:6; SURVEY.md
+§5.2.5): crash after partial commit, rerun, exactly-once output and
+monotonic lineage; atomic visibility of the iceberg-lite commit."""
+
+import os
+
+import pytest
+
+from crawlfe.io import IcebergLite
+from crawlfe.pipeline import commit_batch, run_incremental
+from crawlfe.synth import SynthConfig, synth_pages
+
+
+def _batches(spark, n=3, urls=30):
+    return [
+        (
+            f"snap-{k}",
+            synth_pages(
+                spark, SynthConfig(n_urls=(k + 1) * urls),
+                url_lo=k * urls, url_hi=(k + 1) * urls,
+            ),
+        )
+        for k in range(n)
+    ]
+
+
+def test_crash_then_resume_exactly_once(spark, tmp_path):
+    tbl = IcebergLite(str(tmp_path / "features"))
+    batches = _batches(spark)
+
+    done = run_incremental(spark, batches, tbl, crash_after=1)
+    assert done == ["snap-0"]
+    visible_after_crash = tbl.read(spark).count()
+    assert tbl.committed_snapshots() == {"snap-0"}
+    # crashed batch staged data but never committed -> invisible
+    assert len(os.listdir(tbl.staging_dir)) >= 1
+
+    done2 = run_incremental(spark, batches, tbl)
+    assert done2 == ["snap-1", "snap-2"]
+
+    # exactly-once: total equals a fresh single-shot run
+    tbl2 = IcebergLite(str(tmp_path / "fresh"))
+    run_incremental(spark, _batches(spark), tbl2)
+    assert tbl.read(spark).count() == tbl2.read(spark).count()
+    assert visible_after_crash < tbl.read(spark).count()
+
+    # per-url uniqueness: no batch applied twice
+    feats = tbl.read(spark)
+    assert (
+        feats.groupBy("url", "warc_ts").count().where("count > 1").count()
+        == 0
+    )
+
+
+def test_lineage_rows_complete(spark, tmp_path):
+    tbl = IcebergLite(str(tmp_path / "t"))
+    batches = _batches(spark, n=2)
+    run_incremental(spark, batches, tbl)
+    lin = tbl.lineage(spark).toPandas()
+    assert set(lin["input_snapshot"]) == {"snap-0", "snap-1"}
+    feats = tbl.read(spark)
+    # lineage row counts reconcile with the table
+    assert lin["n_rows"].sum() == feats.count()
+    assert (lin["first_offset"] >= 0).all()
+    assert (lin["last_offset"] >= lin["first_offset"]).all()
+    assert lin["feature_hash"].notna().all()
+
+
+def test_recommit_same_snapshot_rejected(spark, tmp_path):
+    tbl = IcebergLite(str(tmp_path / "t"))
+    (snap, pages) = _batches(spark, n=1)[0]
+    commit_batch(spark, pages, tbl, snap)
+    with pytest.raises(ValueError, match="already committed"):
+        commit_batch(spark, pages, tbl, snap)
+
+
+def test_lineage_hash_detects_data_change(spark, tmp_path):
+    """Same snapshot id, different data -> different feature hashes
+    (the lineage hash is a real content fingerprint)."""
+    t1 = IcebergLite(str(tmp_path / "a"))
+    t2 = IcebergLite(str(tmp_path / "b"))
+    commit_batch(
+        spark, synth_pages(spark, SynthConfig(n_urls=20)), t1, "s"
+    )
+    commit_batch(
+        spark, synth_pages(spark, SynthConfig(n_urls=20, seed=43)), t2, "s"
+    )
+    h1 = set(t1.lineage(spark).toPandas()["feature_hash"])
+    h2 = set(t2.lineage(spark).toPandas()["feature_hash"])
+    assert h1 != h2
