@@ -1,0 +1,148 @@
+"""Driver bench harness (task brief: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., "throughput": {...}}.
+
+The headline workload is the engine's acceptance metric (BASELINE.json:2
+"pages featurized/sec"): a deterministic synthetic pages table scaled to
+the sf tier -> frozen-extractor featurization (mapInPandas) -> as-of
+join onto a probe grid + lag/lead + sessionize, reported as
+pages_per_sec alongside a representative slice of the driver registry
+(as-of, windows, sessionize, backfill, joins, aggs, dedup, knn).
+
+Usage:
+    python bench.py                # bench tier (JSON line on stdout)
+    python bench.py --pipeline-only --cores 8   # scaling-evidence probe
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+# Registry slice benched alongside the pipeline: the operators that
+# dominate a 100 TB run (shuffle-heavy joins/aggs/windows + the text
+# and vector packs), not the trivially-cheap scalar families.
+HEADLINE = [
+    "asof_join",
+    "win_lag_lead",
+    "win_rolling",
+    "sessionize",
+    "backfill",
+    "topk_per_group",
+    "agg_basic",
+    "agg_rollup",
+    "join_inner",
+    "join_broadcast",
+    "join_range",
+    "dedup_exact",
+    "minhash_near_dup",
+    "knn_cosine",
+    "ngram_jaccard",
+    "featurize_documents",
+]
+
+
+def pipeline_rows_and_urls(sf: float) -> int:
+    """n_urls scaled so the pages table tracks the sf tier (~6.5
+    snapshots/url -> ~2.6k rows at sf0.001, ~260k rows at sf0.1)."""
+    return max(200, int(400_000 * sf))
+
+
+def run_pipeline(spark, sf: float) -> tuple[int, float]:
+    """Flagship end-to-end: synth pages -> featurize -> as-of + windows.
+
+    Returns (pages_featurized, wall_sec). Output is consumed with a
+    count-style reduction (write-less sink) so the measured time is the
+    compute, not a local-disk parquet write.
+    """
+    from pyspark.sql import functions as F
+
+    from crawlfe.features import featurize
+    from crawlfe.pipeline import feature_pipeline
+    from crawlfe.synth import SynthConfig, synth_pages
+
+    cfg = SynthConfig(n_urls=pipeline_rows_and_urls(sf))
+    parallelism = spark.sparkContext.defaultParallelism
+    pages = synth_pages(spark, cfg, n_partitions=3 * parallelism)
+
+    t0 = time.time()
+    feats = featurize(pages, use_html=True)
+    # probe grid: one probe per (url, snapshot) shifted +1h — same
+    # cardinality as the feature table, exercises the merge-scan fully
+    probe = feats.select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("join_ts"),
+    )
+    out = feature_pipeline(feats, probe, session_gap_s=86400)
+    n = out.where(F.col("matched")).count()
+    dt = time.time() - t0
+    return n, dt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--pipeline-only", action="store_true",
+                    help="run only the flagship pipeline (scaling probe)")
+    ap.add_argument("--skip-pipeline", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = args.sf_dir.rstrip("/")
+    try:
+        sf = float(os.path.basename(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from crawlfe.conf import get_spark
+    from crawlfe.queries import REGISTRY
+
+    spark = get_spark(app=f"bench-sf{sf}", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    if not args.skip_pipeline:
+        # warm up the JVM + Python workers on a tiny slice, discarded
+        run_pipeline(spark, min(sf, 0.001))
+        n_pages, dt = run_pipeline(spark, sf)
+        queries["pipeline_featurize_asof"] = round(dt, 3)
+        throughput["pages_featurized_per_sec"] = round(n_pages / dt, 1)
+        throughput["pages"] = n_pages
+
+    if not args.pipeline_only:
+        for name in HEADLINE:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            # count() drives the full plan; results are hash-verified
+            # separately by the driver's correctness tier
+            fn(spark, sf_dir).count()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": args.cores,
+        "throughput": throughput,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
