@@ -18,6 +18,14 @@ Two physical strategies, identical semantics (both tested for parity):
     exchanges. Within a bucket the kernel sorts by ts and merges with
     by=key: the repartition+sort+merge of SURVEY.md §4.3 with the sort
     pushed into the kernel where it is a single numpy argsort.
+  * ``merge_scan_slim``: the same mandated merge-scan kernel, but run
+    on (key, ts) ONLY; matched build payloads are re-attached by a
+    JVM-side equi join on (key, matched ts). The 100 TB path for FAT
+    payloads (feature vectors): the Arrow->pandas exchange never
+    carries arrays (per-row Python object conversion is the cost that
+    kills scaling), and under salting only the slim build side is
+    replicated K times. Requires build unique per (key, ts) — true by
+    construction for crawl snapshots.
   * ``union_window``: tag sides, union, and forward-fill build columns
     with last(..., ignorenulls) over (key ORDER BY ts, side). 100%
     JVM/whole-stage-codegen (zero Python), one shuffle — the scale
@@ -87,6 +95,11 @@ def asof_join(
         raise ValueError(f"build columns clash with probe columns: {clash}")
     if strategy == "merge_scan":
         return _asof_merge_scan(
+            probe, build, key, ts_probe, ts_build, build_cols,
+            num_buckets, salt_k, tolerance,
+        )
+    if strategy == "merge_scan_slim":
+        return _asof_merge_scan_slim(
             probe, build, key, ts_probe, ts_build, build_cols,
             num_buckets, salt_k, tolerance,
         )
@@ -192,6 +205,39 @@ def _asof_merge_scan(
         .cogroup(b.groupBy("__b"))
         .applyInPandas(kernel, schema=schema)
     )
+
+
+def _asof_merge_scan_slim(
+    probe, build, key, ts_probe, ts_build, build_cols,
+    num_buckets, salt_k, tolerance,
+):
+    """Merge-scan on (key, ts) only + JVM payload re-join.
+
+    The cogroup kernel decides WHICH build snapshot each probe matches
+    (slim columns through Arrow); the fat build payload is attached by
+    an equi join on (key, matched_ts) that stays in Tungsten row format
+    end-to-end. Build must be unique per (key, ts_build) — duplicate
+    snapshots would fan out the join (merge_asof would instead pick the
+    last), so we assume the snapshot invariant of the pages table.
+    """
+    slim_build = build.select(key, ts_build)
+    matched = _asof_merge_scan(
+        probe, slim_build, key, ts_probe, ts_build, [],
+        num_buckets, salt_k, tolerance,
+    )
+    pfx = "__p_"
+    payload = build.select(
+        F.col(key).alias(pfx + key),
+        F.col(ts_build).alias(pfx + ts_build),
+        *[F.col(c) for c in build_cols],
+    )
+    joined = matched.join(
+        payload,
+        (F.col(key) == F.col(pfx + key))
+        & (F.col(ts_build) == F.col(pfx + ts_build)),
+        "left",
+    )
+    return joined.select(*probe.columns, ts_build, *build_cols)
 
 
 def _asof_union_window(probe, build, key, ts_probe, ts_build, build_cols):

@@ -1067,6 +1067,187 @@ FROM shingled a JOIN shingled b ON a.doc_id + 1 = b.doc_id
 """
 
 
+_LANG_MARKERS = {
+    # marker-token voting heuristic over the synthetic doc vocabulary —
+    # the n-gram-frequency lang-ID shape (counts occurrences incl. dups)
+    "en-like": ["the", "a", "fast", "slow", "big", "small"],
+    "sql-like": ["scan", "join", "filter", "merge", "sort", "group"],
+    "data-like": ["table", "column", "row", "value", "stream", "batch"],
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language-ID: marker-token vote per pseudo-language,
+    argmax with fixed precedence (en > sql > data on ties)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    def score(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {name: score(m) for name, m in _LANG_MARKERS.items()}
+    en, sq, da = scores["en-like"], scores["sql-like"], scores["data-like"]
+    pred = (
+        F.when((en >= sq) & (en >= da), F.lit("en-like"))
+        .when(sq >= da, F.lit("sql-like"))
+        .otherwise(F.lit("data-like"))
+    )
+    return d.select(
+        "doc_id",
+        en.alias("score_en"),
+        sq.alias("score_sql"),
+        da.alias("score_data"),
+        pred.alias("pred_lang"),
+    )
+
+
+def _sql_markers(markers: list[str]) -> str:
+    lits = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"t -> list_contains([{lits}], t)))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_sql_markers(_LANG_MARKERS["en-like"])} AS score_en,
+         {_sql_markers(_LANG_MARKERS["sql-like"])} AS score_sql,
+         {_sql_markers(_LANG_MARKERS["data-like"])} AS score_data
+  FROM documents
+)
+SELECT doc_id, score_en, score_sql, score_data,
+       CASE WHEN score_en >= score_sql AND score_en >= score_data THEN 'en-like'
+            WHEN score_sql >= score_data THEN 'sql-like'
+            ELSE 'data-like' END AS pred_lang
+FROM scored
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (the blocking key
+    stands in for the LSH bucket at 100 TB scale: compare only within
+    blocks, never all-pairs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", vec_d.alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.30)
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+           AS cosine
+  FROM base a JOIN base b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, cosine FROM scored WHERE cosine >= 0.30
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: sign-bit bucket over the first 8 dims
+    (axis-aligned hyperplanes), then brute-force cosine top-3 WITHIN the
+    bucket — the scale path vs q_knn_cosine's broadcast brute force."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bucket = None
+    for j in range(8):
+        bit = (F.element_at(F.col("embedding"), j + 1) > 0).cast("int") * (
+            2**j
+        )
+        bucket = bit if bucket is None else bucket + bit
+    base = e.select("vec_id", vec_d.alias("v"), bucket.alias("bucket"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("a.bucket").alias("bucket"),
+        F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "bucket", "cosine", "rn")
+    )
+
+
+SQL_ANN_LSH = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST(embedding[1] > 0 AS INT) * 1 + CAST(embedding[2] > 0 AS INT) * 2
+         + CAST(embedding[3] > 0 AS INT) * 4 + CAST(embedding[4] > 0 AS INT) * 8
+         + CAST(embedding[5] > 0 AS INT) * 16 + CAST(embedding[6] > 0 AS INT) * 32
+         + CAST(embedding[7] > 0 AS INT) * 64 + CAST(embedding[8] > 0 AS INT) * 128
+           AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, a.bucket AS bucket,
+         round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
+           AS cosine
+  FROM base a JOIN base b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT q_id, vec_id, bucket, cosine, rn FROM (
+  SELECT q_id, vec_id, bucket, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL oracle — non-SQL-expressible, checked by the
 # pytest parity suite instead; driver records rows-only)
@@ -1212,6 +1393,33 @@ def q_simhash(spark, sf_dir):
     return d.mapInPandas(sim, schema="doc_id long, simhash long")
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints per document — parity-tested
+    against crawlfe.fingerprint.fingerprint_oracle in pytest."""
+    from .fingerprint import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents re-cast as opaque binary media
+    payloads (no codec libs in the container — decode is a deterministic
+    stub, see crawlfe.media) -> decoded dims + byte-histogram features."""
+    from .media import media_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    return media_features(media)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1262,8 +1470,13 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     # rows-only (non-SQL-expressible; pytest parity instead)
     "featurize_documents": (q_featurize_documents, None),
     "minhash_near_dup": (q_minhash_near_dup, None),
     "simhash": (q_simhash, None),
+    "doc_fingerprint": (q_doc_fingerprint, None),
+    "media_features": (q_media_features, None),
 }
