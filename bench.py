@@ -59,7 +59,7 @@ def pipeline_rows_and_urls(sf: float) -> int:
     return max(200, int(400_000 * sf))
 
 
-def materialize_pages(spark, sf: float, path: str) -> None:
+def materialize_pages(spark, sf: float, path: str, n_urls: int = 0) -> None:
     """Untimed setup: write the deterministic pages table to parquet.
     The timed pipeline then starts from a table scan, matching the
     production shape (pages live in Iceberg; generation is not part of
@@ -69,7 +69,7 @@ def materialize_pages(spark, sf: float, path: str) -> None:
     from crawlfe.synth import SynthConfig, synth_pages
 
     shutil.rmtree(path, ignore_errors=True)
-    cfg = SynthConfig(n_urls=pipeline_rows_and_urls(sf))
+    cfg = SynthConfig(n_urls=n_urls or pipeline_rows_and_urls(sf))
     # fixed file count, independent of this session's parallelism, so
     # every probe (any core count) reads the identical input layout
     synth_pages(spark, cfg, n_partitions=128).write.parquet(path)
@@ -91,7 +91,12 @@ def run_pipeline(spark, pages_path: str) -> tuple[int, float]:
 
     t0 = time.time()
     pages = spark.read.parquet(pages_path)
-    feats = featurize(pages, use_html=True)
+    # featurize ONCE and pin the features table, mirroring production
+    # where it is committed to storage before the join stage
+    # (jobs/featurize.py): the slim as-of kernel and the payload
+    # re-join both consume it without recomputing the extractor.
+    feats = featurize(pages, use_html=True).persist()
+    n = feats.count()
     # probe grid: one probe per (url, snapshot) shifted +1h — same
     # cardinality as the feature table, exercises the merge-scan fully
     probe = pages.select(
@@ -106,6 +111,7 @@ def run_pipeline(spark, pages_path: str) -> tuple[int, float]:
     )
     n = out.where(F.col("matched")).count()
     dt = time.time() - t0
+    feats.unpersist()
     return n, dt
 
 
@@ -118,6 +124,8 @@ def main() -> int:
     ap.add_argument("--pipeline-only", action="store_true",
                     help="run only the flagship pipeline (scaling probe)")
     ap.add_argument("--skip-pipeline", action="store_true")
+    ap.add_argument("--n-urls", type=int, default=0,
+                    help="override pipeline synth size (scaling evidence)")
     args = ap.parse_args()
 
     sf_dir = args.sf_dir.rstrip("/")
@@ -145,9 +153,10 @@ def main() -> int:
     throughput: dict[str, float] = {}
 
     if not args.skip_pipeline:
-        pages_path = f"/tmp/bench_pages_sf{sf}"
+        suffix = f"_u{args.n_urls}" if args.n_urls else ""
+        pages_path = f"/tmp/bench_pages_sf{sf}{suffix}"
         if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
-            materialize_pages(spark, sf, pages_path)
+            materialize_pages(spark, sf, pages_path, n_urls=args.n_urls)
         # warm up the JVM + Python workers on a tiny slice, discarded
         warm_path = "/tmp/bench_pages_warm"
         if not os.path.exists(os.path.join(warm_path, "_SUCCESS")):

@@ -225,19 +225,23 @@ def _asof_merge_scan_slim(
         probe, slim_build, key, ts_probe, ts_build, [],
         num_buckets, salt_k, tolerance,
     )
-    pfx = "__p_"
-    payload = build.select(
-        F.col(key).alias(pfx + key),
-        F.col(ts_build).alias(pfx + ts_build),
-        *[F.col(c) for c in build_cols],
-    )
-    joined = matched.join(
-        payload,
-        (F.col(key) == F.col(pfx + key))
-        & (F.col(ts_build) == F.col(pfx + ts_build)),
+    # DataFrame aliases (not column renames) keep the build side's
+    # attribute ids, so an upstream hash partitioning on `key` (e.g.
+    # the window stage that computed lag/session features) satisfies
+    # the join's clustering and only the SLIM matched side is
+    # re-shuffled — the fat payload never moves twice.
+    m, p = matched.alias("__m"), build.alias("__p")
+    joined = m.join(
+        p,
+        (F.col(f"__m.{key}") == F.col(f"__p.{key}"))
+        & (F.col(f"__m.{ts_build}") == F.col(f"__p.{ts_build}")),
         "left",
     )
-    return joined.select(*probe.columns, ts_build, *build_cols)
+    return joined.select(
+        *[F.col(f"__m.{c}") for c in probe.columns],
+        F.col(f"__m.{ts_build}").alias(ts_build),
+        *[F.col(f"__p.{c}") for c in build_cols],
+    )
 
 
 def _asof_union_window(probe, build, key, ts_probe, ts_build, build_cols):

@@ -31,6 +31,16 @@ def engine_confs(parallelism: int) -> dict[str, str]:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.parquet.compression.codec": "zstd",
+        # join co-partitioning may match on a SUBSET of join keys: the
+        # as-of payload re-join on (url, ts) then reuses the window
+        # stage's hashpartitioning(url) instead of re-shuffling the fat
+        # feature vectors a second time
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
+        # cluster mode: pin worker-side BLAS too (local mode inherits
+        # the driver env set in get_spark)
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
 
 
@@ -40,6 +50,13 @@ def get_spark(
     """local[cores] session with engine defaults (tests/bench entry)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    # One BLAS/OMP thread per Python worker: Spark owns the core
+    # allocation (one worker per task slot); numpy spawning a
+    # threadpool per worker oversubscribes cores*threads and collapses
+    # scaling (measured 6x slowdown on the cogroup kernel at 32 cores).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -294,6 +294,89 @@ FROM slots
 """
 
 
+def q_win_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows (streaming-capable operator run
+    in batch — crawlfe.streaming)."""
+    from .streaming import tumbling_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_counts(ev, "ts", "1 hour", ["event_type"], "value")
+    return out.select(
+        _us("win_start").alias("win_start_us"), "event_type", "n", "sum_value"
+    )
+
+
+SQL_WIN_TUMBLING = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_win_sliding(spark, sf_dir):
+    """Sliding 2h/1h event-time windows — each event lands in two
+    overlapping windows."""
+    from .streaming import sliding_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_counts(ev, "ts", "2 hours", "1 hour", ["event_type"], "value")
+    return out.select(
+        _us("win_start").alias("win_start_us"), "event_type", "n", "sum_value"
+    )
+
+
+SQL_WIN_SLIDING = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts)
+           - k * INTERVAL '1 hour' AS win_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT epoch_us(win_start) AS win_start_us, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def q_win_session(spark, sf_dir):
+    """Spark-native session_window (gap-close: end = last event + gap)
+    per user — the streaming-capable twin of `sessionize`."""
+    from .streaming import session_window_agg
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = session_window_agg(ev, "ts", f"{SESSION_GAP_S} seconds", ["user_id"])
+    return out.select(
+        "user_id",
+        _us("session_start").alias("start_us"),
+        _us("session_end").alias("end_us"),
+        "n",
+    )
+
+
+SQL_WIN_SESSION = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts) + INTERVAL '{SESSION_GAP_S} seconds') AS end_us,
+       count(*) AS n
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
@@ -1433,6 +1516,9 @@ REGISTRY: dict[str, tuple] = {
     "win_cumsum": (q_win_cumsum, SQL_WIN_CUMSUM),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_bounds": (q_session_bounds, SQL_SESSION_BOUNDS),
+    "win_tumbling": (q_win_tumbling, SQL_WIN_TUMBLING),
+    "win_sliding": (q_win_sliding, SQL_WIN_SLIDING),
+    "win_session": (q_win_session, SQL_WIN_SESSION),
     "backfill": (q_backfill, SQL_BACKFILL),
     "topk_per_group": (q_topk_per_group, SQL_TOPK),
     # projection/filter/null/sort

@@ -1,0 +1,125 @@
+"""Structured Streaming coverage (SURVEY.md §7 M8 stretch): file-source
+incremental featurization with checkpoint exactly-once, watermarked
+windowed aggregation, and session_window parity with the batch
+gap-cumsum sessionizer."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlfe.features import featurize
+from crawlfe.streaming import (
+    session_window_agg,
+    stream_featurize,
+    watermarked_window_counts,
+)
+from crawlfe.synth import PAGES_SCHEMA, SynthConfig, synth_pages
+from crawlfe.windows import session_bounds
+
+CFG = SynthConfig(n_urls=60)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    yield d
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_stream_featurize_incremental_exactly_once(spark, dirs):
+    p1 = synth_pages(spark, CFG, url_lo=0, url_hi=30, n_partitions=2)
+    p2 = synth_pages(spark, CFG, url_lo=30, url_hi=60, n_partitions=2)
+
+    p1.write.parquet(dirs["in"] + "/b1")
+    q = stream_featurize(
+        spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"], PAGES_SCHEMA
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(dirs["out"]).count()
+    assert n1 == p1.count()
+
+    # second batch arrives; restart picks up ONLY new files (checkpoint)
+    p2.write.parquet(dirs["in"] + "/b2")
+    q = stream_featurize(
+        spark, dirs["in"] + "/*", dirs["out"], dirs["ckpt"], PAGES_SCHEMA
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dirs["out"])
+    assert got.count() == p1.count() + p2.count()
+    # no duplicates: (url, warc_ts) unique
+    assert got.select("url", "warc_ts").distinct().count() == got.count()
+
+    # streamed features == batch features (same frozen extractor)
+    batch = featurize(
+        synth_pages(spark, CFG, url_lo=0, url_hi=60, n_partitions=2),
+        use_html=True,
+    )
+    sp = got.select("url", "warc_ts", "text_sha256").toPandas()
+    bp = batch.select("url", "warc_ts", "text_sha256").toPandas()
+    key = ["url", "warc_ts"]
+    sp = sp.sort_values(key, ignore_index=True)
+    bp = bp.sort_values(key, ignore_index=True)
+    assert (sp["text_sha256"] == bp["text_sha256"]).all()
+
+
+def test_watermarked_window_counts_match_batch(spark, dirs, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.parquet(dirs["in"])
+    stream = spark.readStream.schema(ev.schema).parquet(dirs["in"])
+    agg = watermarked_window_counts(
+        stream, "ts", "1 hour", "1 hour", ["event_type"]
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from wm_counts")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    # append-mode emits only watermark-closed windows; every emitted row
+    # must match batch, and all but the tail windows must be emitted
+    g = got.toPandas().sort_values(["win_start", "event_type"], ignore_index=True)
+    w = want.toPandas().sort_values(["win_start", "event_type"], ignore_index=True)
+    assert len(g) > 0
+    merged = g.merge(w, on=["win_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(g)
+    assert (merged["n_s"] == merged["n_b"]).all()
+    tail = w["win_start"].max()
+    missing = w.merge(
+        g, on=["win_start", "event_type"], how="left", suffixes=("", "_s")
+    )
+    missing = missing[missing["n_s"].isna()]
+    # only windows at/after the final watermark may be unemitted
+    assert (missing["win_start"] >= tail - __import__("pandas").Timedelta("1 hour")).all()
+
+
+def test_session_window_parity_with_batch_sessionizer(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    native = session_window_agg(ev, "ts", "1800 seconds", ["user_id"])
+    ours = session_bounds(ev, key="user_id", ts="ts", gap_seconds=1800)
+    n = native.select(
+        "user_id", "session_start", F.col("n").alias("n_events")
+    ).toPandas().sort_values(["user_id", "session_start"], ignore_index=True)
+    o = ours.select(
+        "user_id",
+        F.col("session_start"),
+        F.col("n_snapshots").alias("n_events"),
+    ).toPandas().sort_values(["user_id", "session_start"], ignore_index=True)
+    assert len(n) == len(o)
+    assert (n["user_id"] == o["user_id"]).all()
+    assert (n["session_start"] == o["session_start"]).all()
+    assert (n["n_events"] == o["n_events"]).all()
