@@ -1476,6 +1476,131 @@ def q_simhash(spark, sf_dir):
     return d.mapInPandas(sim, schema="doc_id long, simhash long")
 
 
+def q_synth_pages(spark, sf_dir):
+    """Deterministic distributed pages generator (SURVEY.md §2.B
+    'synthetic pages source') — values are pure functions of (seed,
+    url_id, snapshot_k); partition-count invariance is pytest-verified."""
+    from .synth import SynthConfig, synth_pages
+
+    pages = synth_pages(spark, SynthConfig(n_urls=80), n_partitions=8)
+    return pages.select(
+        "url",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+        F.sha2("text", 256).alias("text_sha"),
+        "lang",
+        F.length("html").alias("html_bytes"),
+    )
+
+
+def q_scan_pages(spark, sf_dir):
+    """Iceberg-lite scan: atomically-committed pages read back through
+    the manifest (parquet-dir emulation of the prod Iceberg catalog,
+    SURVEY.md §1.3)."""
+    import tempfile
+
+    from .io import IcebergLite
+    from .synth import SynthConfig, synth_pages
+
+    tbl = IcebergLite(tempfile.mkdtemp(prefix="crawlfe_scan_"))
+    pages = synth_pages(spark, SynthConfig(n_urls=40), n_partitions=4)
+    tbl.commit(tbl.stage(pages), "snap-scan-0")
+    got = tbl.read(spark)
+    return got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("url").alias("n_urls"),
+    )
+
+
+def q_sink_roundtrip(spark, sf_dir):
+    """features sink roundtrip: featurize -> staged atomic commit ->
+    manifest read-back; exactly-once by snapshot id (recommit of the
+    same snapshot is a no-op)."""
+    import tempfile
+
+    from .features import featurize
+    from .io import IcebergLite
+    from .synth import SynthConfig, synth_pages
+
+    tbl = IcebergLite(tempfile.mkdtemp(prefix="crawlfe_sink_"))
+    pages = synth_pages(spark, SynthConfig(n_urls=40), n_partitions=4)
+    feats = featurize(pages, use_html=True)
+    tbl.commit(tbl.stage(feats), "snap-rt-0")
+    got = tbl.read(spark)
+    return got.select(
+        "url",
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("warc_ts_us"),
+        "text_sha256",
+    )
+
+
+def q_skew_salted(spark, sf_dir):
+    """Salted as-of join (salt_k=4) on the events stream — identical
+    rows to the unsalted plan (pytest skew-parity asserts this); the
+    hot probe key spreads over 4 tasks while each sees full history."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "event_id"
+    )
+    build = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    j = asof_join(
+        probe, build, key="user_id", ts_probe="click_ts", ts_build="ts",
+        build_cols=["purchase_value"], strategy="merge_scan",
+        num_buckets=16, salt_k=4,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        _us("click_ts").alias("click_ts_us"),
+        _us("ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+# salting must not change results: the salted plan answers the SAME
+# query, so it shares the unsalted oracle verbatim
+SQL_ASOF_SALT = SQL_ASOF
+
+
+def q_agg_vector(spark, sf_dir):
+    """Grouped vector aggregate: per-label mean embedding via
+    applyInPandas (the A16 patch-median analog shape)."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "mean_vec": [np.round(m.mean(axis=0), 6)],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        mean_vec, schema="label int, n long, mean_vec array<double>"
+    )
+
+
+SQL_AGG_VECTOR = """
+WITH dims AS (
+  SELECT label, i.idx,
+         round(avg(CAST(embedding[i.idx] AS DOUBLE)), 6) AS mx
+  FROM embeddings, range(1, 65) i(idx)
+  GROUP BY label, i.idx
+), vecs AS (
+  SELECT label, array_agg(mx ORDER BY idx) AS mean_vec
+  FROM dims GROUP BY label
+)
+SELECT v.label, c.n, v.mean_vec
+FROM vecs v JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) c
+  ON v.label = c.label
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash fingerprints per document — parity-tested
     against crawlfe.fingerprint.fingerprint_oracle in pytest."""
@@ -1559,7 +1684,12 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "skew_salted": (q_skew_salted, SQL_ASOF_SALT),
+    "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # rows-only (non-SQL-expressible; pytest parity instead)
+    "synth_pages": (q_synth_pages, None),
+    "scan_pages": (q_scan_pages, None),
+    "sink_roundtrip": (q_sink_roundtrip, None),
     "featurize_documents": (q_featurize_documents, None),
     "minhash_near_dup": (q_minhash_near_dup, None),
     "simhash": (q_simhash, None),
