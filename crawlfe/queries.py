@@ -1371,7 +1371,7 @@ def q_minhash_near_dup(spark, sf_dir):
             0x9E3779B97F4A7C15
         )
         for pdf in it:
-            rows = []
+            ids, band_col, bucket_col = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.split()
                 sh = {
@@ -1381,23 +1381,20 @@ def q_minhash_near_dup(spark, sf_dir):
                 hv = np.array(
                     [hash_shingle(s) for s in sh], dtype=np.uint64
                 )
-                mins = np.array(
-                    [
-                        int(splitmix64_np(hv ^ seed).min())
-                        for seed in seeds
-                    ],
-                    dtype=np.uint64,
+                # one (N_HASH, n_shingles) broadcast instead of a
+                # per-seed python loop: min over axis 1 = the signature
+                mins = splitmix64_np(hv[None, :] ^ seeds[:, None]).min(
+                    axis=1
                 )
-                for band in range(N_BANDS):
-                    key = int(
-                        splitmix64_np(
-                            mins[band * R : (band + 1) * R]
-                        ).sum()
-                        % np.uint64(2**63)
-                    )
-                    rows.append((int(doc_id), band, key))
+                keys = (
+                    splitmix64_np(mins).reshape(N_BANDS, R).sum(axis=1)
+                    % np.uint64(2**63)
+                ).astype(np.int64)
+                ids.extend([int(doc_id)] * N_BANDS)
+                band_col.extend(range(N_BANDS))
+                bucket_col.extend(keys.tolist())
             yield pd.DataFrame(
-                rows, columns=["doc_id", "band", "bucket"]
+                {"doc_id": ids, "band": band_col, "bucket": bucket_col}
             )
 
     def hash_shingle(s: str) -> int:

@@ -94,6 +94,72 @@ def test_media_features_plumbing(spark, docs):
     assert all(abs(sum(f) - 1.0) < 1e-9 for f in out.feat)
 
 
+@pytest.fixture(scope="module")
+def neardup_dir(spark, tmp_path_factory):
+    """documents.parquet with planted exact + near duplicates."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(120)]
+    base = [
+        " ".join(rng.choice(vocab, size=60)) for _ in range(20)
+    ]
+    texts = list(base)
+    # exact copies of docs 0..2 -> ids 20..22
+    texts += [base[0], base[1], base[2]]
+    # near copies (one word appended) of docs 3..5 -> ids 23..25
+    texts += [base[3] + " tail", base[4] + " tail", base[5] + " tail"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path_factory.mktemp("neardup"))
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    return d
+
+
+def test_minhash_finds_planted_duplicates(spark, neardup_dir):
+    from crawlfe.queries import q_minhash_near_dup
+
+    pairs = {
+        (int(a), int(b))
+        for a, b in q_minhash_near_dup(spark, neardup_dir)
+        .toPandas()[["doc_a", "doc_b"]]
+        .itertuples(index=False)
+    }
+    # exact + near copies must be caught
+    for want in [(0, 20), (1, 21), (2, 22), (3, 23), (4, 24), (5, 25)]:
+        assert want in pairs, f"missing planted pair {want}"
+    # no false positives between unrelated base docs
+    unrelated = {p for p in pairs if p[0] < 20 and p[1] < 20}
+    assert not unrelated
+
+
+def test_simhash_hamming_properties(spark, neardup_dir):
+    from crawlfe.queries import q_simhash
+
+    fp = (
+        q_simhash(spark, neardup_dir)
+        .toPandas()
+        .set_index("doc_id")["simhash"]
+    )
+    # exact copies -> identical fingerprints
+    for a, b in [(0, 20), (1, 21), (2, 22)]:
+        assert fp[a] == fp[b]
+    # near copies -> closer in Hamming distance than unrelated docs
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")  # noqa: E731
+    near = [ham(fp[a], fp[b]) for a, b in [(3, 23), (4, 24), (5, 25)]]
+    far = [ham(fp[a], fp[b]) for a, b in [(0, 1), (2, 7), (10, 15)]]
+    assert max(near) < min(far)
+
+
 def test_lang_id_scores_consistent(spark, docs):
     from crawlfe.queries import q_lang_id
 
