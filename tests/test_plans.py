@@ -1,0 +1,116 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+100 TB design depends on must be visible in the executed plan —
+column pruning of the html binary, parquet filter pushdown, broadcast
+join selection, single fat shuffle in the slim as-of, and whole-stage
+codegen on the JVM paths."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlfe.features import featurize
+from crawlfe.pipeline import feature_pipeline
+from crawlfe.synth import SynthConfig, synth_pages
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans") / "pages")
+    synth_pages(spark, SynthConfig(n_urls=150), n_partitions=4).write.parquet(d)
+    return d
+
+
+def test_join_stage_never_reads_html(spark, pages_path, tmp_path):
+    """Production shape: featurize writes the features table (the ONLY
+    stage that touches the html binary), the join stage consumes the
+    table. The join-stage plan must contain zero html scans, and its
+    pages scan must be pruned to (url, warc_ts)."""
+    pages = spark.read.parquet(pages_path)
+    feats_path = str(tmp_path / "features")
+    featurize(pages, use_html=True).write.parquet(feats_path)
+
+    feats = spark.read.parquet(feats_path)
+    probe = pages.select(
+        "url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("join_ts")
+    )
+    out = feature_pipeline(
+        feats, probe, session_gap_s=86400, strategy="merge_scan_slim"
+    )
+    plan = plan_of(out)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    assert not [s for s in schemas if "html" in s], schemas
+    # the probe-side pages scan carries only the two slim columns
+    assert any(
+        set(c.split(":")[0] for c in s.split(",")) == {"url", "warc_ts"}
+        for s in schemas
+    ), schemas
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_discount") > 0.05).select("l_orderkey", "l_discount")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount,0.05)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"l_orderkey", "l_discount"}
+
+
+def test_broadcast_join_selected_for_small_dim(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    q = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).groupBy(
+        "p_brand"
+    ).count()
+    assert "BroadcastHashJoin" in plan_of(q)
+
+
+def test_slim_asof_single_fat_exchange(spark, pages_path):
+    """merge_scan_slim must not re-shuffle the fat feature payload for
+    the re-join: the window stage's hashpartitioning(url) is reused
+    (requireAllClusterKeysForCoPartition=false)."""
+    pages = spark.read.parquet(pages_path)
+    feats = featurize(pages, use_html=True)
+    probe = pages.select(
+        "url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("join_ts")
+    )
+    # force SMJ so the exchange structure is visible (no AQE broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = feature_pipeline(
+            feats, probe, session_gap_s=86400, strategy="merge_scan_slim"
+        )
+        plan = plan_of(out)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+    # fat columns (feat) cross exactly ONE hash exchange: the window
+    # stage's partitioning by url; the payload join reuses it
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    url_ts_exchanges = [
+        e for e in exchanges if "url" in e and "warc_ts" in e and "__b" not in e
+    ]
+    # co-partition reuse: no (url, warc_ts) re-shuffle of the fat side
+    assert len(url_ts_exchanges) <= 1, exchanges
+
+
+def test_wholestage_codegen_on_jvm_paths(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = (
+        ev.where(F.col("value") > 10)
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("s"))
+    )
+    q.collect()  # AQE reveals codegen spans only in the final plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in simpleString
+    assert re.search(r"\*\(\d+\) HashAggregate", plan_of(q))
