@@ -1052,9 +1052,14 @@ def q_knn_cosine(spark, sf_dir):
     (broadcast probe set; per-row JVM higher-order dot product)."""
     e = _t(spark, sf_dir, "embeddings")
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = e.select("vec_id", vec_d.alias("v"))
+    nrm = F.sqrt(
+        F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = e.select("vec_id", vec_d.alias("v"), nrm.alias("nm"))
     probes = base.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("nm").alias("qn"),
     )
     pairs = base.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
     dot = F.aggregate(
@@ -1062,13 +1067,10 @@ def q_knn_cosine(spark, sf_dir):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     scored = pairs.select(
         "q_id",
         "vec_id",
-        F.round(dot / (norm("q") * norm("v")), 6).alias("cosine"),
+        F.round(dot / (F.col("qn") * F.col("nm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -1082,16 +1084,16 @@ def q_knn_cosine(spark, sf_dir):
 
 SQL_KNN_COSINE = """
 WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
   FROM embeddings
 ), probes AS (
-  SELECT vec_id AS q_id, v AS q FROM base WHERE vec_id < 20
+  SELECT vec_id AS q_id, v AS q, nm AS qn FROM base WHERE vec_id < 20
 ), scored AS (
   SELECT p.q_id, b.vec_id,
          round(list_sum(list_transform(list_zip(p.q, b.v), t -> t[1] * t[2]))
-               / (sqrt(list_sum(list_transform(p.q, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
-           AS cosine
+               / (p.qn * b.nm), 6) AS cosine
   FROM base b, probes p WHERE b.vec_id <> p.q_id
 )
 SELECT q_id, vec_id, cosine, rn FROM (
@@ -1214,7 +1216,12 @@ def q_dedup_embedding(spark, sf_dir):
     blocks, never all-pairs)."""
     e = _t(spark, sf_dir, "embeddings")
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = e.select("vec_id", "label", vec_d.alias("v"))
+    # norm precomputed ONCE per vector (not per pair): at n*(n-1)/2
+    # pairs per block this halves the per-pair flops
+    nrm = F.sqrt(
+        F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = e.select("vec_id", "label", vec_d.alias("v"), nrm.alias("nm"))
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -1225,12 +1232,7 @@ def q_dedup_embedding(spark, sf_dir):
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
-    cos = dot / (norm("a") * norm("b"))
+    cos = dot / (F.col("a.nm") * F.col("b.nm"))
     return (
         pairs.select(
             F.col("a.vec_id").alias("id_a"),
@@ -1245,14 +1247,14 @@ def q_dedup_embedding(spark, sf_dir):
 SQL_DEDUP_EMBEDDING = """
 WITH base AS (
   SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
   FROM embeddings
 ), scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
          round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
-           AS cosine
+               / (a.nm * b.nm), 6) AS cosine
   FROM base a JOIN base b
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
@@ -1272,7 +1274,12 @@ def q_ann_lsh(spark, sf_dir):
             2**j
         )
         bucket = bit if bucket is None else bucket + bit
-    base = e.select("vec_id", vec_d.alias("v"), bucket.alias("bucket"))
+    nrm = F.sqrt(
+        F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = e.select(
+        "vec_id", vec_d.alias("v"), bucket.alias("bucket"), nrm.alias("nm")
+    )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -1283,16 +1290,11 @@ def q_ann_lsh(spark, sf_dir):
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-    )
     scored = pairs.select(
         F.col("a.vec_id").alias("q_id"),
         F.col("b.vec_id").alias("vec_id"),
         F.col("a.bucket").alias("bucket"),
-        F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        F.round(dot / (F.col("a.nm") * F.col("b.nm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -1308,6 +1310,8 @@ SQL_ANN_LSH = """
 WITH base AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm,
          CAST(embedding[1] > 0 AS INT) * 1 + CAST(embedding[2] > 0 AS INT) * 2
          + CAST(embedding[3] > 0 AS INT) * 4 + CAST(embedding[4] > 0 AS INT) * 8
          + CAST(embedding[5] > 0 AS INT) * 16 + CAST(embedding[6] > 0 AS INT) * 32
@@ -1317,9 +1321,7 @@ WITH base AS (
 ), scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS vec_id, a.bucket AS bucket,
          round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6)
-           AS cosine
+               / (a.nm * b.nm), 6) AS cosine
   FROM base a JOIN base b
     ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
 )
