@@ -604,6 +604,124 @@ FROM events GROUP BY user_id
 """
 
 
+def q_agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS through the SQL surface (spark.sql) — the engine
+    accepts SQL text as well as the DataFrame API."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+               coalesce(o_orderpriority, '<ALL>') AS priority,
+               round(sum(o_totalprice), 4) AS sum_total,
+               count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+SQL_AGG_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, '<ALL>') AS status,
+       coalesce(o_orderpriority, '<ALL>') AS priority,
+       round(sum(o_totalprice), 4) AS sum_total,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_agg_pivot(spark, sf_dir):
+    """Pivot: order counts per priority pivoted on status columns."""
+    o = _t(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in statuses],
+        )
+    )
+
+
+SQL_AGG_PIVOT = """
+SELECT o_orderpriority,
+       coalesce(count(*) FILTER (o_orderstatus = 'F'), 0) AS n_F,
+       coalesce(count(*) FILTER (o_orderstatus = 'O'), 0) AS n_O,
+       coalesce(count(*) FILTER (o_orderstatus = 'P'), 0) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_percentile(spark, sf_dir):
+    """Exact percentiles (continuous interpolation) per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_AGG_PERCENTILE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_explode_tokens(spark, sf_dir):
+    """Lateral explode with position: top token counts over documents
+    (posexplode ≅ DuckDB unnest; the shingle/token fan-out primitive)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    ex = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+    return ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.col("pos")).alias("first_pos"),
+    )
+
+
+SQL_EXPLODE_TOKENS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id < 50
+), ex0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS idx FROM toks
+), ex AS (
+  SELECT doc_id, CAST(idx - 1 AS INT) AS pos, t[idx] AS token FROM ex0
+)
+SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+       min(pos) AS first_pos
+FROM ex GROUP BY token
+"""
+
+
+def q_scalar_levenshtein(spark, sf_dir):
+    """Edit-distance similarity of consecutive customer names (fuzzy
+    entity-matching primitive)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(b, F.col("a.c_custkey") + 1 == F.col("b.c_custkey"))
+    return pairs.select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+    )
+
+
+SQL_SCALAR_LEVENSHTEIN = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey
+WHERE a.c_custkey <= 200 AND b.c_custkey <= 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Joins
 # --------------------------------------------------------------------------
@@ -1655,6 +1773,11 @@ REGISTRY: dict[str, tuple] = {
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "agg_grouped_udf": (q_agg_grouped_udf, SQL_AGG_GROUPED_UDF),
+    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    "agg_percentile": (q_agg_percentile, SQL_AGG_PERCENTILE),
+    "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
     # joins
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
