@@ -1718,6 +1718,21 @@ FROM vecs v JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) c
 """
 
 
+def q_lineage(spark, sf_dir):
+    """Per-partition lineage rows from the featurize stage
+    (BASELINE.json:6 mandate): partition id, offset range, row count,
+    order-independent feature hash. committed_at dropped (wall clock)."""
+    from .features import featurize, lineage_rows
+    from .synth import SynthConfig, synth_pages
+
+    pages = synth_pages(spark, SynthConfig(n_urls=60), n_partitions=6)
+    feats = featurize(pages, use_html=True)
+    return lineage_rows(feats, "snap-lineage-0").select(
+        "partition_id", "input_snapshot", "first_offset", "last_offset",
+        "n_rows", "feature_hash",
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash fingerprints per document — parity-tested
     against crawlfe.fingerprint.fingerprint_oracle in pytest."""
@@ -1811,6 +1826,7 @@ REGISTRY: dict[str, tuple] = {
     # rows-only (non-SQL-expressible; pytest parity instead)
     "synth_pages": (q_synth_pages, None),
     "scan_pages": (q_scan_pages, None),
+    "lineage": (q_lineage, None),
     "sink_roundtrip": (q_sink_roundtrip, None),
     "featurize_documents": (q_featurize_documents, None),
     "minhash_near_dup": (q_minhash_near_dup, None),
