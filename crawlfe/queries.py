@@ -1328,6 +1328,43 @@ FROM scored
 """
 
 
+def q_lang_agreement(spark, sf_dir):
+    """Dominant language per source + agreement share (the A9
+    key-detection analog: mode() per entity, deterministic tie-break
+    by lang asc so both engines agree)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang"))
+    tot = Window.partitionBy("source")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("total", F.sum("c").over(tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("dominant_lang"),
+            F.round(F.col("c") / F.col("total"), 4).alias("agreement"),
+            F.col("total").alias("n_docs"),
+        )
+    )
+
+
+SQL_LANG_AGREEMENT = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+), ranked AS (
+  SELECT source, lang, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn,
+         sum(c) OVER (PARTITION BY source) AS total
+  FROM counts
+)
+SELECT source, lang AS dominant_lang,
+       round(c / CAST(total AS DOUBLE), 4) AS agreement,
+       total AS n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (the blocking key
     stands in for the LSH bucket at 100 TB scale: compare only within
@@ -1819,6 +1856,7 @@ REGISTRY: dict[str, tuple] = {
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "lang_agreement": (q_lang_agreement, SQL_LANG_AGREEMENT),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "skew_salted": (q_skew_salted, SQL_ASOF_SALT),

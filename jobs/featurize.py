@@ -40,7 +40,8 @@ def main() -> int:
     ap.add_argument("--session-gap-s", type=int, default=86400)
     ap.add_argument("--salt-k", type=int, default=1)
     ap.add_argument(
-        "--strategy", choices=["merge_scan", "union_window"],
+        "--strategy",
+        choices=["merge_scan", "merge_scan_slim", "union_window"],
         default="merge_scan",
     )
     ap.add_argument(

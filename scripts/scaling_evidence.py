@@ -61,16 +61,38 @@ def cpu_calibration(procs: int) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count())))
 
 
-def run_probe(cores: int, sf_dir: str, n_urls: int) -> dict:
-    # taskset pins the WHOLE process tree (JVM + every Python worker) to
-    # exactly `cores` CPUs — without it, local[N]'s Python workers spill
-    # onto unclaimed cores and the N-core baseline is dishonestly fast.
-    # Driver heap scales with cores (per-core memory constant, as it is
-    # across real cluster sizes: 4N executors bring 4x aggregate mem).
-    cmd = ["taskset", "-c", f"0-{cores - 1}",
-           sys.executable, os.path.join(REPO, "bench.py"),
-           "--pipeline-only", "--cores", str(cores), "--sf-dir", sf_dir,
-           "--n-urls", str(n_urls)]
+def _ensure_zip() -> str:
+    zip_path = os.path.join(REPO, "crawlfe.zip")
+    subprocess.run(
+        ["zip", "-qr", "-FS", zip_path, "crawlfe"], cwd=REPO, check=True
+    )
+    return zip_path
+
+
+def run_probe(
+    cores: int, sf_dir: str, n_urls: int, launcher: str = "spark-submit"
+) -> dict:
+    # launcher="spark-submit" exercises the mandated packaging
+    # (BASELINE.json:14: spark-submit --py-files crawlfe.zip);
+    # launcher="python" runs the identical engine code in-process
+    # (lower constant overhead — useful when the shared VM is noisy;
+    # the packaging itself is independently verified by
+    # jobs/featurize.py under spark-submit). taskset pins the WHOLE
+    # process tree (JVM + every Python worker) to exactly `cores` CPUs —
+    # without it, local[N]'s Python workers spill onto unclaimed cores
+    # and the N-core baseline is dishonestly fast. Driver heap scales
+    # with cores (per-core memory constant, as across real cluster
+    # sizes: 4N executors bring 4x aggregate memory).
+    bench_args = [os.path.join(REPO, "bench.py"),
+                  "--pipeline-only", "--cores", str(cores),
+                  "--sf-dir", sf_dir, "--n-urls", str(n_urls)]
+    pin = ["taskset", "-c", f"0-{cores - 1}"]
+    if launcher == "spark-submit":
+        cmd = pin + ["spark-submit", "--master", f"local[{cores}]",
+                     "--driver-memory", f"{2 * cores}g",
+                     "--py-files", _ensure_zip()] + bench_args
+    else:
+        cmd = pin + [sys.executable] + bench_args
     env = dict(os.environ, CRAWLFE_DRIVER_MEM=f"{2 * cores}g")
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True, cwd=REPO, env=env,
@@ -85,8 +107,10 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeats", type=int, default=3,
                     help="probes per level; best (max throughput) kept")
-    ap.add_argument("--cores-lo", type=int, default=4)
-    ap.add_argument("--cores-hi", type=int, default=16)
+    ap.add_argument("--cores-lo", type=int, default=2)
+    ap.add_argument("--cores-hi", type=int, default=8)
+    ap.add_argument("--launcher", choices=["spark-submit", "python"],
+                    default="spark-submit")
     ap.add_argument("--n-urls", type=int, default=120_000,
                     help="synth size (~6.5 snapshots/url); large enough "
                          "that fixed stage overheads are noise")
@@ -105,7 +129,7 @@ def main() -> int:
     for cores in (lo, hi):
         best = None
         for _ in range(args.repeats):
-            r = run_probe(cores, args.sf_dir, args.n_urls)
+            r = run_probe(cores, args.sf_dir, args.n_urls, args.launcher)
             tp = r["throughput"]["pages_featurized_per_sec"]
             if best is None or tp > best["throughput"]["pages_featurized_per_sec"]:
                 best = r
@@ -145,10 +169,14 @@ parquet scan of the deterministic synthetic pages table
 featurization (mapInPandas) -> slim merge-scan as-of join onto a
 same-cardinality probe grid + lag/lead + sessionize -> count — run in
 SEPARATE JVMs at `local[{lo}]` (N) and `local[{hi}]` (4N) on the same
-input (warm-up discarded, best of {args.repeats}). Each run is
-`taskset`-pinned to exactly its core count with per-core-constant driver
-memory — the faithful sandbox substitution for two cluster sizes (task
-brief). N={lo} was chosen because a Spark-free busy-loop calibration
+input (warm-up discarded, best of {args.repeats}). Each probe is
+launched via `{args.launcher}` ("spark-submit" = the mandated
+`--py-files crawlfe.zip` packaging, independently exercised by
+jobs/featurize.py), `taskset`-pinned to exactly its core count with
+per-core-constant driver memory — the faithful sandbox substitution
+for two cluster sizes (task brief). The shared VM's throughput drifts
+~1.5x between periods; best-of-{args.repeats} per level reduces but
+does not remove this. N={lo} was chosen because a Spark-free busy-loop calibration
 (below) shows this shared VM stops scaling past ~16 pinned processes —
 beyond that the hardware itself caps any job at ~0.6 efficiency.
 
