@@ -1755,6 +1755,44 @@ FROM vecs v JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) c
 """
 
 
+def q_udtf_shingles(spark, sf_dir):
+    """Spark 4 Python UDTF surface: lateral shingle exploder.
+
+    Per-row Python by construction — registered to demonstrate the
+    UDTF API (SURVEY.md §2.B UDF table); the ENGINE's hot path uses
+    sequence+explode / mapInPandas instead (BASELINE.json:15)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, shingle string")
+    class ShingleUDTF:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            for i in range(max(len(toks) - 2, 0)):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("shingles_udtf", ShingleUDTF)
+    _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_u")
+    return spark.sql("""
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM docs_u d, LATERAL shingles_udtf(d.text) s
+    """)
+
+
+SQL_UDTF_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE doc_id < 20
+), ex AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       array_to_string(t[i:i+2], ' ') AS shingle
+FROM ex
+"""
+
+
 def q_lineage(spark, sf_dir):
     """Per-partition lineage rows from the featurize stage
     (BASELINE.json:6 mandate): partition id, offset range, row count,
@@ -1830,6 +1868,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_percentile": (q_agg_percentile, SQL_AGG_PERCENTILE),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
+    "udtf_shingles": (q_udtf_shingles, SQL_UDTF_SHINGLES),
     # joins
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
