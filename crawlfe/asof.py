@@ -26,6 +26,16 @@ Two physical strategies, identical semantics (both tested for parity):
     kills scaling), and under salting only the slim build side is
     replicated K times. Requires build unique per (key, ts) — true by
     construction for crawl snapshots.
+  * ``range_scan``: the mandate-literal physical shape
+    (BASELINE.json:6 "merge-scan over repartitionByRange(url) +
+    sortWithinPartitions(warc_ts)"): tag sides, union slim columns,
+    ``repartitionByRange(key)`` + ``sortWithinPartitions(key, ts,
+    side)``, then ONE forward streaming pass (mapInPandas) that
+    carries the latest build row per key across Arrow batches —
+    payloads re-attached by the same JVM equi join as
+    ``merge_scan_slim``. Range partitioning keeps a key's whole
+    history in one partition, so the carry state is a single
+    last-row dict.
   * ``union_window``: tag sides, union, and forward-fill build columns
     with last(..., ignorenulls) over (key ORDER BY ts, side). 100%
     JVM/whole-stage-codegen (zero Python), one shuffle — the scale
@@ -105,6 +115,10 @@ def asof_join(
         )
     if strategy == "union_window":
         return _asof_union_window(
+            probe, build, key, ts_probe, ts_build, build_cols
+        )
+    if strategy == "range_scan":
+        return _asof_range_scan(
             probe, build, key, ts_probe, ts_build, build_cols
         )
     raise ValueError(f"unknown asof strategy: {strategy}")
@@ -239,6 +253,80 @@ def _asof_merge_scan_slim(
     )
     return joined.select(
         *[F.col(f"__m.{c}") for c in probe.columns],
+        F.col(f"__m.{ts_build}").alias(ts_build),
+        *[F.col(f"__p.{c}") for c in build_cols],
+    )
+
+
+def _asof_range_scan(probe, build, key, ts_probe, ts_build, build_cols):
+    """Mandate-literal merge-scan: repartitionByRange(key) +
+    sortWithinPartitions(key, ts, side) + one streaming forward pass.
+
+    The kernel is an iterator mapInPandas: build rows (side=0) update a
+    per-key carry of the latest build ts; probe rows (side=1) read it.
+    Range partitioning guarantees all rows of a key land in one
+    partition, and the sort guarantees build-before-probe at equal ts
+    (allow_exact_matches semantics), so the carry never leaks a future
+    row (zero temporal leakage) and survives Arrow batch boundaries
+    within the partition. Payloads attach via the slim JVM re-join.
+    """
+    probe_cols = list(probe.columns)
+    p = probe.select(
+        F.col(key).alias("__k"),
+        F.col(ts_probe).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in probe_cols],
+    )
+    b = build.select(
+        F.col(key).alias("__k"),
+        F.col(ts_build).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c)
+          for c in probe_cols],
+    )
+    ts_type = build.schema[ts_build].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in probe.schema.fields]
+        + [f"`{ts_build}` {ts_type}"]
+    )
+    tagged = (
+        b.unionByName(p)
+        .repartitionByRange("__k")
+        .sortWithinPartitions("__k", "__ts", "__side")
+    )
+
+    def scan(batches):
+        # cross-batch carry: latest build ts seen per key so far in
+        # this partition (a key's rows are contiguous, but a batch
+        # boundary can split them)
+        carry: dict = {}
+        for pdf in batches:
+            ks = pdf["__k"]
+            sides = pdf["__side"].to_numpy()
+            build_ts = pdf["__ts"].where(pdf["__side"].eq(0))
+            # vectorized forward-fill of the latest build ts per key;
+            # rows before a key's first in-batch build row stay NaT …
+            carried = build_ts.groupby(ks.to_numpy(), sort=False).ffill()
+            # … and take the previous batch's carry instead
+            carried = carried.fillna(ks.map(carry))
+            last = build_ts.groupby(ks.to_numpy(), sort=False).last()
+            carry.update(last.dropna().to_dict())
+            emit = sides == 1
+            if emit.any():
+                out = pdf.loc[emit, probe_cols].copy()
+                out[ts_build] = carried[emit]
+                yield out
+
+    matched = tagged.mapInPandas(scan, schema=out_schema)
+    m, pay = matched.alias("__m"), build.alias("__p")
+    joined = m.join(
+        pay,
+        (F.col(f"__m.{key}") == F.col(f"__p.{key}"))
+        & (F.col(f"__m.{ts_build}") == F.col(f"__p.{ts_build}")),
+        "left",
+    )
+    return joined.select(
+        *[F.col(f"__m.{c}") for c in probe_cols],
         F.col(f"__m.{ts_build}").alias(ts_build),
         *[F.col(f"__p.{c}") for c in build_cols],
     )

@@ -50,7 +50,7 @@ def _check(got_pdf, want):
 @pytest.mark.parametrize(
     "strategy,salt_k",
     [("merge_scan", 1), ("merge_scan", 4), ("union_window", 1),
-     ("merge_scan_slim", 1), ("merge_scan_slim", 4)],
+     ("merge_scan_slim", 1), ("merge_scan_slim", 4), ("range_scan", 1)],
 )
 def test_asof_strategies_match_oracle(spark, fixtures, strategy, salt_k):
     grid, feats, _, want = fixtures
@@ -104,7 +104,7 @@ def test_exact_match_inclusive(spark):
             }
         )
     )
-    for strategy in ("merge_scan", "union_window", "merge_scan_slim"):
+    for strategy in ("merge_scan", "union_window", "merge_scan_slim", "range_scan"):
         out = asof_join(
             probe, build, key="url", ts_probe="join_ts",
             ts_build="warc_ts", build_cols=["v"], strategy=strategy,

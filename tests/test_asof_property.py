@@ -67,7 +67,7 @@ def test_asof_matches_pandas_oracle(spark, probe_rows, build_rows):
 
     probe = spark.createDataFrame(probe_pdf)
     build = spark.createDataFrame(build_pdf)
-    for strategy in ("merge_scan", "merge_scan_slim", "union_window"):
+    for strategy in ("merge_scan", "merge_scan_slim", "union_window", "range_scan"):
         got = (
             asof_join(
                 probe, build, key="k", ts_probe="join_ts", ts_build="ts",

@@ -55,7 +55,7 @@ def test_past_features_unchanged(spark, frames):
 
 
 @pytest.mark.parametrize(
-    "strategy", ["merge_scan", "union_window", "merge_scan_slim"]
+    "strategy", ["merge_scan", "union_window", "merge_scan_slim", "range_scan"]
 )
 def test_asof_results_unchanged_for_past_probes(spark, frames, strategy):
     orig, mutated, _ = frames
