@@ -49,18 +49,31 @@ class IcebergLite:
                     out.append(json.load(f))
         return out
 
-    def data_files(self) -> list[str]:
-        return [
-            os.path.join(self.data_dir, f)
-            for m in self.manifests()
-            for f in m["files"]
-        ]
+    def data_files(self, as_of: str | None = None) -> list[str]:
+        """Data files of the table; with ``as_of`` (a snapshot_id or an
+        input_snapshot name), only files committed up to and including
+        that snapshot — Iceberg-style time travel over the manifest
+        log."""
+        files: list[str] = []
+        for m in self.manifests():
+            files.extend(os.path.join(self.data_dir, f) for f in m["files"])
+            if as_of is not None and as_of in (
+                m["snapshot_id"], m["input_snapshot"]
+            ):
+                return files
+        if as_of is not None:
+            raise ValueError(f"unknown snapshot: {as_of}")
+        return files
 
     def committed_snapshots(self) -> set[str]:
         return {m["input_snapshot"] for m in self.manifests()}
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        files = self.data_files()
+    def read(
+        self, spark: SparkSession, as_of: str | None = None
+    ) -> DataFrame | None:
+        """Current table state, or (time travel) the state as of a
+        committed snapshot — ≅ Iceberg ``VERSION AS OF``."""
+        files = self.data_files(as_of)
         if not files:
             return None
         return spark.read.parquet(*files)

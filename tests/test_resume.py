@@ -88,3 +88,41 @@ def test_lineage_hash_detects_data_change(spark, tmp_path):
     h1 = set(t1.lineage(spark).toPandas()["feature_hash"])
     h2 = set(t2.lineage(spark).toPandas()["feature_hash"])
     assert h1 != h2
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Iceberg-style VERSION AS OF over the manifest log: reading as of
+    snapshot k returns exactly the rows committed by snapshots <= k."""
+    from crawlfe.io import IcebergLite
+    from crawlfe.pipeline import run_incremental
+    from crawlfe.synth import SynthConfig, synth_pages
+
+    cfg = SynthConfig(n_urls=60)
+    tbl = IcebergLite(str(tmp_path / "tt"))
+    batches = [
+        (f"snap-{b}", synth_pages(spark, cfg, url_lo=b * 20,
+                                  url_hi=(b + 1) * 20, n_partitions=2))
+        for b in range(3)
+    ]
+    run_incremental(spark, batches, tbl)
+
+    full = tbl.read(spark).count()
+    n0 = tbl.read(spark, as_of="snap-0").count()
+    n1 = tbl.read(spark, as_of="snap-1").count()
+    want0 = batches[0][1].count()
+    want1 = want0 + batches[1][1].count()
+    assert n0 == want0
+    assert n1 == want1
+    assert full > n1
+    # urls visible as of snap-0 are exactly the first batch's urls
+    got_urls = {
+        r[0] for r in tbl.read(spark, as_of="snap-0").select("url").distinct().collect()
+    }
+    want_urls = {
+        r[0] for r in batches[0][1].select("url").distinct().collect()
+    }
+    assert got_urls == want_urls
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tbl.data_files(as_of="snap-nope")
