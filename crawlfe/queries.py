@@ -1488,6 +1488,98 @@ SELECT q_id, vec_id, bucket, cosine, rn FROM (
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer = 16 deterministic centroids
+    (vec_id < 16), every vector assigned to its nearest centroid by
+    cosine (deterministic tie-break), then brute-force top-3 WITHIN the
+    cell. At 10^12 rows the cell assignment is the partition key; probe
+    cost drops from O(N) to O(N/cells)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = e.select("vec_id", vec_d.alias("v"), nrm.alias("nm"))
+    cent = base.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nm").alias("cn"),
+    )
+    dot_c = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored_c = base.join(F.broadcast(cent)).select(
+        "vec_id", "v", "nm", "c_id",
+        (dot_c / (F.col("nm") * F.col("cn"))).alias("ccos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("c_id")
+    )
+    assigned = (
+        scored_c.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nm", F.col("c_id").alias("cell"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("q_id"),
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("a.cell").alias("cell"),
+        F.round(dot / (F.col("a.nm") * F.col("b.nm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "cell", "cosine", "rn")
+    )
+
+
+SQL_ANN_IVF = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS c_id, v AS cv, nm AS cn FROM base WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, v, nm, c_id AS cell FROM (
+    SELECT b.vec_id, b.v, b.nm, c.c_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_sum(list_transform(list_zip(b.v, c.cv),
+                      t -> t[1] * t[2])) / (b.nm * c.cn) DESC, c.c_id
+           ) AS rn
+    FROM base b, cent c
+  ) WHERE rn = 1
+), scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, a.cell AS cell,
+         round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+               / (a.nm * b.nm), 6) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+)
+SELECT q_id, vec_id, cell, cosine, rn FROM (
+  SELECT q_id, vec_id, cell, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL oracle — non-SQL-expressible, checked by the
 # pytest parity suite instead; driver records rows-only)
@@ -1898,6 +1990,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_agreement": (q_lang_agreement, SQL_LANG_AGREEMENT),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "skew_salted": (q_skew_salted, SQL_ASOF_SALT),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # rows-only (non-SQL-expressible; pytest parity instead)
