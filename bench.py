@@ -41,6 +41,8 @@ HEADLINE = [
     "join_inner",
     "join_broadcast",
     "join_range",
+    "tpch_q3",
+    "tpch_q5",
     "dedup_exact",
     "minhash_near_dup",
     "dedup_embedding",

@@ -66,7 +66,13 @@ class IcebergLite:
         return files
 
     def committed_snapshots(self) -> set[str]:
-        return {m["input_snapshot"] for m in self.manifests()}
+        out: set[str] = set()
+        for m in self.manifests():
+            out.add(m["input_snapshot"])
+            # a compacted manifest still vouches for the input
+            # snapshots it absorbed (resume must not redo them)
+            out.update(m.get("compacted_from", []))
+        return out
 
     def read(
         self, spark: SparkSession, as_of: str | None = None
@@ -155,6 +161,61 @@ class IcebergLite:
         lineage_rows: list[dict] | None = None,
     ) -> str:
         return self.commit(self.stage(df), input_snapshot, lineage_rows)
+
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """Table maintenance (≅ Iceberg rewrite_data_files): rewrite all
+        committed data into ``target_files`` files under one manifest.
+
+        Atomic via the same manifest-rename commit point: the compacted
+        manifest (carrying ALL lineage rows of the manifests it
+        replaces) is written as the sole .json while the old manifests
+        move aside first; a crash mid-compaction leaves either the old
+        or the new manifest set — never both, never neither. Time
+        travel across pre-compaction snapshots is forfeited (as with
+        Iceberg snapshot expiry). Returns the new file count.
+        """
+        manifests = self.manifests()
+        if not manifests:
+            return 0
+        df = self.read(spark)
+        stage = os.path.join(self.staging_dir, f"compact-{uuid.uuid4().hex}")
+        df.repartition(target_files).write.parquet(stage)
+        all_lineage = [r for m in manifests for r in m["lineage"]]
+        snap_names = [m["input_snapshot"] for m in manifests]
+        old_files = self.data_files()
+        # retire old manifests first (rename away = uncommitted)
+        retired = os.path.join(self.path, f"_retired-{uuid.uuid4().hex}")
+        os.rename(self.manifest_dir, retired)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        moved = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"{uuid.uuid4().hex}-{name}"
+            os.rename(
+                os.path.join(stage, name), os.path.join(self.data_dir, dst)
+            )
+            moved.append(dst)
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex,
+            "input_snapshot": "+".join(snap_names),
+            "compacted_from": snap_names,
+            "files": moved,
+            "lineage": all_lineage,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        tmp = os.path.join(self.manifest_dir, f".tmp-{manifest['snapshot_id']}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self.manifest_dir, "000000.json"))
+        for f0 in old_files:
+            try:
+                os.remove(f0)
+            except OSError:
+                pass
+        shutil.rmtree(retired, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        return len(moved)
 
 
 class IcebergTable:

@@ -881,6 +881,98 @@ WHERE p.event_type = 'error'
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-10 (shipping
+    priority). Exercises join reordering + partial aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    j = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > cutoff)
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            _us("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join (local supplier volume) —
+    broadcastable dims (region/nation) + fact-fact joins."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1994-01-01").cast("timestamp")
+    hi = F.lit("1995-01-01").cast("timestamp")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Set operations
 # --------------------------------------------------------------------------
@@ -1968,6 +2060,8 @@ REGISTRY: dict[str, tuple] = {
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
     "join_range": (q_join_range, SQL_JOIN_RANGE),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     # set ops
     "set_union": (q_set_union, SQL_SET_UNION),
     "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),

@@ -126,3 +126,47 @@ def test_time_travel_read(spark, tmp_path):
 
     with _pt.raises(ValueError):
         tbl.data_files(as_of="snap-nope")
+
+
+def test_compaction_preserves_rows_and_resume(spark, tmp_path):
+    """compact() rewrites many small files into few, keeps every row
+    and all lineage, and resume still sees the absorbed snapshots as
+    committed (no reprocessing)."""
+    from crawlfe.io import IcebergLite
+    from crawlfe.pipeline import run_incremental
+    from crawlfe.synth import SynthConfig, synth_pages
+
+    cfg = SynthConfig(n_urls=60)
+    tbl = IcebergLite(str(tmp_path / "cp"))
+    batches = [
+        (f"snap-{b}", synth_pages(spark, cfg, url_lo=b * 20,
+                                  url_hi=(b + 1) * 20, n_partitions=3))
+        for b in range(3)
+    ]
+    run_incremental(spark, batches, tbl)
+    # materialize BEFORE compacting: lazy frames over the old files
+    # would fail after compaction deletes them
+    b = tbl.read(spark).select("url", "warc_ts").toPandas().sort_values(
+        ["url", "warc_ts"], ignore_index=True
+    )
+    n_before = len(b)
+    files_before = len(tbl.data_files())
+    lineage_before = tbl.lineage(spark).count()
+
+    n_files = tbl.compact(spark, target_files=2)
+    assert n_files == 2
+    assert len(tbl.data_files()) == 2 < files_before
+    after = tbl.read(spark)
+    assert after.count() == n_before
+    # value-level: same (url, warc_ts) multiset
+    a = after.select("url", "warc_ts").toPandas().sort_values(
+        ["url", "warc_ts"], ignore_index=True
+    )
+    assert (a["url"] == b["url"]).all()
+    assert (a["warc_ts"] == b["warc_ts"]).all()
+    assert tbl.lineage(spark).count() == lineage_before
+    # resume: all three input snapshots still committed -> no-op rerun
+    assert {"snap-0", "snap-1", "snap-2"} <= tbl.committed_snapshots()
+    done = run_incremental(spark, batches, tbl)
+    assert done == []
+    assert tbl.read(spark).count() == n_before
