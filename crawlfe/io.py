@@ -42,12 +42,21 @@ class IcebergLite:
     # -- read side ---------------------------------------------------------
 
     def manifests(self) -> list[dict]:
-        out = []
+        """Live manifests in commit order. A compacted manifest lists
+        the snapshot_ids it absorbed in ``replaces``; any manifest so
+        named is superseded and filtered out — the compaction commit
+        point is thus the single rename of the compacted manifest, and
+        a crash before old-manifest cleanup leaves both on disk with
+        readers still seeing exactly one consistent state."""
+        raw = []
         for name in sorted(os.listdir(self.manifest_dir)):
             if name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as f:
-                    out.append(json.load(f))
-        return out
+                    raw.append(json.load(f))
+        replaced = {
+            sid for m in raw for sid in m.get("replaces", [])
+        }
+        return [m for m in raw if m["snapshot_id"] not in replaced]
 
     def data_files(self, as_of: str | None = None) -> list[str]:
         """Data files of the table; with ``as_of`` (a snapshot_id or an
@@ -166,13 +175,19 @@ class IcebergLite:
         """Table maintenance (≅ Iceberg rewrite_data_files): rewrite all
         committed data into ``target_files`` files under one manifest.
 
-        Atomic via the same manifest-rename commit point: the compacted
-        manifest (carrying ALL lineage rows of the manifests it
-        replaces) is written as the sole .json while the old manifests
-        move aside first; a crash mid-compaction leaves either the old
-        or the new manifest set — never both, never neither. Time
-        travel across pre-compaction snapshots is forfeited (as with
-        Iceberg snapshot expiry). Returns the new file count.
+        Crash-safe commit protocol — the ONLY state transition is the
+        atomic rename of the compacted manifest into the manifest dir:
+          1. compacted data files written to staging, hard-renamed into
+             data/ (invisible: no manifest references them yet);
+          2. the compacted manifest — carrying ALL lineage rows and a
+             ``replaces`` list of the absorbed snapshot_ids — is
+             renamed into place (COMMIT: readers now filter the
+             superseded manifests via ``manifests()``);
+          3. cleanup: superseded manifests + their data files deleted
+             (a crash before cleanup leaves harmless garbage, never an
+             inconsistent view).
+        Time travel across pre-compaction snapshots is forfeited (as
+        with Iceberg snapshot expiry). Returns the new file count.
         """
         manifests = self.manifests()
         if not manifests:
@@ -182,11 +197,9 @@ class IcebergLite:
         df.repartition(target_files).write.parquet(stage)
         all_lineage = [r for m in manifests for r in m["lineage"]]
         snap_names = [m["input_snapshot"] for m in manifests]
+        old_ids = [m["snapshot_id"] for m in manifests]
         old_files = self.data_files()
-        # retire old manifests first (rename away = uncommitted)
-        retired = os.path.join(self.path, f"_retired-{uuid.uuid4().hex}")
-        os.rename(self.manifest_dir, retired)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        # 1. publish data files (invisible until the manifest commit)
         moved = []
         for name in sorted(os.listdir(stage)):
             if not name.endswith(".parquet"):
@@ -200,20 +213,31 @@ class IcebergLite:
             "snapshot_id": uuid.uuid4().hex,
             "input_snapshot": "+".join(snap_names),
             "compacted_from": snap_names,
+            "replaces": old_ids,
             "files": moved,
             "lineage": all_lineage,
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
+        # 2. COMMIT: single atomic rename
+        seq = len(
+            [n for n in os.listdir(self.manifest_dir) if n.endswith(".json")]
+        )
         tmp = os.path.join(self.manifest_dir, f".tmp-{manifest['snapshot_id']}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.manifest_dir, "000000.json"))
+        os.rename(tmp, os.path.join(self.manifest_dir, f"{seq:06d}.json"))
+        # 3. cleanup superseded manifests + data (crash here is benign)
+        for name in list(os.listdir(self.manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                if json.load(f)["snapshot_id"] in old_ids:
+                    os.remove(os.path.join(self.manifest_dir, name))
         for f0 in old_files:
             try:
                 os.remove(f0)
             except OSError:
                 pass
-        shutil.rmtree(retired, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         return len(moved)
 

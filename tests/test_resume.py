@@ -170,3 +170,41 @@ def test_compaction_preserves_rows_and_resume(spark, tmp_path):
     done = run_incremental(spark, batches, tbl)
     assert done == []
     assert tbl.read(spark).count() == n_before
+
+
+def test_compaction_crash_before_cleanup_is_consistent(spark, tmp_path, monkeypatch):
+    """Crash between the compacted-manifest commit and the cleanup of
+    superseded manifests/files must leave readers on a single
+    consistent view (the new one): manifests() filters manifests whose
+    snapshot_id appears in a live 'replaces' list."""
+    import os as _os
+
+    from crawlfe.io import IcebergLite
+    from crawlfe.pipeline import run_incremental
+    from crawlfe.synth import SynthConfig, synth_pages
+
+    cfg = SynthConfig(n_urls=40)
+    tbl = IcebergLite(str(tmp_path / "cc"))
+    batches = [
+        (f"snap-{b}", synth_pages(spark, cfg, url_lo=b * 20,
+                                  url_hi=(b + 1) * 20, n_partitions=2))
+        for b in range(2)
+    ]
+    run_incremental(spark, batches, tbl)
+    n_before = tbl.read(spark).count()
+    n_manifest_files_before = len(_os.listdir(tbl.manifest_dir))
+
+    # simulate dying in the cleanup phase: os.remove becomes a no-op
+    monkeypatch.setattr(_os, "remove", lambda *_a, **_k: None)
+    tbl.compact(spark, target_files=2)
+    monkeypatch.undo()
+
+    # superseded manifests are still on disk…
+    assert len(_os.listdir(tbl.manifest_dir)) > n_manifest_files_before
+    # …but readers see exactly the compacted view
+    assert len(tbl.manifests()) == 1
+    assert len(tbl.data_files()) == 2
+    assert tbl.read(spark).count() == n_before
+    assert {"snap-0", "snap-1"} <= tbl.committed_snapshots()
+    # rerun is a no-op (resume unaffected by the crash)
+    assert run_incremental(spark, batches, tbl) == []
