@@ -114,3 +114,59 @@ def test_wholestage_codegen_on_jvm_paths(spark, sf_dir):
     q.collect()  # AQE reveals codegen spans only in the final plan
     # "*(n)" prefixes mark WholeStageCodegen spans in simpleString
     assert re.search(r"\*\(\d+\) HashAggregate", plan_of(q))
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """BASELINE.json:6 second half of the skew story: AQE skew-join
+    splitting. A join keyed almost entirely to one hot key must show
+    skew-split sort-merge partitions in the final adaptive plan
+    (thresholds lowered to trigger at test scale)."""
+    import pandas as pd
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        # 200k rows, 95% on one key; right side small but not broadcast
+        left = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "k": ["hot"] * 190_000
+                    + [f"c{i}" for i in range(10_000)],
+                    "payload": ["x" * 64] * 200_000,
+                }
+            )
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": ["hot"] + [f"c{i}" for i in range(10_000)],
+                 "v": range(10_001)}
+            )
+        )
+        j = left.join(right, "k")
+        # collect() drives THIS DataFrame's QueryExecution so its
+        # adaptive plan finalizes (count() would plan separately)
+        assert len(j.collect()) == 200_000
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
