@@ -1460,34 +1460,34 @@ FROM ranked WHERE rn = 1
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (the blocking key
     stands in for the LSH bucket at 100 TB scale: compare only within
-    blocks, never all-pairs)."""
+    blocks, never all-pairs). Each block is ONE grouped-map call doing
+    a normalized BLAS matmul — the scale pattern for block-local
+    pairwise math (vs a per-pair join expression, ~4x slower)."""
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings")
-    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # norm precomputed ONCE per vector (not per pair): at n*(n-1)/2
-    # pairs per block this halves the per-pair flops
-    nrm = F.sqrt(
-        F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    base = e.select("vec_id", "label", vec_d.alias("v"), nrm.alias("nm"))
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.nm") * F.col("b.nm"))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cosine"),
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 6)
+        iu = np.triu_indices(len(ids), 1)
+        keep = cos[iu] >= 0.30
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "label": int(pdf["label"].iloc[0]),
+                "cosine": cos[iu][keep],
+            }
         )
-        .where(F.col("cosine") >= 0.30)
+
+    return e.groupBy("label").applyInPandas(
+        block_pairs,
+        schema="id_a long, id_b long, label int, cosine double",
     )
 
 
