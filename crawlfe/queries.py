@@ -1204,32 +1204,50 @@ FROM documents GROUP BY sha256(text)
 """
 
 
+# BPE-ish pre-tokenizer: word pieces OR digit runs OR single
+# non-space-non-word symbols (the GPT-2-style pretoken split shape)
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
 def q_token_count(spark, sf_dir):
+    """Token counting two ways (task brief): whitespace split + a
+    BPE-ish regex pre-tokenization."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), "\\s+")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
 
 
-SQL_TOKEN_COUNT = """
+SQL_TOKEN_COUNT = f"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
        len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
          AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
        length(text) AS n_chars
 FROM documents
 """
 
 
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
 def q_text_quality(spark, sf_dir):
-    """Quality-score features: length, type-token ratio, mean token len."""
+    """Quality-score features (task brief: length/punct/stopword
+    ratios): length, type-token ratio, mean token length, punctuation
+    ratio, stopword ratio."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), "\\s+")
     n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", ""))
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -1241,10 +1259,18 @@ def q_text_quality(spark, sf_dir):
             / n_tok.cast("double"),
             4,
         ).alias("mean_token_len"),
+        F.round(
+            n_punct.cast("double") / F.length("text").cast("double"), 4
+        ).alias("punct_ratio"),
+        F.round(n_sw.cast("double") / n_tok.cast("double"), 4).alias(
+            "stopword_ratio"
+        ),
     )
 
 
-SQL_TEXT_QUALITY = """
+_SQL_SW = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
 SELECT doc_id,
        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
        round(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
@@ -1252,7 +1278,13 @@ SELECT doc_id,
          AS ttr,
        round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
              / len(regexp_split_to_array(trim(text), '\\s+')), 4)
-         AS mean_token_len
+         AS mean_token_len,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio,
+       round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> list_contains([{_SQL_SW}], t))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+         AS stopword_ratio
 FROM documents
 """
 
