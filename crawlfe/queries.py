@@ -973,6 +973,95 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item reporting — 4-way join, filter on
+    returnflag + quarter, revenue agg, top-20 customers."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    lo = F.lit("1993-10-01").cast("timestamp")
+    hi = F.lit("1994-01-01").cast("timestamp")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1993-10-01'
+  AND o_orderdate < TIMESTAMP '1994-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup OUTPUT: connected components over MinHash candidate
+    pairs -> (doc_id, canonical_id) keep-one assignment. Iterative
+    min-label propagation (alternating large/small-star shape); web
+    dedup components are shallow, so it converges in a few rounds —
+    each round is two shuffles, no driver-side graph."""
+    pairs = q_minhash_near_dup(spark, sf_dir)  # doc_a < doc_b
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    # labels start as self; propagate min(neighbor label) to fixpoint
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+    )
+    for _ in range(10):
+        cand = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce("min_nbr", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("canonical_id"))
+
+
 # --------------------------------------------------------------------------
 # Set operations
 # --------------------------------------------------------------------------
@@ -2094,6 +2183,7 @@ REGISTRY: dict[str, tuple] = {
     "join_range": (q_join_range, SQL_JOIN_RANGE),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     # set ops
     "set_union": (q_set_union, SQL_SET_UNION),
     "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
@@ -2128,5 +2218,6 @@ REGISTRY: dict[str, tuple] = {
     "minhash_near_dup": (q_minhash_near_dup, None),
     "simhash": (q_simhash, None),
     "doc_fingerprint": (q_doc_fingerprint, None),
+    "dedup_clusters": (q_dedup_clusters, None),
     "media_features": (q_media_features, None),
 }

@@ -174,3 +174,21 @@ def test_lang_id_scores_consistent(spark, docs):
             "data-like": r.score_data,
         }[r.pred_lang]
         assert pred_score == mx
+
+
+def test_dedup_clusters_planted_components(spark, neardup_dir):
+    """Connected components over minhash pairs: the planted exact/near
+    copies collapse into their base doc's component (canonical = min id)."""
+    from crawlfe.queries import q_dedup_clusters
+
+    out = (
+        q_dedup_clusters(spark, neardup_dir)
+        .toPandas()
+        .set_index("doc_id")["canonical_id"]
+    )
+    for base, copy in [(0, 20), (1, 21), (2, 22), (3, 23), (4, 24), (5, 25)]:
+        assert out[copy] == base, (copy, out.get(copy))
+        assert out[base] == base
+    # unrelated base docs (never in a pair) are absent or their own comp
+    for d in out.index:
+        assert out[d] <= d
