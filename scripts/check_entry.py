@@ -53,6 +53,19 @@ def compare(name: str, spdf: pd.DataFrame, opdf: pd.DataFrame) -> str:
     risks = []
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Dtype fidelity: the driver hashes exact values, so an int column
+        # on one side vs float on the other (e.g. DuckDB HUGEINT -> float64
+        # via fetchdf) WILL hash-mismatch even though 3 == 3.0 here. Fail
+        # loudly instead of silently passing (VERDICT r1 "What's wrong" #1/#4).
+        s_num = pd.api.types.is_integer_dtype(sv) or pd.api.types.is_float_dtype(sv)
+        o_num = pd.api.types.is_integer_dtype(ov) or pd.api.types.is_float_dtype(ov)
+        if s_num and o_num and (
+            pd.api.types.is_float_dtype(sv) != pd.api.types.is_float_dtype(ov)
+        ):
+            return (
+                f"DTYPE col={c}: spark {sv.dtype} vs oracle {ov.dtype} "
+                "(int/float disagreement would fail the driver's exact hash)"
+            )
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
             a, b = sv.to_numpy(float), ov.to_numpy(float)
             both_nan = np.isnan(a) & np.isnan(b)
