@@ -113,11 +113,18 @@ def asof_join(
             probe, build, key, ts_probe, ts_build, build_cols,
             num_buckets, salt_k, tolerance,
         )
-    if strategy == "union_window":
-        return _asof_union_window(
-            probe, build, key, ts_probe, ts_build, build_cols
-        )
-    if strategy == "range_scan":
+    if strategy in ("union_window", "range_scan"):
+        # these strategies do not implement tolerance; silently ignoring
+        # it would return matches beyond the window (ADVICE r1)
+        if tolerance is not None:
+            raise ValueError(
+                f"strategy {strategy!r} does not support tolerance; "
+                "use merge_scan or merge_scan_slim"
+            )
+        if strategy == "union_window":
+            return _asof_union_window(
+                probe, build, key, ts_probe, ts_build, build_cols
+            )
         return _asof_range_scan(
             probe, build, key, ts_probe, ts_build, build_cols
         )

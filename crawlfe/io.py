@@ -22,6 +22,7 @@ redoes exactly the uncommitted input snapshots (tests/test_resume.py).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import uuid
@@ -119,6 +120,40 @@ class IcebergLite:
 
     # -- write side --------------------------------------------------------
 
+    def _next_seq(self) -> int:
+        """Next manifest sequence number: 1 + max existing, NOT a count.
+        compact() deletes superseded manifests, so len()-based numbering
+        would restart below the compacted manifest and eventually
+        silently overwrite it (breaking the sorted-filename==commit-order
+        invariant manifests()/data_files(as_of) rely on)."""
+        mx = -1
+        for name in os.listdir(self.manifest_dir):
+            stem, ext = os.path.splitext(name)
+            if ext == ".json" and stem.isdigit():
+                mx = max(mx, int(stem))
+        return mx + 1
+
+    def _publish_manifest(self, manifest: dict) -> None:
+        """Atomic, overwrite-refusing manifest commit: hard-link the tmp
+        file to the sequenced name (os.link fails with EEXIST instead of
+        clobbering, unlike os.rename), retrying with the next sequence
+        on a race."""
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-{manifest['snapshot_id']}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        while True:
+            dst = os.path.join(
+                self.manifest_dir, f"{self._next_seq():06d}.json"
+            )
+            try:
+                os.link(tmp, dst)
+                break
+            except FileExistsError:  # pragma: no cover - writer race
+                continue
+        os.unlink(tmp)
+
     def stage(self, df: DataFrame) -> str:
         """Write df's parquet files to a staging dir (invisible to read())
         and return the staging path. Idempotent to abandon: a crash here
@@ -155,13 +190,7 @@ class IcebergLite:
             "lineage": lineage_rows or [],
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
-        tmp = os.path.join(self.manifest_dir, f".tmp-{manifest['snapshot_id']}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        seq = len(
-            [n for n in os.listdir(self.manifest_dir) if n.endswith(".json")]
-        )
-        os.rename(tmp, os.path.join(self.manifest_dir, f"{seq:06d}.json"))
+        self._publish_manifest(manifest)
         shutil.rmtree(stage_path, ignore_errors=True)
         return manifest["snapshot_id"]
 
@@ -218,14 +247,8 @@ class IcebergLite:
             "lineage": all_lineage,
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
-        # 2. COMMIT: single atomic rename
-        seq = len(
-            [n for n in os.listdir(self.manifest_dir) if n.endswith(".json")]
-        )
-        tmp = os.path.join(self.manifest_dir, f".tmp-{manifest['snapshot_id']}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, os.path.join(self.manifest_dir, f"{seq:06d}.json"))
+        # 2. COMMIT: single atomic link-in (seq = max+1, overwrite-safe)
+        self._publish_manifest(manifest)
         # 3. cleanup superseded manifests + data (crash here is benign)
         for name in list(os.listdir(self.manifest_dir)):
             if not name.endswith(".json"):
@@ -297,9 +320,20 @@ class IcebergTable:
         return input_snapshot
 
 
-def make_table(spark: SparkSession, path_or_table: str, lineage_table: str | None = None):
+def make_table(
+    spark: SparkSession,
+    path_or_table: str,
+    lineage_table: str | None = None,
+    allow_local_fallback: bool = False,
+):
     """Factory: Iceberg catalog table name ('cat.db.tbl') in prod,
-    filesystem path -> IcebergLite locally."""
+    filesystem path -> IcebergLite locally.
+
+    A dotted catalog name with no Iceberg runtime on the classpath is a
+    misconfiguration, not a local table: raise unless the caller opts in
+    with ``allow_local_fallback`` (which logs the degradation loudly) —
+    otherwise a broken prod classpath would silently write the "table"
+    to a local directory named cat.db.tbl."""
     looks_like_path = (
         os.sep in path_or_table
         or path_or_table.startswith((".", "~"))
@@ -312,5 +346,16 @@ def make_table(spark: SparkSession, path_or_table: str, lineage_table: str | Non
                 lineage_table or f"{path_or_table}_lineage",
             )
         except RuntimeError:
-            pass
+            if not allow_local_fallback:
+                raise RuntimeError(
+                    f"{path_or_table!r} looks like an Iceberg catalog "
+                    "table but the Iceberg runtime is not on the "
+                    "classpath; pass allow_local_fallback=True to "
+                    "degrade to a local IcebergLite directory"
+                )
+            logging.getLogger(__name__).warning(
+                "Iceberg runtime missing: degrading catalog table %r "
+                "to a LOCAL IcebergLite directory (allow_local_fallback)",
+                path_or_table,
+            )
     return IcebergLite(path_or_table)

@@ -1054,7 +1054,13 @@ def q_dedup_clusters(spark, sf_dir):
         edges.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("comp", F.col("doc_id"))
     )
-    for _ in range(10):
+    # safety bound >> any real propagation depth (label distance halves
+    # nothing here — it's plain min-propagation, so depth = component
+    # diameter; 64 covers a 2^64-long chain in doubling variants and any
+    # plausible web-dedup chain outright). Returning silently at the cap
+    # would split long chain components (ADVICE r1), so overflow raises.
+    max_rounds = 64
+    for rnd in range(max_rounds + 1):
         cand = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -1079,6 +1085,11 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds; "
+            "returning partial components would silently split clusters"
+        )
     return labels.select("doc_id", F.col("comp").alias("canonical_id"))
 
 

@@ -208,3 +208,51 @@ def test_compaction_crash_before_cleanup_is_consistent(spark, tmp_path, monkeypa
     assert {"snap-0", "snap-1"} <= tbl.committed_snapshots()
     # rerun is a no-op (resume unaffected by the crash)
     assert run_incremental(spark, batches, tbl) == []
+
+
+def test_append_after_compaction_ordering(spark, tmp_path):
+    """Regression (ADVICE r1, high): manifest sequence numbers must keep
+    increasing past a compaction. With len()-based numbering the commit
+    after compact() would write 000001.json below the compacted
+    000003.json — breaking sorted-filename==commit-order — and a later
+    commit would silently overwrite the compacted manifest, dropping
+    every pre-compaction row."""
+    import os as _os
+
+    from crawlfe.io import IcebergLite
+    from crawlfe.pipeline import run_incremental
+    from crawlfe.synth import SynthConfig, synth_pages
+
+    cfg = SynthConfig(n_urls=80)
+    tbl = IcebergLite(str(tmp_path / "ac"))
+    mk = lambda b: (  # noqa: E731
+        f"snap-{b}",
+        synth_pages(spark, cfg, url_lo=b * 20, url_hi=(b + 1) * 20,
+                    n_partitions=2),
+    )
+    run_incremental(spark, [mk(0), mk(1), mk(2)], tbl)
+    tbl.compact(spark, target_files=2)
+    n_compacted = tbl.read(spark).count()
+
+    # commits AFTER compaction must not renumber below / clobber it
+    run_incremental(spark, [mk(3)], tbl)
+    names = sorted(
+        n for n in _os.listdir(tbl.manifest_dir) if n.endswith(".json")
+    )
+    seqs = [int(n.split(".")[0]) for n in names]
+    assert seqs == sorted(seqs) and len(seqs) == len(set(seqs))
+    # the post-compaction commit sorts AFTER the compacted manifest
+    assert len(tbl.manifests()) == 2
+    assert [m["input_snapshot"] for m in tbl.manifests()][-1] == "snap-3"
+    # no rows lost, snap-3 rows added
+    n_after = tbl.read(spark).count()
+    assert n_after > n_compacted
+    assert {"snap-0", "snap-1", "snap-2", "snap-3"} <= tbl.committed_snapshots()
+    # time travel to the compacted state still resolves correctly
+    comp_id = tbl.manifests()[0]["snapshot_id"]
+    assert len(tbl.data_files(as_of=comp_id)) == 2
+    # another compact + another append keeps monotone ordering
+    tbl.compact(spark, target_files=1)
+    run_incremental(spark, [mk(4)], tbl)
+    assert tbl.read(spark).count() > n_after
+    assert [m["input_snapshot"] for m in tbl.manifests()][-1] == "snap-4"
