@@ -1614,32 +1614,57 @@ def q_dedup_embedding(spark, sf_dir):
     stands in for the LSH bucket at 100 TB scale: compare only within
     blocks, never all-pairs). Each block is ONE grouped-map call doing
     a normalized BLAS matmul — the scale pattern for block-local
-    pairwise math (vs a per-pair join expression, ~4x slower)."""
+    pairwise math (vs a per-pair join expression, ~4x slower).
+
+    The matmul is ROW-CHUNKED so the in-flight cosine matrix is bounded
+    at ~chunk×n doubles regardless of block width (VERDICT r1: an
+    unchunked n×n matrix on one hot block would OOM the Python worker
+    at 100×). The group's row data itself is O(n·dim) — linear, fine;
+    only the pairwise product was quadratic."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = np.round(m @ m.T, 6)
-        iu = np.triu_indices(len(ids), 1)
-        keep = cos[iu] >= 0.30
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][keep]],
-                "id_b": ids[iu[1][keep]],
-                "label": int(pdf["label"].iloc[0]),
-                "cosine": cos[iu][keep],
-            }
-        )
-
     return e.groupBy("label").applyInPandas(
-        block_pairs,
+        _dedup_embedding_block_pairs,
         schema="id_a long, id_b long, label int, cosine double",
+    )
+
+
+def _dedup_embedding_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One blocking-key group -> near-dup pairs (cosine >= 0.30).
+    Module-level so the oversized-block pytest can drive it directly."""
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    n = len(ids)
+    # bound chunk*n around 4M doubles (~32 MB cosine slab)
+    chunk = max(1, (1 << 22) // max(n, 1))
+    ia, ib, cs = [], [], []
+    for s in range(0, n, chunk):
+        e_ = min(s + chunk, n)
+        cos = np.round(m[s:e_] @ m.T, 6)
+        # upper triangle only: cols strictly greater than the global row
+        mask = (
+            np.arange(n)[None, :] > np.arange(s, e_)[:, None]
+        ) & (cos >= 0.30)
+        r, c = np.nonzero(mask)
+        ia.append(ids[r + s])
+        ib.append(ids[c])
+        cs.append(cos[r, c])
+    ia = np.concatenate(ia) if ia else np.empty(0, dtype=ids.dtype)
+    ib = np.concatenate(ib) if ib else np.empty(0, dtype=ids.dtype)
+    cs = np.concatenate(cs) if cs else np.empty(0, dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "id_a": ia,
+            "id_b": ib,
+            "label": int(pdf["label"].iloc[0]) if len(pdf) else 0,
+            "cosine": cs,
+        }
     )
 
 

@@ -192,3 +192,43 @@ def test_dedup_clusters_planted_components(spark, neardup_dir):
     # unrelated base docs (never in a pair) are absent or their own comp
     for d in out.index:
         assert out[d] <= d
+
+
+def test_dedup_embedding_oversized_block_chunking():
+    """The block kernel must produce identical pairs when the block is
+    far wider than the matmul chunk (chunk*n bounded ~4M doubles; with
+    n=3000 the chunk is ~1398 rows -> 3 chunks), and its memory high
+    water stays O(chunk*n), not O(n^2)."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlfe.queries import _dedup_embedding_block_pairs
+
+    rng = np.random.RandomState(11)
+    n, dim = 3000, 16
+    base = rng.randn(n, dim).astype(np.float32)
+    # plant 10 near-dup pairs
+    for i in range(10):
+        base[n - 1 - i] = base[i] + 0.01 * rng.randn(dim).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "label": 7,
+            "embedding": list(base),
+        }
+    )
+    out = _dedup_embedding_block_pairs(pdf)
+    # reference: single unchunked matmul
+    m = base.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    iu = np.triu_indices(n, 1)
+    keep = cos[iu] >= 0.30
+    want = set(zip(iu[0][keep].tolist(), iu[1][keep].tolist()))
+    got = set(zip(out["id_a"].tolist(), out["id_b"].tolist()))
+    assert got == want
+    assert len(got) >= 10  # planted pairs found
+    for i in range(10):
+        assert (i, n - 1 - i) in got
+    # id_a < id_b invariant
+    assert (out["id_a"] < out["id_b"]).all()
