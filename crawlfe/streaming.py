@@ -110,6 +110,119 @@ def stream_featurize(
     )
 
 
+def stateful_sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (task brief: "applyInPandasWithState for custom stateful
+    operators"): gap-based sessionization where the open session per
+    key survives ACROSS micro-batches in GroupState — something
+    ``session_window`` cannot express when the emission contract is
+    "closed sessions only, as soon as the closing event arrives".
+
+    Emits one row per CLOSED session (a later event arrived more than
+    ``gap_seconds`` after the session's last event). The still-open
+    session per key is carried in state (session_start_us, last_ts_us,
+    n_events) and emitted by a final flush batch or never — matching an
+    at-scale CDC/compaction pattern where open tails are held back.
+
+    The kernel is vectorized per group: the batch's timestamps join the
+    carried state, gaps via ``np.diff``, closed sessions via boundary
+    masks — no per-event Python state machine.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key_tuple, pdf_iter, state):
+        ts_us = np.concatenate(
+            [
+                pdf[ts].to_numpy("datetime64[us]").astype(np.int64)
+                for pdf in pdf_iter
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        ts_us.sort()
+        carried = state.get if state.exists else None
+        if carried is not None:
+            c_start, c_last, c_n = carried
+        if ts_us.size == 0:
+            return
+        # batch-local session boundaries: first event always opens
+        # segment 0; later events open a segment when the gap exceeds
+        # the threshold
+        bnd = np.empty(ts_us.size, dtype=bool)
+        bnd[0] = True
+        np.greater(np.diff(ts_us), gap_us, out=bnd[1:])
+        first_idx = np.flatnonzero(bnd)
+        starts = ts_us[first_idx]
+        ends = ts_us[
+            np.concatenate((first_idx[1:] - 1, [ts_us.size - 1]))
+        ]
+        counts = np.diff(np.concatenate((first_idx, [ts_us.size])))
+        if carried is not None:
+            if ts_us[0] - c_last <= gap_us:
+                # batch head extends the carried open session
+                starts[0] = c_start
+                counts[0] += c_n
+            else:
+                # carried session is closed by this batch's first event
+                starts = np.concatenate(([c_start], starts))
+                ends = np.concatenate(([c_last], ends))
+                counts = np.concatenate(([c_n], counts))
+        n_sessions = starts.size
+        # last session stays open in state; the rest are closed
+        state.update(
+            (int(starts[-1]), int(ends[-1]), int(counts[-1]))
+        )
+        if n_sessions > 1:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.int64(key_tuple[0]),
+                    "session_start": pd.to_datetime(
+                        starts[:-1], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(ends[:-1], unit="us"),
+                    "n_events": counts[:-1].astype(np.int64),
+                }
+            )
+
+    prepared = events.select(
+        F.col(key).cast("long").alias("user_id"),
+        F.col(ts).cast("timestamp").alias(ts),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def watermarked_window_counts(
     stream_df: DataFrame, ts: str, delay: str, size: str, keys: list[str]
 ) -> DataFrame:

@@ -5,6 +5,7 @@ gap-cumsum sessionizer."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -123,3 +124,99 @@ def test_session_window_parity_with_batch_sessionizer(spark, sf_dir):
     assert (n["user_id"] == o["user_id"]).all()
     assert (n["session_start"] == o["session_start"]).all()
     assert (n["n_events"] == o["n_events"]).all()
+
+
+def test_stateful_sessionize_state_survives_microbatches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: the open session per key is
+    carried in GroupState across micro-batches — a session whose events
+    span two batches must come out as ONE session, and closed sessions
+    must exactly match the batch sessionizer (minus each key's final
+    still-open session)."""
+    import pandas as pd
+
+    from crawlfe.streaming import stateful_sessionize
+    from crawlfe.windows import session_bounds
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(in_dir)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mn = pd.Timedelta(minutes=1)
+
+    def ev(u, minutes):
+        return {"user_id": u, "ts": t0 + minutes * mn}
+
+    # u1: session A (0,10), session B (120..) | u2: session spanning the
+    # batch boundary (100, [batch2] 110), then a far closer | u3: one
+    # long session entirely in batch1, closed in batch2
+    batch1 = pd.DataFrame([
+        ev(1, 0), ev(1, 10), ev(1, 120),
+        ev(2, 100),
+        ev(3, 0), ev(3, 5), ev(3, 20),
+    ])
+    batch2 = pd.DataFrame([
+        ev(1, 2000),  # closes u1 session B
+        ev(2, 110),   # continues u2's open session across the boundary
+        ev(2, 2000),  # closes it
+        ev(3, 2000),  # closes u3's only session
+    ])
+
+    schema = "user_id long, ts timestamp"
+
+    def run_batch(pdf, name):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{in_dir}/{name}"
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(in_dir)
+        q = (
+            stateful_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(batch1, "b1")
+    run_batch(batch2, "b2")
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_start"], ignore_index=True)
+    )
+
+    # oracle: batch sessionizer over ALL events, drop each user's last
+    # (still-open) session
+    all_ev = spark.createDataFrame(pd.concat([batch1, batch2]))
+    b = session_bounds(
+        all_ev, key="user_id", ts="ts", gap_seconds=1800
+    ).toPandas()
+    b = b.sort_values(["user_id", "session_start"], ignore_index=True)
+    exp = (
+        b.groupby("user_id", group_keys=False)
+        .apply(lambda g: g.iloc[:-1], include_groups=True)
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(exp), (got, exp)
+    for col_g, col_e in [
+        ("session_start", "session_start"),
+        ("session_end", "session_end"),
+        ("n_events", "n_snapshots"),
+    ]:
+        assert (
+            got[col_g].to_numpy() == exp[col_e].to_numpy()
+        ).all(), (col_g, got, exp)
+    # the boundary-spanning u2 session came out as ONE session (100-110)
+    u2 = got[got.user_id == 2]
+    assert len(u2) == 1
+    assert u2.iloc[0]["session_start"] == t0 + 100 * mn
+    assert u2.iloc[0]["session_end"] == t0 + 110 * mn
+    assert u2.iloc[0]["n_events"] == 2
