@@ -170,3 +170,19 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_eval_rank_stats_plan_shape(spark, sf_dir):
+    """eval_rank_stats must broadcast the probe side and reuse ONE hash
+    exchange on q_id for both the ranking window and the per-query
+    aggregate (at 10^12 rows the probe set stays broadcast and the only
+    fat shuffle is the q_id repartition)."""
+    from crawlfe.queries import q_eval_rank_stats
+
+    df = q_eval_rank_stats(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    # exactly one fat hashpartitioning exchange on q_id; the final
+    # global aggregate adds only a SinglePartition exchange
+    fat = re.findall(r"Exchange hashpartitioning\(q_id[^)]*\)", plan)
+    assert len(fat) == 1, plan
