@@ -1686,10 +1686,22 @@ SELECT id_a, id_b, label, cosine FROM scored WHERE cosine >= 0.30
 """
 
 
+ANN_LSH_REFINE_CAP = 4  # deliberately low so the hot-bucket refinement
+# path is exercised (and oracle-checked) at sf0.01, where the largest
+# sign-bucket holds 6 vectors; at 10^12 rows the cap would be O(10k).
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN: sign-bit bucket over the first 8 dims
     (axis-aligned hyperplanes), then brute-force cosine top-3 WITHIN the
-    bucket — the scale path vs q_knn_cosine's broadcast brute force."""
+    bucket — the scale path vs q_knn_cosine's broadcast brute force.
+
+    Hot-bucket refinement (VERDICT r1 caveat: one hot sign pattern
+    re-creates O(b²) inside its bucket): buckets larger than
+    ANN_LSH_REFINE_CAP get 4 additional sign bits (dims 9-12), splitting
+    them ~16-way before the self-join; bucket sizes come from a
+    broadcast count (≤2^8 coarse buckets, always broadcastable). AQE
+    skew-join remains the runtime backstop."""
     e = _t(spark, sf_dir, "embeddings")
     vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     bucket = None
@@ -1698,16 +1710,33 @@ def q_ann_lsh(spark, sf_dir):
             2**j
         )
         bucket = bit if bucket is None else bucket + bit
+    sub = None
+    for j in range(8, 12):
+        bit = (F.element_at(F.col("embedding"), j + 1) > 0).cast("int") * (
+            2 ** (j - 8)
+        )
+        sub = bit if sub is None else sub + bit
     nrm = F.sqrt(
         F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     base = e.select(
-        "vec_id", vec_d.alias("v"), bucket.alias("bucket"), nrm.alias("nm")
+        "vec_id", vec_d.alias("v"), bucket.alias("bucket"),
+        sub.alias("sub"), nrm.alias("nm"),
+    )
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    base = base.join(F.broadcast(sizes), "bucket").select(
+        "vec_id", "v", "bucket", "nm",
+        (
+            F.col("bucket") * 16
+            + F.when(
+                F.col("bn") > ANN_LSH_REFINE_CAP, F.col("sub")
+            ).otherwise(F.lit(0))
+        ).alias("rbucket"),
     )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.rbucket") == F.col("b.rbucket"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     )
     dot = F.aggregate(
@@ -1730,8 +1759,8 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
-SQL_ANN_LSH = """
-WITH base AS (
+SQL_ANN_LSH = f"""
+WITH base0 AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          sqrt(list_sum(list_transform(embedding,
@@ -1740,14 +1769,24 @@ WITH base AS (
          + CAST(embedding[3] > 0 AS INT) * 4 + CAST(embedding[4] > 0 AS INT) * 8
          + CAST(embedding[5] > 0 AS INT) * 16 + CAST(embedding[6] > 0 AS INT) * 32
          + CAST(embedding[7] > 0 AS INT) * 64 + CAST(embedding[8] > 0 AS INT) * 128
-           AS bucket
+           AS bucket,
+         CAST(embedding[9] > 0 AS INT) * 1 + CAST(embedding[10] > 0 AS INT) * 2
+         + CAST(embedding[11] > 0 AS INT) * 4 + CAST(embedding[12] > 0 AS INT) * 8
+           AS sub
   FROM embeddings
+), sizes AS (
+  SELECT bucket, count(*) AS bn FROM base0 GROUP BY bucket
+), base AS (
+  SELECT b.vec_id, b.v, b.nm, b.bucket,
+         b.bucket * 16 + CASE WHEN s.bn > {ANN_LSH_REFINE_CAP}
+                              THEN b.sub ELSE 0 END AS rbucket
+  FROM base0 b JOIN sizes s USING (bucket)
 ), scored AS (
   SELECT a.vec_id AS q_id, b.vec_id AS vec_id, a.bucket AS bucket,
          round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
                / (a.nm * b.nm), 6) AS cosine
   FROM base a JOIN base b
-    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ON a.rbucket = b.rbucket AND a.vec_id <> b.vec_id
 )
 SELECT q_id, vec_id, bucket, cosine, rn FROM (
   SELECT q_id, vec_id, bucket, cosine,
