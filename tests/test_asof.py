@@ -143,3 +143,19 @@ def test_self_asof_shared_lineage(spark, sf_dir):
     assert np.array_equal(
         got.loc[m, "pv"].to_numpy(), want.loc[m, "pv"].to_numpy()
     )
+
+
+def test_tolerance_rejected_by_non_implementing_strategies(spark):
+    """range_scan/union_window do not implement tolerance; silently
+    ignoring it returned out-of-window matches (ADVICE r1) — they must
+    raise instead."""
+    pages = synth_pages(spark, SynthConfig(n_urls=10))
+    probe = pages.selectExpr("url", "warc_ts as join_ts")
+    build = pages.selectExpr("url", "warc_ts", "lang as b_lang")
+    for strategy in ("range_scan", "union_window"):
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(
+                probe, build, key="url", ts_probe="join_ts",
+                ts_build="warc_ts", build_cols=["b_lang"],
+                strategy=strategy, tolerance=pd.Timedelta(hours=1),
+            )
