@@ -52,6 +52,9 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "featurize_documents",
+    # added r2: retrieval-eval window stats + vectorized simhash
+    "eval_rank_stats",
+    "simhash",
 ]
 
 
