@@ -111,3 +111,111 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         lambda it: media_feature_iter(it), schema=MEDIA_FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "orig_width int, orig_height int, payload binary, n_bytes long"
+)
+
+
+def _stub_bytes(payload: bytes, tag: bytes, n: int) -> bytes:
+    """Deterministic stand-in for re-encoded pixels: a blake2b stream
+    keyed by (payload, tag), length n. Replace with the real encoder."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out += hashlib.blake2b(
+            payload + tag + counter.to_bytes(4, "big"), digest_size=32
+        ).digest()
+        counter += 1
+    return bytes(out[:n])
+
+
+def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize-to-fit: scale (width, height) so max(w, h) <= max_dim,
+    preserving aspect ratio; payload re-encode is stubbed (deterministic
+    byte stream sized w*h/16) while ALL the Spark plumbing — schema,
+    pruned payload read, mapInPandas batch shape — is real. Swap
+    ``_stub_bytes`` for PIL's resize+encode on a cluster with codecs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "kind", "width", "height",
+                "orig_width", "orig_height", "payload", "n_bytes",
+            )}
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                w, h, _ = decode_media(b)
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                out = (
+                    b if scale == 1.0
+                    else _stub_bytes(b, b"resize", max(1, nw * nh // 16))
+                )
+                rows["media_id"].append(int(media_id))
+                rows["kind"].append(kind)
+                rows["width"].append(nw)
+                rows["height"].append(nh)
+                rows["orig_width"].append(w)
+                rows["orig_height"].append(h)
+                rows["payload"].append(out)
+                rows["n_bytes"].append(len(out))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, "
+    "frame_sha256 string, feat array<double>"
+)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling: one OUTPUT ROW PER SAMPLED FRAME (indices 0, k,
+    2k, … of the decoded frame count) — the fan-out shape a video
+    pipeline needs (mapInPandas may yield more rows than it consumes).
+    Frame pixel extraction is stubbed deterministically; the per-frame
+    16-bin byte histogram feature and all batch plumbing are real.
+    Non-video rows contribute their single frame 0."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, shas, feats = [], [], [], [], []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                _, _, nf = decode_media(b)
+                if kind != "video":
+                    nf = 1
+                for fi in range(0, nf, every_k):
+                    frame = _stub_bytes(b, b"frame%d" % fi, 256)
+                    hist = np.bincount(
+                        np.frombuffer(frame, dtype=np.uint8) >> 4,
+                        minlength=16,
+                    ).astype(np.float64)
+                    ids.append(int(media_id))
+                    idxs.append(fi)
+                    totals.append(nf)
+                    shas.append(hashlib.sha256(frame).hexdigest())
+                    feats.append(hist / hist.sum())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "frame_sha256": shas,
+                    "feat": feats,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )

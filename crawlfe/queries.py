@@ -2452,8 +2452,12 @@ def q_media_features(spark, sf_dir):
     stub, see crawlfe.media) -> decoded dims + byte-histogram features."""
     from .media import media_features
 
+    return media_features(_media_table(spark, sf_dir))
+
+
+def _media_table(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -2462,7 +2466,22 @@ def q_media_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
-    return media_features(media)
+
+
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize-to-fit (task brief op): stubbed re-encode,
+    real schema/pruning/batch plumbing — pytest-verified dims/aspect."""
+    from .media import resize_media
+
+    return resize_media(_media_table(spark, sf_dir), max_dim=256)
+
+
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling (task brief op): one row per sampled
+    frame — the mapInPandas fan-out shape; pytest-verified counts."""
+    from .media import sample_frames
+
+    return sample_frames(_media_table(spark, sf_dir), every_k=2)
 
 
 # --------------------------------------------------------------------------
@@ -2561,5 +2580,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, None),
     "dedup_clusters": (q_dedup_clusters, None),
     "media_features": (q_media_features, None),
+    "media_resize": (q_media_resize, None),
+    "media_frames": (q_media_frames, None),
 }
 

@@ -232,3 +232,61 @@ def test_dedup_embedding_oversized_block_chunking():
         assert (i, n - 1 - i) in got
     # id_a < id_b invariant
     assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_resize_media_plumbing(spark, docs):
+    """resize-to-fit: dims bounded by max_dim, aspect preserved, small
+    media passed through unchanged, deterministic across runs."""
+    from crawlfe.media import _fake_decode, resize_media
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    out = resize_media(media, max_dim=128).toPandas().set_index("media_id")
+    assert len(out) == docs.count()
+    assert (out[["width", "height"]].max(axis=1) <= 128).all()
+    # dims match the kernel's exact scale-to-fit arithmetic
+    shrunk = out[out.width < out.orig_width]
+    assert len(shrunk) > 0
+    for _, r in out.iterrows():
+        scale = min(1.0, 128 / max(r.orig_width, r.orig_height))
+        assert r.width == max(1, int(r.orig_width * scale))
+        assert r.height == max(1, int(r.orig_height * scale))
+    # already-small media: payload untouched
+    row = docs.select("doc_id", "text").first()
+    payload = row.text.encode()
+    w, h, _ = _fake_decode(payload)
+    if max(w, h) <= 128:
+        assert bytes(out.loc[row.doc_id, "payload"]) == payload
+    # deterministic
+    out2 = resize_media(media, max_dim=128).toPandas().set_index("media_id")
+    assert (out.n_bytes == out2.n_bytes).all()
+
+
+def test_sample_frames_fanout(spark, docs):
+    """frame sampling fans out one row per sampled frame: ceil(n/k) rows
+    per video, exactly 1 for non-video; per-frame features L1-normalized."""
+    import math
+
+    from crawlfe.media import _fake_decode, sample_frames
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("video"), F.lit("image")),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = sample_frames(media, every_k=2).toPandas()
+    texts = docs.select("doc_id", "text").toPandas().set_index("doc_id")
+    counts = out.groupby("media_id").size()
+    for doc_id in texts.index[:40]:
+        _, _, nf = _fake_decode(texts.loc[doc_id, "text"].encode())
+        want = math.ceil(nf / 2) if doc_id % 2 == 0 else 1
+        assert counts[doc_id] == want, (doc_id, nf, counts[doc_id])
+    assert (out.groupby("media_id")["frame_idx"].min() == 0).all()
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in out.feat)
