@@ -256,3 +256,49 @@ def test_append_after_compaction_ordering(spark, tmp_path):
     run_incremental(spark, [mk(4)], tbl)
     assert tbl.read(spark).count() > n_after
     assert [m["input_snapshot"] for m in tbl.manifests()][-1] == "snap-4"
+
+
+def test_concurrent_commits_never_overwrite(spark, tmp_path):
+    """Two writers committing simultaneously must land on DISTINCT
+    manifest sequence numbers (os.link refuses collisions and the
+    publisher retries with the next seq) — both snapshots visible,
+    no rows lost."""
+    import threading
+
+    from crawlfe.io import IcebergLite
+    from crawlfe.synth import SynthConfig, synth_pages
+
+    tbl = IcebergLite(str(tmp_path / "cc2"))
+    cfg = SynthConfig(n_urls=40)
+    stages = [
+        (f"snap-t{i}",
+         tbl.stage(synth_pages(spark, cfg, url_lo=i * 20,
+                               url_hi=(i + 1) * 20, n_partitions=2)))
+        for i in range(4)
+    ]
+    errs = []
+
+    def commit(snap, path):
+        try:
+            tbl.commit(path, snap)
+        except Exception as e:  # pragma: no cover - should not happen
+            errs.append((snap, e))
+
+    threads = [
+        threading.Thread(target=commit, args=s) for s in stages
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    names = sorted(
+        n for n in os.listdir(tbl.manifest_dir) if n.endswith(".json")
+    )
+    seqs = [int(n.split(".")[0]) for n in names]
+    assert len(seqs) == 4 and len(set(seqs)) == 4
+    assert tbl.committed_snapshots() == {f"snap-t{i}" for i in range(4)}
+    # every staged row landed exactly once: the 4 batches tile urls
+    # [0, 80), so the table must equal one generation of that range
+    want = synth_pages(spark, cfg, url_lo=0, url_hi=80).count()
+    assert tbl.read(spark).count() == want > 0
