@@ -253,18 +253,35 @@ FROM sess GROUP BY user_id, session_id
 
 def q_backfill(spark, sf_dir):
     """Daily grid per user between first/last event, forward-filled
-    day-avg value (grid-expansion + last(ignorenulls))."""
+    day-avg value (grid-expansion + last(ignorenulls)).
+
+    Engine-portable 4-dp day average (two sf0.1 hash flips taught this):
+    (1) sum DECIMAL(18,6), not DOUBLE — double summation is association-
+    order-dependent; (2) scale by 10^4 BEFORE dividing so a rounding tie
+    is an exactly-representable z.5 double, which Spark (BigDecimal
+    HALF_UP) and DuckDB (half away from zero) round identically —
+    rounding the unscaled quotient instead leaves the tie at the 5th
+    decimal of an inexact double, where Spark's shortest-string
+    BigDecimal conversion and DuckDB's binary rounding disagree."""
     ev = _t(spark, sf_dir, "events")
+    dsum = F.sum(F.col("value").cast("decimal(18,6)"))
     daily = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day_ts")
-    ).agg(F.round(F.avg("value"), 4).alias("day_value"))
+    ).agg(
+        (
+            F.round((dsum * 10000).cast("double") / F.count(F.lit(1)))
+            / 10000
+        ).alias("day_value")
+    )
     filled = W.backfill_grid(
         daily, ["day_value"], key="user_id", ts="day_ts", step="1 day"
     )
     return filled.select(
         "user_id",
         _us("grid_ts").alias("grid_ts_us"),
-        F.round("day_value", 4).alias("day_value"),
+        # no re-round: day_value is already the engine-portable 4-dp
+        # double and ffill only copies it
+        "day_value",
         "backfilled",
     )
 
@@ -272,7 +289,8 @@ def q_backfill(spark, sf_dir):
 SQL_BACKFILL = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day_ts,
-         round(avg(value), 4) AS day_value
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) * 10000 AS DOUBLE)
+               / count(*)) / 10000 AS day_value
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT user_id, min(day_ts) AS t0, max(day_ts) AS t1 FROM daily GROUP BY 1
@@ -288,9 +306,9 @@ WITH daily AS (
   SELECT user_id, day_ts AS grid_ts, day_value, 1 AS obs FROM daily
 )
 SELECT user_id, epoch_us(grid_ts) AS grid_ts_us,
-       round(last_value(day_value IGNORE NULLS) OVER (
+       last_value(day_value IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY grid_ts, obs DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS day_value,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
        obs = 0 AS backfilled
 FROM slots
 """
