@@ -67,3 +67,54 @@ def test_deterministic_golden():
         b"<pre>p\n  q</pre></body></html>"
     )
     assert extract_text(html) == "T1 & x\nalpha beta\ng\np q"
+
+
+def test_fast_scanner_differential_full_corpus():
+    """extract_text (fast scanner + fallback) must be byte-identical to
+    the frozen html.parser reference on EVERY synthetic page (all
+    template modes) and on adversarial constructs (which must take the
+    fallback, never silently diverge)."""
+    from crawlfe.extract import _fast_scan, extract_text, extract_text_reference
+    from crawlfe.synth import SynthConfig, gen_pages_pdf
+
+    pdf = gen_pages_pdf(SynthConfig(n_urls=300), 0, 300)
+    n_fast = 0
+    for html in pdf["html"]:
+        assert extract_text(html) == extract_text_reference(html)
+        try:
+            _fast_scan(bytes(html).decode("utf-8", errors="replace"))
+            n_fast += 1
+        except Exception:
+            pass
+    # the corpus template must actually take the fast path
+    assert n_fast == len(pdf), f"only {n_fast}/{len(pdf)} fast"
+
+    adversarial = [
+        b"",
+        b"plain text no tags",
+        b"<p>a &amp; b &lt;c&gt; &nbsp;&mdash;</p>",
+        b"<P>UPPER</P><DiV>mixed</dIv>",
+        b'<p class="x">attr</p>',
+        b"<p data-x='1'>attr2</p>",
+        b"<!-- comment --><p>after</p>",
+        b"<!DOCTYPE html><p>doc</p>",
+        b"<?pi ?><p>pi</p>",
+        b"5 < 6 and <p>real</p>",
+        b"< p>not a tag</p>",
+        b"<p>unterminated <b",
+        b"<script>if (a<b) { x(); }</script><p>after</p>",
+        b"<script>no close",
+        b"<style >spaced</style><p>s</p>",
+        b"<br/><hr/><p>x</p>",
+        b"<noscript><p>hidden</p></noscript><p>shown</p>",
+        b"<template><li>tmpl</li></template><p>out</p>",
+        b"<pre>  keep\n  lines  </pre>",
+        b"<p>&ampX &amp no-semi &unknown; &#65; &#x42;</p>",
+        b"<p>\xff\xfe invalid utf8</p>",
+        b"<td>cell</td><p>" + "é🎉".encode() + b"</p>",
+        b"<p>a</p" ,  # truncated close
+        b"<></p>",
+        b"<1bad>text</1bad>",
+    ]
+    for html in adversarial:
+        assert extract_text(html) == extract_text_reference(html), html
