@@ -111,9 +111,13 @@ def main() -> int:
     ap.add_argument("--cores-hi", type=int, default=8)
     ap.add_argument("--launcher", choices=["spark-submit", "python"],
                     default="spark-submit")
-    ap.add_argument("--n-urls", type=int, default=120_000,
-                    help="synth size (~6.5 snapshots/url); large enough "
-                         "that fixed stage overheads are noise")
+    ap.add_argument("--n-urls", type=int, default=480_000,
+                    help="synth size (~6.5 snapshots/url); must be large "
+                         "enough that fixed stage overheads are noise — "
+                         "after the r2 kernel/extractor speedups, 120k "
+                         "urls leaves ~10s fixed cost dominating the "
+                         "local[8] wall and under-measures efficiency "
+                         "(BENCH/BASELINE.md r2-f note)")
     args = ap.parse_args()
 
     lo, hi = args.cores_lo, args.cores_hi
