@@ -184,6 +184,15 @@ def main() -> int:
     with open(best_path, "w") as f:
         json.dump({**summary, "launcher": args.launcher}, f)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # keep-best rewrites must not wipe hand-written history: everything
+    # from the first "## " section onward is preserved verbatim
+    appendix = ""
+    if os.path.exists(md):
+        with open(md) as f:
+            old = f.read()
+        cut = old.find("\n## ")
+        if cut >= 0:
+            appendix = old[cut:]
     with open(md, "w") as f:
         f.write(f"""# Scaling-efficiency evidence (north rule, N -> 4N)
 
@@ -229,6 +238,7 @@ collects in the hot path.
 
 Reproduce: `python scripts/scaling_evidence.py --sf-dir {args.sf_dir}`
 """)
+        f.write(appendix)
     print(json.dumps(summary))
     return 0 if summary["pass"] else 1
 
