@@ -28,6 +28,7 @@ Algorithm (frozen, v1):
 
 from __future__ import annotations
 
+import re as _re
 from html.parser import HTMLParser
 
 EXTRACTOR_VERSION = 1
@@ -109,6 +110,12 @@ class _Fallback(Exception):
 
 _RAWTEXT_TAGS = frozenset({"script", "style"})  # CDATA in html.parser
 
+# One C-level match per tag: attribute-free start/end/self-closing tags
+# with an ASCII-letter name. ANYTHING else — attributes, comments,
+# declarations, '<' as data, malformed tags — fails to match, shows up
+# as a '<' inside a data segment, and triggers the reference fallback.
+_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[ \t\n\r\f]*(/?)>")
+
 
 def _fast_scan(raw: str) -> str:
     import html as _html
@@ -116,54 +123,42 @@ def _fast_scan(raw: str) -> str:
     lines: list[str] = []
     cur: list[str] = []
     skip_depth = 0
-    i, n = 0, len(raw)
-    find = raw.find
-    while i < n:
-        lt = find("<", i)
-        if lt < 0:
-            if skip_depth == 0 and i < n:
-                cur.append(raw[i:])
+    pos = 0
+    search = _TAG_RE.search
+    while True:
+        m = search(raw, pos)
+        if m is None:
+            tail = raw[pos:]
+            if "<" in tail:
+                raise _Fallback("unmatched '<' near EOF")
+            if skip_depth == 0 and tail:
+                cur.append(tail)
             break
-        if lt > i and skip_depth == 0:
-            cur.append(raw[i:lt])
-        gt = find(">", lt + 1)
-        if gt < 0:
-            raise _Fallback("unterminated tag")
-        body = raw[lt + 1 : gt]
-        if not body or body[0] in "!?":
-            raise _Fallback("comment/decl/empty tag")
-        if '"' in body or "'" in body or "=" in body or "<" in body:
-            raise _Fallback("attributes or nested <")
-        is_end = body.startswith("/")
-        rest = body[1:] if is_end else body
-        # html.parser only opens a tag when '<' (or '</') is followed
-        # immediately by an ASCII letter; anything else ('5 < 6>',
-        # '< p>') is DATA there — fall back rather than misparse
-        if not rest or not (rest[0].isascii() and rest[0].isalpha()):
-            raise _Fallback("not a tag start")
-        if rest.endswith("/"):
-            rest = rest[:-1]  # <br/> -> startendtag
-            is_selfclose = True
-        else:
-            is_selfclose = False
-        name = rest.split()[0].lower() if rest.split() else ""
-        if not (name.isascii() and name.isalnum()):
-            raise _Fallback("odd tag name")
-        if is_end:
+        data = raw[pos : m.start()]
+        if "<" in data:
+            # a '<' the tag regex did not consume: attribute'd tag,
+            # comment, decl, or literal '<' data — html.parser
+            # semantics we don't reproduce here
+            raise _Fallback("unmatched '<' in data")
+        if skip_depth == 0 and data:
+            cur.append(data)
+        slash, name, selfclose = m.groups()
+        name = name.lower()
+        if slash:
             if name in _SKIP_TAGS and skip_depth > 0:
                 skip_depth -= 1
             if name in _BLOCK_TAGS and cur:
                 lines.append("".join(cur))
                 cur = []
         else:
-            if name in _RAWTEXT_TAGS and not is_selfclose:
+            if name in _RAWTEXT_TAGS and not selfclose:
                 # html.parser treats script/style content as raw text:
                 # jump to the literal close tag, dropping the content
                 # (they are also skip tags)
-                close = raw.find("</" + name, gt + 1)
+                close = raw.find("</" + name, m.end())
                 if close < 0:
                     raise _Fallback("unclosed rawtext tag")
-                cgt = find(">", close)
+                cgt = raw.find(">", close)
                 if cgt < 0:
                     raise _Fallback("unterminated rawtext close")
                 between = raw[close + 2 + len(name) : cgt]
@@ -172,14 +167,14 @@ def _fast_scan(raw: str) -> str:
                 if name in _BLOCK_TAGS and cur:  # pragma: no cover
                     lines.append("".join(cur))
                     cur = []
-                i = cgt + 1
+                pos = cgt + 1
                 continue
-            if not is_selfclose and name in _SKIP_TAGS:
+            if not selfclose and name in _SKIP_TAGS:
                 skip_depth += 1
             if name in _BLOCK_TAGS and cur:
                 lines.append("".join(cur))
                 cur = []
-        i = gt + 1
+        pos = m.end()
     if cur:
         lines.append("".join(cur))
     out: list[str] = []
