@@ -173,10 +173,19 @@ def main() -> int:
     if os.path.exists(best_path):
         with open(best_path) as f:
             prev_best = json.load(f)
-    if prev_best and prev_best["scaling_efficiency"] >= summary["scaling_efficiency"]:
+    # headline eligibility: the busy-loop calibration must look sane
+    # (3.6x-4.1x of ideal 4x). Outside that band one probe window was
+    # contended, which INFLATES the engine ratio (e.g. a suppressed
+    # 2-core window measured "1.12 efficiency") — such runs stay in the
+    # history but cannot become the headline.
+    calib_ok = 3.6 <= summary.get("hardware_speedup", 4.0) <= 4.1
+    if (prev_best and prev_best["scaling_efficiency"]
+            >= summary["scaling_efficiency"]) or not calib_ok:
+        why = ("calibration outside sane band" if not calib_ok else
+               f"{prev_best['scaling_efficiency']} >= "
+               f"{summary['scaling_efficiency']}")
         print(
-            f"kept existing best ({prev_best['scaling_efficiency']} >= "
-            f"{summary['scaling_efficiency']}); run appended to runs.jsonl",
+            f"kept existing best ({why}); run appended to runs.jsonl",
             file=sys.stderr,
         )
         print(json.dumps(summary))
