@@ -113,17 +113,17 @@ def asof_join(
             probe, build, key, ts_probe, ts_build, build_cols,
             num_buckets, salt_k, tolerance,
         )
-    if strategy in ("union_window", "range_scan"):
-        # these strategies do not implement tolerance; silently ignoring
-        # it would return matches beyond the window (ADVICE r1)
+    if strategy == "union_window":
+        return _asof_union_window(
+            probe, build, key, ts_probe, ts_build, build_cols, tolerance
+        )
+    if strategy == "range_scan":
+        # range_scan does not implement tolerance; silently ignoring it
+        # would return matches beyond the window (ADVICE r1)
         if tolerance is not None:
             raise ValueError(
-                f"strategy {strategy!r} does not support tolerance; "
-                "use merge_scan or merge_scan_slim"
-            )
-        if strategy == "union_window":
-            return _asof_union_window(
-                probe, build, key, ts_probe, ts_build, build_cols
+                "strategy 'range_scan' does not support tolerance; "
+                "use merge_scan, merge_scan_slim, or union_window"
             )
         return _asof_range_scan(
             probe, build, key, ts_probe, ts_build, build_cols
@@ -339,7 +339,9 @@ def _asof_range_scan(probe, build, key, ts_probe, ts_build, build_cols):
     )
 
 
-def _asof_union_window(probe, build, key, ts_probe, ts_build, build_cols):
+def _asof_union_window(
+    probe, build, key, ts_probe, ts_build, build_cols, tolerance=None
+):
     from pyspark.sql import Window
 
     probe_payload = [c for c in probe.columns if c not in (key, ts_probe)]
@@ -374,7 +376,24 @@ def _asof_union_window(probe, build, key, ts_probe, ts_build, build_cols):
           for c in [ts_build] + build_cols],
         *probe_payload,
     )
-    return filled.where(F.col("__side") == 1).select(
+    out = filled.where(F.col("__side") == 1)
+    if tolerance is not None:
+        # merge_asof tolerance semantics: the carried match is the
+        # latest prior row; if it is older than the window, the probe
+        # gets nulls. A conditional projection — still zero Python.
+        tol_us = int(pd.Timedelta(tolerance).value // 1000)
+        ok = (
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(F.col(ts_build).cast("timestamp"))
+        ) <= F.lit(tol_us)
+        out = out.select(
+            key,
+            "__ts",
+            *probe_payload,
+            *[F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c)
+              for c in [ts_build] + build_cols],
+        )
+    return out.select(
         key,
         F.col("__ts").alias(ts_probe),
         *probe_payload,

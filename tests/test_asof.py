@@ -146,16 +146,47 @@ def test_self_asof_shared_lineage(spark, sf_dir):
 
 
 def test_tolerance_rejected_by_non_implementing_strategies(spark):
-    """range_scan/union_window do not implement tolerance; silently
-    ignoring it returned out-of-window matches (ADVICE r1) — they must
-    raise instead."""
+    """range_scan does not implement tolerance; silently ignoring it
+    returned out-of-window matches (ADVICE r1) — it must raise."""
     pages = synth_pages(spark, SynthConfig(n_urls=10))
     probe = pages.selectExpr("url", "warc_ts as join_ts")
     build = pages.selectExpr("url", "warc_ts", "lang as b_lang")
-    for strategy in ("range_scan", "union_window"):
-        with pytest.raises(ValueError, match="tolerance"):
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            probe, build, key="url", ts_probe="join_ts",
+            ts_build="warc_ts", build_cols=["b_lang"],
+            strategy="range_scan", tolerance=pd.Timedelta(hours=1),
+        )
+
+
+def test_tolerance_parity_across_strategies(spark, fixtures):
+    """merge_scan, merge_scan_slim and union_window must agree exactly
+    under a tolerance window (union_window implements it as a JVM
+    conditional projection over the carried match), and the window must
+    actually null out stale matches."""
+    grid, feats, _, _ = fixtures
+    tol = pd.Timedelta(hours=6)
+    outs = {}
+    for strategy in ("merge_scan", "merge_scan_slim", "union_window"):
+        outs[strategy] = (
             asof_join(
-                probe, build, key="url", ts_probe="join_ts",
-                ts_build="warc_ts", build_cols=["b_lang"],
-                strategy=strategy, tolerance=pd.Timedelta(hours=1),
+                grid, feats, key="url", ts_probe="join_ts",
+                ts_build="warc_ts", build_cols=["text_sha256"],
+                strategy=strategy, tolerance=tol,
             )
+            .toPandas()
+            .sort_values(["url", "join_ts"], ignore_index=True)
+            [["url", "join_ts", "warc_ts", "text_sha256"]]
+        )
+    base = outs["merge_scan"]
+    for strategy in ("merge_scan_slim", "union_window"):
+        pd.testing.assert_frame_equal(base, outs[strategy], check_like=True)
+    # the tolerance must bite: without it strictly more matches
+    full = (
+        asof_join(
+            grid, feats, key="url", ts_probe="join_ts",
+            ts_build="warc_ts", build_cols=["text_sha256"],
+            strategy="merge_scan",
+        ).where("warc_ts IS NOT NULL").count()
+    )
+    assert base["warc_ts"].notna().sum() < full
