@@ -80,7 +80,7 @@ def materialize_pages(spark, sf: float, path: str, n_urls: int = 0) -> None:
     synth_pages(spark, cfg, n_partitions=128).write.parquet(path)
 
 
-def run_pipeline(spark, pages_path: str) -> tuple[int, float]:
+def run_pipeline(spark, pages_path: str) -> tuple[int, int, float]:
     """Flagship end-to-end: pages scan -> featurize -> as-of + windows.
 
     Returns (pages_featurized, matched_probes, wall_sec). The probe grid derives from a
@@ -184,14 +184,23 @@ def main() -> int:
         throughput["pages"] = n_pages
         throughput["matched_probes"] = n_matched
 
+    raw_times: dict[str, list[float]] = {}
     if not args.pipeline_only:
         for name in HEADLINE:
             fn, _sql = REGISTRY[name]
-            t0 = time.time()
-            # count() drives the full plan; results are hash-verified
-            # separately by the driver's correctness tier
-            fn(spark, sf_dir).count()
-            queries[name] = round(time.time() - t0, 3)
+            # best-of-2 per query (VERDICT r2 perf recommendation): a
+            # single shared-VM spike made r2's knn_cosine look 10x
+            # slower than unchanged code. Both raw times are reported.
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                # count() drives the full plan; results are
+                # hash-verified separately by the driver's correctness
+                # tier
+                fn(spark, sf_dir).count()
+                times.append(round(time.time() - t0, 3))
+            raw_times[name] = times
+            queries[name] = min(times)
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
@@ -199,6 +208,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_runs": raw_times,
         "sf": sf,
         "cores": args.cores,
         "throughput": throughput,

@@ -2048,36 +2048,53 @@ FROM per_q
 """
 
 
-_CSV_MANIFEST_DIR = "/tmp/crawlfe_csv_manifest"
-
-
 def q_scan_csv(spark, sf_dir):
     """CSV manifest source (SURVEY.md §2.B scans row; ref acoss
     utils CSV list readers [R]): the nation dim is exported as a CSV
     manifest, re-read with an explicit schema via ``spark.read.csv``,
     and aggregated per region. The oracle recomputes the same result
     straight from the nation view, so correctness covers the full
-    write→scan→agg round trip without the oracle touching the file."""
+    write→scan→agg round trip without the oracle touching the file.
+
+    The manifest lives in a fresh per-call ``tempfile.mkdtemp`` dir
+    (ADVICE r2 low: a fixed world-writable /tmp path let concurrent
+    bench runs clobber each other and would follow a pre-planted
+    symlink). The DataFrame is materialized before cleanup since
+    spark.read.csv is lazy."""
     import csv
     import os
+    import shutil
+    import tempfile
 
     n = _t(spark, sf_dir, "nation")
     rows = sorted(
         (int(r.n_nationkey), str(r.n_name), int(r.n_regionkey))
         for r in n.collect()  # 25-row dim: manifest export is driver-side
     )
-    os.makedirs(_CSV_MANIFEST_DIR, exist_ok=True)
-    path = os.path.join(_CSV_MANIFEST_DIR, "nation_manifest.csv")
+    tmpdir = tempfile.mkdtemp(prefix="crawlfe_csv_manifest_")
+    path = os.path.join(tmpdir, "nation_manifest.csv")
     with open(path, "w", newline="") as fh:
         wr = csv.writer(fh)
         wr.writerow(["n_nationkey", "n_name", "n_regionkey"])
         wr.writerows(rows)
     schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
     back = spark.read.csv(path, header=True, schema=schema)
-    return back.groupBy("n_regionkey").agg(
+    agg = back.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nations"),
         F.min("n_name").alias("first_nation"),
         F.max("n_nationkey").cast("bigint").alias("max_key"),
+    )
+    try:
+        # materialize THROUGH the CSV scan before deleting the
+        # manifest (the read is lazy); the 5-row aggregate comes back
+        # as a LocalRelation with the identical schema
+        out = agg.collect()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        schema="n_regionkey int, n_nations bigint, "
+        "first_nation string, max_key bigint",
     )
 
 
@@ -2367,39 +2384,50 @@ SQL_ASOF_SALT = SQL_ASOF
 
 def q_agg_vector(spark, sf_dir):
     """Grouped vector aggregate: per-label mean embedding via
-    applyInPandas (the A16 patch-median analog shape)."""
+    applyInPandas (the A16 patch-median analog shape).
+
+    Output is LONG-FORM scalar rows ``(label, n, dim_idx, mean_val)``
+    — one row per (label, dimension) — instead of a raw
+    ``array<double>`` column: the driver's canonicalizer sorts output
+    columns with pandas, which cannot sort list-valued cells
+    (VERDICT r2 "What's wrong" #1). The grouped-vector kernel is
+    unchanged; only the emission shape is scalar."""
     import numpy as np
 
     e = _t(spark, sf_dir, "embeddings")
 
     def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mv = np.round(m.mean(axis=0), 6)
+        d = mv.shape[0]
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
-                "n": [len(pdf)],
-                "mean_vec": [np.round(m.mean(axis=0), 6)],
+                "label": np.full(d, int(pdf["label"].iloc[0]), dtype=np.int32),
+                "n": np.full(d, len(pdf), dtype=np.int64),
+                "dim_idx": np.arange(d, dtype=np.int32),
+                "mean_val": mv,
             }
         )
 
     return e.groupBy("label").applyInPandas(
-        mean_vec, schema="label int, n long, mean_vec array<double>"
+        mean_vec, schema="label int, n long, dim_idx int, mean_val double"
     )
 
 
 SQL_AGG_VECTOR = """
 WITH dims AS (
-  SELECT label, i.idx,
-         round(avg(CAST(embedding[i.idx] AS DOUBLE)), 6) AS mx
+  SELECT label, i.idx - 1 AS dim_idx,
+         round(avg(CAST(embedding[i.idx] AS DOUBLE)), 6) AS mean_val
   FROM embeddings, range(1, 65) i(idx)
   GROUP BY label, i.idx
-), vecs AS (
-  SELECT label, array_agg(mx ORDER BY idx) AS mean_vec
-  FROM dims GROUP BY label
+), counts AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
 )
-SELECT v.label, c.n, v.mean_vec
-FROM vecs v JOIN (SELECT label, count(*) AS n FROM embeddings GROUP BY label) c
-  ON v.label = c.label
+SELECT CAST(d.label AS INTEGER) AS label,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(d.dim_idx AS INTEGER) AS dim_idx,
+       d.mean_val
+FROM dims d JOIN counts c ON d.label = c.label
 """
 
 

@@ -132,6 +132,14 @@ def stateful_sessionize(
     The kernel is vectorized per group: the batch's timestamps join the
     carried state, gaps via ``np.diff``, closed sessions via boundary
     masks — no per-event Python state machine.
+
+    Ordering contract (ADVICE r2): exact results require per-key
+    batch-monotone delivery — every event in batch ``k+1`` at or after
+    the carried session's last event (use a watermark upstream to bound
+    lateness). A LATE batch (events at or before the carried last
+    event) is still merged safely — the carried session's bounds only
+    ever widen, ``min(start)``/``max(end)``, never regress — but a late
+    event that bridges two already-split sessions cannot re-merge them.
     """
     import numpy as np
     import pandas as pd
@@ -185,8 +193,14 @@ def stateful_sessionize(
         counts = np.diff(np.concatenate((first_idx, [ts_us.size])))
         if carried is not None:
             if ts_us[0] - c_last <= gap_us:
-                # batch head extends the carried open session
-                starts[0] = c_start
+                # batch head extends the carried open session. min/max
+                # so an out-of-order (late) batch can only WIDEN the
+                # carried bounds, never regress them (ADVICE r2: a late
+                # batch used to reset start to c_start even when
+                # earlier events arrived, and let last_us move
+                # backwards, double-closing sessions later).
+                starts[0] = min(c_start, starts[0])
+                ends[0] = max(c_last, ends[0])
                 counts[0] += c_n
             else:
                 # carried session is closed by this batch's first event

@@ -17,6 +17,15 @@ bug (batch-order dependence, dtype drift), not an algorithm fork.
 
 All functions are row-local: the feature of a row depends only on that
 row's text, never on Arrow batch composition (SURVEY.md §7 hard-part #3).
+
+Version-contract scope (ADVICE r2): the ``FEAT_VERSION = 1`` feature
+contract is defined over EXTRACTOR-CANONICAL text — the output of
+``crawlfe.extract.extract_text`` (v1), whose only whitespace is ASCII
+' ' / '\\n'. On such text the ASCII tokenizer (``ascii_tokens``) equals
+``str.split()`` exactly. External callers feeding raw text containing
+Unicode whitespace (e.g. U+00A0) get tokenization per the ASCII rule;
+that behavior is part of v1, not a drift — any change to the tokenizer
+class requires a FEAT_VERSION bump.
 """
 
 from __future__ import annotations

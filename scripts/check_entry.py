@@ -26,13 +26,26 @@ TABLES = [
 ]
 
 
+class ListColumnError(TypeError):
+    """A list/array-valued output column. The DRIVER's canonicalizer
+    sorts columns with pandas before hashing and crashes on unhashable
+    list cells (CORRECTNESS_r02 agg_vector). check_entry used to paper
+    over this by mapping lists->tuples; now it fails the same way the
+    driver does so the class of bug reproduces locally (VERDICT r2
+    next-round item #3). Queries must emit scalar columns (long-form)."""
+
+
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object:
-            pdf[c] = pdf[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
+            bad = pdf[c].map(lambda v: isinstance(v, (list, np.ndarray))).any()
+            if bad:
+                raise ListColumnError(
+                    f"column {c!r} holds list values — the driver's "
+                    "canonicalizer cannot sort these (unhashable type: "
+                    "'list'); emit long-form scalar rows instead"
+                )
     key = [c for c in pdf.columns if pdf[c].dtype != object or True]
     try:
         pdf = pdf.sort_values(key, kind="mergesort", ignore_index=True, na_position="last")
@@ -49,7 +62,10 @@ def compare(name: str, spdf: pd.DataFrame, opdf: pd.DataFrame) -> str:
         return f"ROWS {len(spdf)} != {len(opdf)}"
     if sorted(spdf.columns) != sorted(opdf.columns):
         return f"SCHEMA {sorted(spdf.columns)} != {sorted(opdf.columns)}"
-    s, o = canon(spdf.copy()), canon(opdf.copy())
+    try:
+        s, o = canon(spdf.copy()), canon(opdf.copy())
+    except ListColumnError as e:
+        return f"LIST-COLUMN {e}"
     risks = []
     for c in s.columns:
         sv, ov = s[c], o[c]

@@ -118,3 +118,92 @@ def test_fast_scanner_differential_full_corpus():
     ]
     for html in adversarial:
         assert extract_text(html) == extract_text_reference(html), html
+
+
+def test_entity_split_across_inline_tag():
+    """VERDICT r2 'What's wrong' #2: an entity assembled across an
+    inline tag must stay UNdecoded — html.parser decodes charrefs per
+    data segment, never across a tag boundary. The r2 fast path joined
+    segments before unescaping and silently decoded it."""
+    from crawlfe.extract import _fast_scan, extract_text_reference
+
+    cases = {
+        b"<p>A &am</b>p; B</p>": "A &amp; B",
+        b"x &am<i>p; y": "x &amp; y",
+        b"<p>A &amp</b>; B</p>": "A &; B",     # '&amp' decodes w/o semi
+        b"<p>&</b>amp; x</p>": "&amp; x",
+        b"<p>&#6</b>5; y</p>": "5; y",  # '&#6' -> invalid cp -> ''
+        b"<p>&am</p><p>p;</p>": "&am\np;",
+    }
+    for html, want in cases.items():
+        ref = extract_text_reference(html)
+        assert ref == want, (html, ref)
+        assert extract_text(html) == ref, html
+        # these are fast-path-eligible constructs: the fix must hold ON
+        # the fast path, not by fallback
+        assert _fast_scan(bytes(html).decode("utf-8", "replace")) == ref
+
+
+def test_rawtext_close_case_insensitive():
+    """ADVICE r2 (high): html.parser ends script/style CDATA at a
+    case-insensitive, whitespace-tolerant '</\\s*name'. The fast path
+    only consumes the exact lowercase literal; anything else must take
+    the fallback — never skip past an earlier close."""
+    import pytest
+
+    from crawlfe.extract import _Fallback, _fast_scan, extract_text_reference
+
+    cases = {
+        b"<script>a</SCRIPT>b</script>c": "bc",
+        b"<script>a</ script>b</script>c": "bc",
+        b"<script>a</Script>b": "b",
+        b"<style>a</STYLE>b</style>t": "bt",
+        b"<script>x</scripty></script>after": "after",
+    }
+    for html, want in cases.items():
+        ref = extract_text_reference(html)
+        assert ref == want, (html, ref)
+        assert extract_text(html) == ref, html
+    # and the non-literal closes really do route to the fallback
+    for html in [b"<script>a</SCRIPT>b</script>c",
+                 b"<script>a</ script>b</script>c"]:
+        with pytest.raises(_Fallback):
+            _fast_scan(bytes(html).decode("utf-8", "replace"))
+
+
+def test_fast_scanner_hypothesis_differential():
+    """Property fuzz (VERDICT r2 next-round #7): random tag soup —
+    entities split by tags, attributes, comments, rawtext with
+    mixed-case closes, malformed tags — must be byte-identical between
+    extract_text and the frozen reference, whichever path it takes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawlfe.extract import extract_text, extract_text_reference
+
+    atom = st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<b>", "</b>", "<i>", "</i>", "<div>",
+                "</div>", "<br/>", "<li>", "</li>", "<P>", "</B>",
+                "<script>", "</script>", "</SCRIPT>", "</ script>",
+                "<style>", "</style>", "</StYlE>",
+                "<p class='x'>", "<!-- c -->", "<!DOCTYPE html>",
+                "&amp;", "&amp", "&am", "p;", "&lt;", "&#65;", "&#x4",
+                "2;", "&nbsp;", "&unknown;", "&",
+                " ", "\n", "\t", "txt", "a b", "<", ">", "café",
+                "</scri", "pt>", "< p>", "<1x>",
+            ]
+        ),
+        st.text(
+            alphabet="ab<>&;#xAP/ \n\t" + "é", min_size=0, max_size=6
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(atom, min_size=0, max_size=24))
+    def prop(parts):
+        html = "".join(parts).encode("utf-8", "surrogatepass")
+        assert extract_text(html) == extract_text_reference(html)
+
+    prop()

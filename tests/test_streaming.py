@@ -220,3 +220,58 @@ def test_stateful_sessionize_state_survives_microbatches(spark, tmp_path):
     assert u2.iloc[0]["session_start"] == t0 + 100 * mn
     assert u2.iloc[0]["session_end"] == t0 + 110 * mn
     assert u2.iloc[0]["n_events"] == 2
+
+
+def test_stateful_sessionize_late_batch_widen_not_regress(spark, tmp_path):
+    """ADVICE r2 (medium): a LATE micro-batch (events at/earlier than
+    the carried session's last event) must only WIDEN the carried
+    bounds via min/max — the r2 kernel kept start=c_start even when an
+    earlier event arrived and let last_us regress, so the eventually
+    closed session came out with end < start."""
+    import pandas as pd
+
+    from crawlfe.streaming import stateful_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(in_dir)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mn = pd.Timedelta(minutes=1)
+
+    def ev(u, minutes):
+        return {"user_id": u, "ts": t0 + minutes * mn}
+
+    schema = "user_id long, ts timestamp"
+
+    def run_batch(rows, name):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+            f"{in_dir}/{name}"
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(in_dir)
+        q = (
+            stateful_sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([ev(5, 100), ev(5, 110)], "b1")  # open session [100,110]
+    run_batch([ev(5, 90)], "b2")               # LATE: widens to [90,110]
+    run_batch([ev(5, 5000)], "b3")             # closes it
+
+    got = spark.read.parquet(out_dir).toPandas()
+    got = got.sort_values("session_start", ignore_index=True)
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["session_start"] == t0 + 90 * mn
+    assert row["session_end"] == t0 + 110 * mn
+    assert row["n_events"] == 3
+    assert row["session_end"] >= row["session_start"]
