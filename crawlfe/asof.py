@@ -314,8 +314,9 @@ def _asof_range_scan(probe, build, key, ts_probe, ts_build, build_cols):
             # vectorized forward-fill of the latest build ts per key;
             # rows before a key's first in-batch build row stay NaT …
             carried = build_ts.groupby(ks.to_numpy(), sort=False).ffill()
-            # … and take the previous batch's carry instead
-            carried = carried.fillna(ks.map(carry))
+            # … and take the previous batch's carry instead (dtype
+            # pinned so fillna never object-downcasts)
+            carried = carried.fillna(ks.map(carry).astype(carried.dtype))
             last = build_ts.groupby(ks.to_numpy(), sort=False).last()
             carry.update(last.dropna().to_dict())
             emit = sides == 1
