@@ -55,6 +55,10 @@ HEADLINE = [
     # added r2: retrieval-eval window stats + vectorized simhash
     "eval_rank_stats",
     "simhash",
+    # added r3: the alternative as-of physical strategies (same query as
+    # asof_join — their relative cost IS the strategy-selection signal)
+    "asof_union_window",
+    "asof_range_scan",
 ]
 
 
