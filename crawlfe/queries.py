@@ -2505,6 +2505,40 @@ FROM events
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment by content-hash bucket
+    (the training-data split op a 100 TB corpus pipeline needs): bucket
+    = first md5 hex byte of the stable doc key, split by fixed hex
+    ranges (~90/5/5). Pure JVM (md5 + substring + CASE), no shuffle —
+    a narrow projection that's reproducible across engines, runs, and
+    cluster sizes, unlike rand()-based sampling."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 2
+    )
+    split = (
+        F.when(b <= "e5", "train")
+        .when(b <= "f2", "valid")
+        .otherwise("test")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        b.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+SQL_SAMPLE_SPLIT = """
+SELECT doc_id, lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'f2' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_agg_vector(spark, sf_dir):
     """Grouped vector aggregate: per-label mean embedding via
     applyInPandas (the A16 patch-median analog shape).
@@ -2677,6 +2711,7 @@ REGISTRY: dict[str, tuple] = {
     "asof_union_window": (q_asof_union_window, SQL_ASOF),
     "asof_range_scan": (q_asof_range_scan, SQL_ASOF),
     "win_ntile": (q_win_ntile, SQL_WIN_NTILE),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
@@ -2723,13 +2758,14 @@ REGISTRY: dict[str, tuple] = {
     "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
     "join_left": (q_join_left, SQL_JOIN_LEFT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    # ---- position 50 boundary (r3: the five new front-section keys
+    # push tpch_q3 + the text/dedup pack just past it): everything
+    # below was driver-green in round 1 and/or round 2
+    # (CORRECTNESS_r0{1,2}.json) and is kept green by
+    # scripts/check_entry.py sweeps at all three SF tiers; rotated here
+    # so a 50-entry driver cap lands on the most-rounds-green,
+    # cheapest-to-reverify keys ----
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
-    # ---- position 50 boundary (r3: the four new front-section keys
-    # push the text/dedup pack just past it): everything below was
-    # driver-green in round 1 and/or round 2 (CORRECTNESS_r0{1,2}.json)
-    # and is kept green by scripts/check_entry.py sweeps at all three
-    # SF tiers; rotated here so a 50-entry driver cap lands on the
-    # most-rounds-green, cheapest-to-reverify keys ----
     # -- text/dedup/similarity pack (r2 driver-green) --
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
