@@ -2539,6 +2539,82 @@ FROM documents
 """
 
 
+def q_win_range_frame(spark, sf_dir):
+    """Time-RANGE window frame (trailing 1 hour by event time) — the
+    value-range twin of the rows-frame rolling window (`win_rolling`):
+    `rangeBetween` over epoch micros, so frame membership follows the
+    clock, not row counts. The crawl-cadence shape: activity volume in
+    the trailing hour per user at every event."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+SQL_WIN_RANGE_FRAME = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): an aggregate-HAVING
+    subquery feeding a semi-filterable three-way join + re-aggregation.
+    The HAVING set is computed once and inner-joined (Catalyst plans
+    the IN-subquery as a semi join); threshold 300 keeps the result
+    non-vacuous at every SF tier (46 orders at sf0.01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            _us("o_orderdate").alias("o_orderdate_us"), "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate_us",
+            F.round("o_totalprice", 4).alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       round(o_totalprice, 4) AS o_totalprice,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
 def q_agg_vector(spark, sf_dir):
     """Grouped vector aggregate: per-label mean embedding via
     applyInPandas (the A16 patch-median analog shape).
@@ -2712,6 +2788,8 @@ REGISTRY: dict[str, tuple] = {
     "asof_range_scan": (q_asof_range_scan, SQL_ASOF),
     "win_ntile": (q_win_ntile, SQL_WIN_NTILE),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
