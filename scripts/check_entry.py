@@ -6,6 +6,10 @@ floats with an allclose fallback reported as RISK since the driver
 hashes exact values).
 
 Usage: python scripts/check_entry.py [sf_dir] [query ...]
+       CHECK_ENTRY_JSON=path python scripts/check_entry.py [sf_dir]
+         — additionally append one JSON line {sf_dir, git, n_pass,
+           n_fail, fails, per_query} to `path` (committable evidence
+           of a sweep, e.g. BENCH/sweeps.jsonl)
 """
 
 from __future__ import annotations
@@ -130,6 +134,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     fails = []
+    per_query: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -156,8 +161,27 @@ def main() -> int:
         status = "PASS" if verdict.startswith(("OK", "rows-only")) else "FAIL"
         if status == "FAIL":
             fails.append(name)
+        per_query[name] = verdict
         print(f"{name:22s} {status} {verdict}  [{dt:.1f}s]")
     spark.stop()
+    json_path = os.environ.get("CHECK_ENTRY_JSON")
+    if json_path and not only:
+        import json
+        import subprocess
+
+        git = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        with open(json_path, "a") as f:
+            f.write(json.dumps({
+                "sf_dir": sf_dir,
+                "git": git,
+                "n_pass": len(per_query) - len(fails),
+                "n_fail": len(fails),
+                "fails": fails,
+                "per_query": per_query,
+            }) + "\n")
     print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL GREEN")
     return 1 if fails else 0
 
