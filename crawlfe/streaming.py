@@ -237,6 +237,26 @@ def stateful_sessionize(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming deduplication — the streaming twin of the
+    batch ``dedup_exact`` op: drop rows whose ``keys`` were already seen
+    within the watermark window (``dropDuplicatesWithinWatermark``), so
+    re-crawled/replayed pages in the tail stream are emitted once. State
+    per key is dropped once the watermark passes it — bounded memory at
+    100 TB, unlike an unwatermarked ``dropDuplicates`` whose state grows
+    forever. Works identically in batch mode (plain dropDuplicates
+    semantics) for parity testing."""
+    wm = stream_df.withColumn(ts, F.col(ts).cast("timestamp"))
+    if wm.isStreaming:
+        return wm.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
+
+
 def watermarked_window_counts(
     stream_df: DataFrame, ts: str, delay: str, size: str, keys: list[str]
 ) -> DataFrame:

@@ -275,3 +275,57 @@ def test_stateful_sessionize_late_batch_widen_not_regress(spark, tmp_path):
     assert row["session_end"] == t0 + 110 * mn
     assert row["n_events"] == 3
     assert row["session_end"] >= row["session_start"]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Watermarked streaming dedup: a key replayed across micro-batches
+    within the watermark window is emitted exactly once; batch-mode
+    parity with plain dropDuplicates on the same input."""
+    import pandas as pd
+
+    from crawlfe.streaming import stream_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(in_dir)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mn = pd.Timedelta(minutes=1)
+    schema = "doc_key string, ts timestamp"
+
+    def run_batch(rows, name):
+        pdf = pd.DataFrame(rows, columns=["doc_key", "minutes"])
+        pdf["ts"] = pdf.pop("minutes").map(lambda m: t0 + m * mn)
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{in_dir}/{name}"
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(in_dir)
+        q = (
+            stream_dedup(stream, keys=["doc_key"], ts="ts", delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([("a", 0), ("b", 1), ("a", 2)], "b1")   # in-batch dup 'a'
+    run_batch([("a", 5), ("c", 6)], "b2")             # cross-batch dup 'a'
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got["doc_key"]) == ["a", "b", "c"]
+
+    # batch-mode parity: same function on a static frame
+    static = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_key": ["a", "b", "a", "c"],
+             "ts": [t0, t0 + mn, t0 + 2 * mn, t0 + 3 * mn]}
+        )
+    )
+    n = stream_dedup(static, keys=["doc_key"], ts="ts").count()
+    assert n == 3
