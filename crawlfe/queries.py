@@ -2144,6 +2144,42 @@ FROM documents
 """
 
 
+def q_map_in_arrow(spark, sf_dir):
+    """``mapInArrow`` surface (Spark 4): the zero-copy Arrow-batch UDF
+    tier below mapInPandas — RecordBatches in, RecordBatches out, no
+    pandas conversion at all. The cheapest possible Python boundary for
+    kernels that are already columnar (here: UTF-8 byte length via
+    pyarrow.compute). Completes the UDF-surface table next to scalar
+    pandas_udf / mapInPandas / grouped / cogrouped / UDTF."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pc.cast(
+                        pc.binary_length(
+                            pc.cast(batch.column("text"), pa.binary())
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            for out in tbl.to_batches():
+                yield out
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(kernel, schema="doc_id long, n_bytes long")
+
+
+SQL_MAP_IN_ARROW = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (no SQL oracle — non-SQL-expressible, checked by the
 # pytest parity suite instead; driver records rows-only)
@@ -2820,6 +2856,7 @@ REGISTRY: dict[str, tuple] = {
     "win_ntile": (q_win_ntile, SQL_WIN_NTILE),
     "win_first_last": (q_win_first_last, SQL_WIN_FIRST_LAST),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "map_in_arrow": (q_map_in_arrow, SQL_MAP_IN_ARROW),
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
