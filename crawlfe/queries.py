@@ -2900,16 +2900,16 @@ REGISTRY: dict[str, tuple] = {
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
     "udtf_shingles": (q_udtf_shingles, SQL_UDTF_SHINGLES),
-    # -- joins --
-    "join_inner": (q_join_inner, SQL_JOIN_INNER),
-    # ---- position 50 boundary (81 keys, r3: the nine new front-section
-    # keys push join_broadcast/left/semi, tpch_q3 and the text/dedup
-    # pack just past it): everything below was driver-green in round 1
+    # ---- position 50 boundary (82 keys; r3's ten new front-section
+    # keys push the equi-join family, tpch_q3 and the text/dedup pack
+    # just past it): everything below was driver-green in round 1
     # and/or round 2 (CORRECTNESS_r0{1,2}.json) and is kept green by
     # scripts/check_entry.py sweeps at all three SF tiers (committed
     # evidence: BENCH/sweeps_r03.jsonl); rotated here so a 50-entry
     # driver cap lands on the most-rounds-green, cheapest-to-reverify
     # keys ----
+    # -- joins --
+    "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),
     "join_left": (q_join_left, SQL_JOIN_LEFT),
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
