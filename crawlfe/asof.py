@@ -88,9 +88,19 @@ def asof_join(
     num_buckets: int = DEFAULT_BUCKETS,
     salt_k: int = 1,
     tolerance: pd.Timedelta | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each probe row, attach the latest build row of the
     same ``key`` with ``ts_build`` <= ``ts_probe`` (nulls if none).
+
+    ``direction="forward"`` flips the scan: attach the EARLIEST build
+    row with ``ts_build`` >= ``ts_probe``. Backward is the FEATURE path
+    (zero temporal leakage, BASELINE.json:6); forward is the LABEL
+    path — a training pipeline uses it to attach the outcome at the
+    next snapshot (e.g. "did the page change by the next crawl"), where
+    looking forward is the point, not a leak. Only the merge-scan
+    strategies support it (the kernel is pd.merge_asof, which takes
+    the direction natively).
 
     Output = all probe columns + ``ts_build`` (matched, nullable) +
     ``build_cols``. Column names must be disjoint from probe's.
@@ -103,15 +113,24 @@ def asof_join(
     clash = set(build_cols + [ts_build]) & set(probe.columns)
     if clash:
         raise ValueError(f"build columns clash with probe columns: {clash}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction}")
+    if direction != "backward" and strategy not in (
+        "merge_scan", "merge_scan_slim"
+    ):
+        raise ValueError(
+            f"strategy {strategy!r} supports only direction='backward'; "
+            "use merge_scan or merge_scan_slim for forward"
+        )
     if strategy == "merge_scan":
         return _asof_merge_scan(
             probe, build, key, ts_probe, ts_build, build_cols,
-            num_buckets, salt_k, tolerance,
+            num_buckets, salt_k, tolerance, direction,
         )
     if strategy == "merge_scan_slim":
         return _asof_merge_scan_slim(
             probe, build, key, ts_probe, ts_build, build_cols,
-            num_buckets, salt_k, tolerance,
+            num_buckets, salt_k, tolerance, direction,
         )
     if strategy == "union_window":
         return _asof_union_window(
@@ -133,7 +152,7 @@ def asof_join(
 
 def _asof_merge_scan(
     probe, build, key, ts_probe, ts_build, build_cols,
-    num_buckets, salt_k, tolerance,
+    num_buckets, salt_k, tolerance, direction="backward",
 ):
     schema = _out_schema(probe, build, ts_build, build_cols)
     probe_cols = list(probe.columns)
@@ -206,7 +225,7 @@ def _asof_merge_scan(
             left_on=ts_probe,
             right_on=ts_build,
             by=key,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=True,
             tolerance=tolerance,
         )
@@ -230,7 +249,7 @@ def _asof_merge_scan(
 
 def _asof_merge_scan_slim(
     probe, build, key, ts_probe, ts_build, build_cols,
-    num_buckets, salt_k, tolerance,
+    num_buckets, salt_k, tolerance, direction="backward",
 ):
     """Merge-scan on (key, ts) only + JVM payload re-join.
 
@@ -244,7 +263,7 @@ def _asof_merge_scan_slim(
     slim_build = build.select(key, ts_build)
     matched = _asof_merge_scan(
         probe, slim_build, key, ts_probe, ts_build, [],
-        num_buckets, salt_k, tolerance,
+        num_buckets, salt_k, tolerance, direction,
     )
     # DataFrame aliases (not column renames) keep the build side's
     # attribute ids, so an upstream hash partitioning on `key` (e.g.

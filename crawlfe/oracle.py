@@ -45,6 +45,7 @@ def oracle_asof(
     ts_probe: str = "join_ts",
     ts_build: str = "warc_ts",
     build_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> pd.DataFrame:
     if build_cols is None:
         build_cols = [c for c in build.columns if c not in (key, ts_build)]
@@ -56,7 +57,7 @@ def oracle_asof(
     pr[ts_build] = pr[ts_build].astype("datetime64[us]")
     out = pd.merge_asof(
         pl, pr, left_on=ts_probe, right_on=ts_build, by=key,
-        direction="backward", allow_exact_matches=True,
+        direction=direction, allow_exact_matches=True,
     )
     return out[list(probe.columns) + [ts_build] + build_cols]
 

@@ -2418,6 +2418,50 @@ def q_skew_salted(spark, sf_dir):
 SQL_ASOF_SALT = SQL_ASOF
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (direction='forward'): each click attaches
+    the EARLIEST purchase at-or-after it — the LABEL-construction twin
+    of the backward feature join (outcome at the next snapshot, e.g.
+    "did the page change by the next crawl"). Looking forward is the
+    point here, not a leak; the feature path stays backward-only
+    (tests/test_leakage.py)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id")
+    )
+    build = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    j = asof_join(
+        probe, build, key="user_id", ts_probe="click_ts", ts_build="ts",
+        build_cols=["purchase_value"], strategy="merge_scan",
+        num_buckets=64, direction="forward",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        _us("click_ts").alias("click_ts_us"),
+        _us("ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+SQL_ASOF_FORWARD = """
+WITH probe AS (
+  SELECT user_id, ts AS click_ts, event_id FROM events WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.event_id,
+       epoch_us(p.click_ts) AS click_ts_us,
+       epoch_us(b.ts) AS purchase_ts_us,
+       round(b.purchase_value, 4) AS purchase_value
+FROM probe p ASOF LEFT JOIN build b
+  ON p.user_id = b.user_id AND p.click_ts <= b.ts
+"""
+
+
 def q_asof_tolerance(spark, sf_dir):
     """As-of join with a match-window tolerance (merge_asof semantics:
     the latest prior build row matches ONLY if probe_ts - build_ts <=
@@ -2830,6 +2874,285 @@ def q_media_frames(spark, sf_dir):
     return sample_frames(_media_table(spark, sf_dir), every_k=2)
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    scan→filter→agg with every predicate pushable to the parquet
+    reader (`PushedFilters` shows shipdate/discount/quantity) — the
+    canonical predicate-pushdown + whole-stage-codegen probe. At
+    100 TB this is the plan that must read only row groups whose
+    min/max stats survive the pushed range predicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoder a training-data pipeline needs (the as-of join's
+    'no row sees itself/the future' discipline, applied group-wise):
+    each event's feature is the mean `value` of its event_type group
+    EXCLUDING the row itself, `(S - x) / (n - 1)`.
+
+    Engine-portability: `value` is 4-dec-grid exact in the fixture, so
+    summing as DECIMAL(18,4) makes S bit-identical in Spark and DuckDB;
+    the quotient is rounded by the scaled-integer pattern
+    `round(num * 10^4 / den) / 10^4` — exact decimal ties become
+    exactly-representable w.5 doubles that both engines round away
+    from zero (the backfill rounding lesson)."""
+    ev = _t(spark, sf_dir, "events")
+    x4 = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    w = Window.partitionBy("event_type")
+    s = F.sum(x4).over(w)
+    n = F.count(F.lit(1)).over(w)
+    num = (s - x4).cast("double") * F.lit(10000.0)
+    den = (n - F.lit(1)).cast("double")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        (F.round(num / den, 0) / F.lit(10000.0)).alias("loo_mean"),
+    )
+
+
+SQL_TARGET_ENCODE_LOO = """
+WITH g AS (
+  SELECT event_id, event_type,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS x4,
+         round(value, 4) AS value,
+         sum(CAST(round(value, 4) AS DECIMAL(18,4)))
+             OVER (PARTITION BY event_type) AS s,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_id, event_type, value,
+       round(CAST(s - x4 AS DOUBLE) * 10000.0 / CAST(n - 1 AS DOUBLE))
+         / 10000.0 AS loo_mean
+FROM g
+"""
+
+
+def q_zscore_norm(spark, sf_dir):
+    """Group-wise z-score feature normalization (population std) —
+    the standard scale step before model training, computed with
+    bit-identical cross-engine arithmetic: DECIMAL sums for S and
+    sum-of-squares (exact in both engines), then
+    `var = SSQ/n - mean²` and the scaled-integer rounding of
+    `(x - mean)/sqrt(var)` written with the identical op order in
+    the Spark plan and the DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    x4 = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    w = Window.partitionBy("event_type")
+    s = F.sum(x4).over(w).cast("double")
+    ssq = F.sum(x4 * x4).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / n
+    var = ssq / n - mean * mean
+    z = (x4.cast("double") - mean) * F.lit(10000.0) / F.sqrt(var)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        (F.round(z, 0) / F.lit(10000.0)).alias("z"),
+    )
+
+
+SQL_ZSCORE_NORM = """
+WITH g AS (
+  SELECT event_id, event_type,
+         CAST(round(value, 4) AS DECIMAL(18,4)) AS x4,
+         round(value, 4) AS value,
+         CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS s,
+         CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))
+                  * CAST(round(value, 4) AS DECIMAL(18,4)))
+              OVER (PARTITION BY event_type) AS DOUBLE) AS ssq,
+         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+  FROM events
+)
+SELECT event_id, event_type, value,
+       round((CAST(x4 AS DOUBLE) - s / n) * 10000.0
+             / sqrt(ssq / n - (s / n) * (s / n))) / 10000.0 AS z
+FROM g
+"""
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae+21 §A1.1 analog,
+    public method): per-document duplicate-token fraction and
+    duplicate-word-2-gram fraction — high values flag boilerplate /
+    spam for corpus filtering. All JVM higher-order functions (no
+    Python); ratios use the scaled-integer rounding pattern so exact
+    integer-ratio ties agree across engines."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+    d = d.withColumn(
+        "bi",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    n_t = F.size("toks").cast("double")
+    d_t = F.size(F.array_distinct("toks")).cast("double")
+    n_b = F.size("bi").cast("double")
+    d_b = F.size(F.array_distinct("bi")).cast("double")
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.round((n_t - d_t) * 10000.0 / n_t, 0) / 10000.0).alias(
+            "dup_token_frac"
+        ),
+        F.when(
+            F.size("bi") > 0,
+            F.round((n_b - d_b) * 10000.0 / n_b, 0) / 10000.0,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+SQL_QUALITY_REPETITION = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bi
+  FROM t
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round((len(toks) - len(list_distinct(toks))) * 10000.0
+             / CAST(len(toks) AS DOUBLE)) / 10000.0 AS dup_token_frac,
+       CASE WHEN len(bi) > 0
+            THEN round((len(bi) - len(list_distinct(bi))) * 10000.0
+                       / CAST(len(bi) AS DOUBLE)) / 10000.0
+            END AS dup_bigram_frac
+FROM b
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check (the train/eval n-gram-overlap
+    audit every pretraining corpus needs): a deterministic 'eval set'
+    (doc_id % 97 = 0) contributes its distinct word-3-gram shingles;
+    corpus documents sharing any shingle are flagged with their
+    distinct-overlap count. Shape at 100 TB: explode shingles on both
+    sides, hash-shuffle on the shingle key (or semi-join against a
+    broadcast eval-shingle set when the eval side is small — here the
+    eval set is tiny so AQE demotes the join to broadcast). 3-grams
+    (not the usual 8-13) because the synthetic vocab is ~30 words."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1), ' ',"
+                    " element_at(toks, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    ev = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % 97 != 0).distinct()
+    return (
+        corpus.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+SQL_CONTAMINATION = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           AS shingle
+  FROM t WHERE len(toks) >= 3
+), ev AS (
+  SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, shingle FROM s WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id, count(*) AS n_shared_shingles
+FROM corpus c JOIN ev USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
+def q_feature_hashing(spark, sf_dir):
+    """Hashing-trick feature buckets (Weinberger+09, public method):
+    per-document sparse bag-of-tokens bucketed into 256 hash buckets
+    — the fixed-width featurization that needs no vocabulary build
+    (no global dictionary shuffle at 100 TB). Bucket = first md5 hex
+    byte of the token (engine-portable, same trick as sample_split);
+    output is the sparse (doc_id, bucket, count) triplet form."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    )
+    return (
+        toks.withColumn(
+            "bucket", F.substring(F.md5(F.encode("token", "utf-8")), 1, 2)
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_FEATURE_HASHING = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+)
+SELECT doc_id, substr(md5(token), 1, 2) AS bucket, count(*) AS n
+FROM toks
+GROUP BY doc_id, substr(md5(token), 1, 2)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2859,6 +3182,14 @@ REGISTRY: dict[str, tuple] = {
     "map_in_arrow": (q_map_in_arrow, SQL_MAP_IN_ARROW),
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    # -- new r3 (this session): training-data feature-eng pack #2 --
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "target_encode_loo": (q_target_encode_loo, SQL_TARGET_ENCODE_LOO),
+    "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
+    "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
@@ -2900,14 +3231,15 @@ REGISTRY: dict[str, tuple] = {
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
     "udtf_shingles": (q_udtf_shingles, SQL_UDTF_SHINGLES),
-    # ---- position 50 boundary (82 keys; r3's ten new front-section
-    # keys push the equi-join family, tpch_q3 and the text/dedup pack
-    # just past it): everything below was driver-green in round 1
-    # and/or round 2 (CORRECTNESS_r0{1,2}.json) and is kept green by
-    # scripts/check_entry.py sweeps at all three SF tiers (committed
-    # evidence: BENCH/sweeps_r03.jsonl); rotated here so a 50-entry
-    # driver cap lands on the most-rounds-green, cheapest-to-reverify
-    # keys ----
+    # ---- position 50 boundary (88 keys; r3's sixteen new
+    # front-section keys push the agg grouping/pivot/percentile tail,
+    # explode/levenshtein/udtf, the equi-join family, tpch_q3 and the
+    # text/dedup pack just past it): everything below was driver-green
+    # in round 1 and/or round 2 (CORRECTNESS_r0{1,2}.json) and is kept
+    # green by scripts/check_entry.py sweeps at all three SF tiers
+    # (committed evidence: BENCH/sweeps_r03.jsonl); rotated here so a
+    # 50-entry driver cap lands on the most-rounds-green,
+    # cheapest-to-reverify keys ----
     # -- joins --
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),

@@ -190,3 +190,45 @@ def test_tolerance_parity_across_strategies(spark, fixtures):
         ).where("warc_ts IS NOT NULL").count()
     )
     assert base["warc_ts"].notna().sum() < full
+
+
+@pytest.mark.parametrize("strategy", ["merge_scan", "merge_scan_slim"])
+def test_forward_direction_matches_oracle(spark, fixtures, strategy):
+    """direction='forward' attaches the EARLIEST build row at-or-after
+    each probe (the label-construction join); parity vs pd.merge_asof
+    direction='forward', and every match must be >= the probe ts."""
+    grid, feats, grid_pdf, _ = fixtures
+    fp = feats.toPandas()
+    want = oracle_asof(
+        grid_pdf, fp, key="url", ts_probe="join_ts", ts_build="warc_ts",
+        build_cols=["text_sha256"], direction="forward",
+    ).sort_values(["url", "join_ts"], ignore_index=True)
+    got = (
+        asof_join(
+            grid, feats, key="url", ts_probe="join_ts",
+            ts_build="warc_ts", build_cols=["text_sha256"],
+            strategy=strategy, num_buckets=32, direction="forward",
+        )
+        .toPandas()
+    )
+    _check(got, want)
+    m = got["warc_ts"].notna()
+    assert (
+        got.loc[m, "warc_ts"].astype("datetime64[us]")
+        >= got.loc[m, "join_ts"].astype("datetime64[us]")
+    ).all()
+
+
+def test_forward_rejected_by_window_strategies(spark):
+    """union_window/range_scan are backward-only; forward must raise
+    rather than silently compute the wrong direction."""
+    pages = synth_pages(spark, SynthConfig(n_urls=10))
+    probe = pages.selectExpr("url", "warc_ts as join_ts")
+    build = pages.selectExpr("url", "warc_ts", "lang as b_lang")
+    for strategy in ("union_window", "range_scan"):
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(
+                probe, build, key="url", ts_probe="join_ts",
+                ts_build="warc_ts", build_cols=["b_lang"],
+                strategy=strategy, direction="forward",
+            )
