@@ -59,6 +59,13 @@ HEADLINE = [
     # asof_join — their relative cost IS the strategy-selection signal)
     "asof_union_window",
     "asof_range_scan",
+    # added r3 (session 2): feature-eng pack #2 + forward as-of
+    "tpch_q6",
+    "target_encode_loo",
+    "quality_repetition",
+    "contamination",
+    "feature_hashing",
+    "asof_forward",
 ]
 
 

@@ -186,3 +186,56 @@ def test_eval_rank_stats_plan_shape(spark, sf_dir):
     # global aggregate adds only a SinglePartition exchange
     fat = re.findall(r"Exchange hashpartitioning\(q_id[^)]*\)", plan)
     assert len(fat) == 1, plan
+
+
+def test_tpch_q6_full_predicate_pushdown(spark, sf_dir):
+    """Every Q6 predicate (shipdate range, discount band, quantity cap)
+    must reach the parquet scan as a pushed filter — the row-group
+    pruning the 100 TB scan depends on."""
+    from crawlfe.queries import q_tpch_q6
+
+    # the AQE executedPlan string stops at the first unmaterialized
+    # stage; the formatted explain always prints the scan node
+    df = q_tpch_q6(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), pushed.group(1)
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The tiny eval-shingle side must come in as a broadcast hash
+    join (no shuffled sort-merge of the fat corpus side against it,
+    and never a cartesian product)."""
+    from crawlfe.queries import q_contamination
+
+    plan = plan_of(q_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_hashing_partial_agg(spark, sf_dir):
+    """The hashing-trick count must map-side combine: a HashAggregate
+    BELOW the exchange (partial) and one above (final) — one shuffle
+    of pre-reduced (doc, bucket) partials, not raw tokens."""
+    from crawlfe.queries import q_feature_hashing
+
+    plan = plan_of(q_feature_hashing(spark, sf_dir))
+    pre_exchange = plan.split("Exchange", 1)[1]
+    assert "HashAggregate" in pre_exchange, plan
+
+
+def test_target_encode_single_shuffle(spark, sf_dir):
+    """The LOO encoder is one hash exchange + sort + window — no
+    second shuffle, no join."""
+    from crawlfe.queries import q_target_encode_loo
+
+    plan = plan_of(q_target_encode_loo(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # hash + AQE read at most
+    assert "Join" not in plan
