@@ -66,6 +66,10 @@ HEADLINE = [
     "contamination",
     "feature_hashing",
     "asof_forward",
+    # added r3 (session 3): keep-best canonicalization + stratified
+    # quota sampling
+    "dedup_keep_best",
+    "stratified_sample",
 ]
 
 

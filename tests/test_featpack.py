@@ -131,3 +131,45 @@ def test_tpch_q6_matches_pandas(spark):
     assert out["revenue"] == pytest.approx(
         (m["l_extendedprice"] * m["l_discount"]).sum(), rel=1e-9
     )
+
+
+def test_dedup_keep_best_picks_max_quality(spark):
+    """Every emitted block winner must be the longest doc in its block
+    (min doc_id on ties), n_docs must equal the true block size, and
+    single-doc blocks must not appear. Brute-forced in pandas."""
+    from crawlfe.queries import q_dedup_keep_best
+
+    out = q_dedup_keep_best(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["block"] = docs["text"].str[:3]
+    sizes = docs.groupby("block").size()
+    assert (out["n_docs"] > 1).all()
+    assert (out["n_dropped"] == out["n_docs"] - 1).all()
+    multi = set(sizes[sizes > 1].index)
+    assert set(out["block"]) == multi and len(out) == len(multi) > 0
+    for _, r in out.iterrows():
+        blk = docs[docs["block"] == r["block"]]
+        assert r["n_docs"] == len(blk)
+        best = blk.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert r["best_doc_id"] == best["doc_id"]
+        assert r["best_n_chars"] == best["n_chars"]
+
+
+def test_stratified_sample_deterministic_and_quota(spark):
+    """Non-en strata pass through untouched; en is cut to the <= '3f'
+    hash-bucket quarter; two runs give byte-identical row sets (the
+    reproducibility property rand()-sampling lacks)."""
+    from crawlfe.queries import q_stratified_sample
+
+    a = q_stratified_sample(spark, SF).toPandas().sort_values("doc_id")
+    b = q_stratified_sample(spark, SF).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    non_en = docs[docs["lang"] != "en"]
+    assert len(a[a["lang"] != "en"]) == len(non_en)
+    en = a[a["lang"] == "en"]
+    assert (en["bucket"] <= "3f").all()
+    n_en_total = (docs["lang"] == "en").sum()
+    assert 0 < len(en) < n_en_total
