@@ -70,6 +70,9 @@ HEADLINE = [
     # quota sampling
     "dedup_keep_best",
     "stratified_sample",
+    "tfidf_topk",
+    "quality_unigram_lm",
+    "pii_redact",
 ]
 
 

@@ -3221,6 +3221,201 @@ WHERE lang <> 'en'
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """TF-IDF top-5 terms per document — the classic two-shuffle
+    distributed featurization: per-doc term counts (shuffle on
+    (doc_id, token)), document frequencies (tiny agg on token), join
+    back, score, window top-k. Only the ONE-ROW corpus total is
+    broadcast explicitly; the df table joins normally (at web scale
+    the vocabulary is itself huge — AQE picks broadcast when it fits).
+    Ranking uses the 4-dec-ROUNDED score (+ token tie-break) so rank
+    order is engine-portable (raw-double ordering can ulp-flip)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "n",
+            "df",
+            F.round(
+                F.col("n")
+                * F.log(
+                    F.col("n_total").cast("double")
+                    / F.col("df").cast("double")
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "token", "n", "df", "tfidf", "rn")
+    )
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), total AS (
+  SELECT count(*) AS n_total FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.n, dfreq.df,
+         round(tf.n * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)), 4)
+           AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN total
+)
+SELECT doc_id, token, n, df, tfidf, rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+def q_quality_unigram_lm(spark, sf_dir):
+    """Unigram-LM quality score per document (the CCNet-style LM
+    filtering analog, public method): mean log-probability of the
+    doc's tokens under the corpus unigram distribution. Corpus token
+    counts are one small agg joined back to the token stream; the
+    one-row corpus total is broadcast. Per-token ln(p) is rounded to
+    4 dec and summed as exact BIGINT ten-thousandths so the per-doc
+    sum is bit-deterministic across engines, partitionings, and
+    cluster sizes (double summation order is not)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    )
+    ctok = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("c_total"))
+    lp_fixed = F.round(
+        F.log(F.col("c_tok").cast("double") / F.col("c_total").cast("double"))
+        * 10000
+    ).cast("bigint")
+    return (
+        toks.join(ctok, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lp_fixed).alias("sum_lp_e4"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_lp_e4")
+                / (F.lit(10000.0) * F.col("n_tokens")),
+                4,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+SQL_QUALITY_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), ctok AS (
+  SELECT token, count(*) AS c_tok FROM toks GROUP BY token
+), total AS (
+  SELECT count(*) AS c_total FROM toks
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(CAST(round(ln(CAST(c_tok AS DOUBLE)
+                               / CAST(c_total AS DOUBLE)) * 10000)
+                      AS BIGINT))
+             / (10000.0 * count(*)), 4) AS mean_logprob
+FROM toks JOIN ctok USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+# PII patterns (Java regex == RE2 subset: char classes, \\b, \\d only)
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_RE = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (the scrub pass every public training-data
+    pipeline runs — C4/Dolma-style): regex-replace emails and IPv4
+    addresses with typed placeholder tokens and count what was hit.
+    The synthetic corpus carries no natural PII, so PII is INJECTED
+    deterministically first (docs with doc_id%3==0 get one email +
+    one IP) — the injection is part of the query in both engines, so
+    the redaction itself is what's oracle-checked, on both dirty and
+    clean rows. Pure narrow projection: regexps run JVM-side
+    (whole-stage codegen), no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(dirty, _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(_PII_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(dirty, F.lit(_PII_IP_RE), 0)).alias(
+            "n_ips"
+        ),
+        F.substring(red, 1, 80).alias("redacted_prefix"),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com from 10.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_IP_RE}')) AS n_ips,
+       substr(regexp_replace(regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>',
+                                            'g'),
+                             '{_PII_IP_RE}', '<IP>', 'g'),
+              1, 80) AS redacted_prefix
+FROM dirty
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3259,6 +3454,9 @@ REGISTRY: dict[str, tuple] = {
     "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
@@ -3301,7 +3499,7 @@ REGISTRY: dict[str, tuple] = {
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
     "udtf_shingles": (q_udtf_shingles, SQL_UDTF_SHINGLES),
-    # ---- position 50 boundary (91 keys; r3's eighteen new
+    # ---- position 50 boundary (94 keys; r3's twenty-one new
     # front-section keys push the agg rollup/cube/grouping/pivot/
     # percentile tail, explode/levenshtein/udtf, the equi-join family,
     # tpch_q3 and the text/dedup pack just past it): everything below

@@ -239,3 +239,28 @@ def test_target_encode_single_shuffle(spark, sf_dir):
     plan = plan_of(q_target_encode_loo(spark, sf_dir))
     assert plan.count("Exchange") <= 2, plan  # hash + AQE read at most
     assert "Join" not in plan
+
+
+def test_tfidf_topk_partial_rank_limit(spark, sf_dir):
+    """The top-5 window must carry Spark's WindowGroupLimit partial
+    pass (rank-limit pushdown BEFORE the doc_id shuffle — at 100 TB
+    this is the difference between shuffling 5 rows/doc and shuffling
+    the whole scored token table), and the one-row corpus total must
+    arrive by broadcast, never a shuffle."""
+    from crawlfe.queries import q_tfidf_topk
+
+    plan = plan_of(q_tfidf_topk(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_narrow(spark, sf_dir):
+    """Redaction is a pure projection: no exchange, no join, and the
+    scan must prune to (doc_id, text)."""
+    from crawlfe.queries import q_pii_redact
+
+    plan = plan_of(q_pii_redact(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

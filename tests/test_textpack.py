@@ -314,3 +314,89 @@ def test_decode_media_real_codec_branch():
     # non-image payload: stub fallback, never an exception
     junk = b"\x00\x01definitely-not-an-image\xff"
     assert m.decode_media(junk) == m._fake_decode(junk)
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_tfidf_topk_matches_bruteforce(spark):
+    """Top-5 TF-IDF terms per doc must equal a pandas brute-force on
+    the same rounded-score + token tie-break spec."""
+    from crawlfe.queries import q_tfidf_topk
+
+    out = q_tfidf_topk(spark, SF001).toPandas()
+    docs = pd.read_parquet(f"{SF001}/documents.parquet")
+    toks = (
+        docs.assign(token=docs["text"].str.strip().str.split())
+        .explode("token")[["doc_id", "token"]]
+    )
+    tf = toks.groupby(["doc_id", "token"]).size().rename("n").reset_index()
+    dfreq = tf.groupby("token").size().rename("df").reset_index()
+    m = tf.merge(dfreq, on="token")
+    m["tfidf"] = (m["n"] * np.log(len(docs) / m["df"])).round(4)
+    m = m.sort_values(
+        ["doc_id", "tfidf", "token"], ascending=[True, False, True]
+    )
+    m["rn"] = m.groupby("doc_id").cumcount() + 1
+    exp = m[m["rn"] <= 5].reset_index(drop=True)
+    got = out.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "token", "n", "df", "rn"]].astype(
+            exp[["doc_id", "token", "n", "df", "rn"]].dtypes
+        ),
+        exp[["doc_id", "token", "n", "df", "rn"]],
+    )
+    assert np.allclose(got["tfidf"], exp["tfidf"], atol=1e-9)
+
+
+def test_quality_unigram_lm_semantics(spark):
+    """Scores are negative mean log-probs; the exact fixed-point spec
+    (per-token ln p rounded to 1e-4, summed as ints) is brute-forced
+    in pandas and must match bit-for-bit after the final rounding."""
+    from crawlfe.queries import q_quality_unigram_lm
+
+    out = q_quality_unigram_lm(spark, SF001).toPandas()
+    docs = pd.read_parquet(f"{SF001}/documents.parquet")
+    toks = (
+        docs.assign(token=docs["text"].str.strip().str.split())
+        .explode("token")[["doc_id", "token"]]
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r(x, scale):
+        # Spark's round(): shortest-repr decimal of the double, then
+        # HALF_UP at `scale` — NOT numpy's half-even
+        q = Decimal(1).scaleb(-scale)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    c = toks.groupby("token").size()
+    lp_e4 = np.log(c / c.sum()).map(lambda v: int(_r(v * 10000, 0)))
+    toks["lp"] = toks["token"].map(lp_e4)
+    g = toks.groupby("doc_id")["lp"].agg(["sum", "count"])
+    exp = (g["sum"] / (10000.0 * g["count"])).map(lambda v: _r(v, 4))
+    m = out.set_index("doc_id").join(g)
+    assert (m["n_tokens"] == m["count"]).all()
+    assert np.allclose(m["mean_logprob"], exp.loc[m.index], atol=1e-12)
+    assert (m["mean_logprob"] < 0).all()
+
+
+def test_pii_redact_hits_and_passthrough(spark):
+    """Injected rows (doc_id%3==0) must report exactly one email + one
+    IP and a fully scrubbed prefix; clean rows must pass through with
+    zero hits and unmodified text."""
+    from crawlfe.queries import q_pii_redact
+
+    out = q_pii_redact(spark, SF001).toPandas()
+    docs = pd.read_parquet(f"{SF001}/documents.parquet").set_index("doc_id")
+    dirty = out[out["doc_id"] % 3 == 0]
+    clean = out[out["doc_id"] % 3 != 0]
+    assert len(dirty) > 0 and len(clean) > 0
+    assert (dirty["n_emails"] == 1).all() and (dirty["n_ips"] == 1).all()
+    assert dirty["redacted_prefix"].str.startswith(
+        "contact <EMAIL> from <IP> "
+    ).all()
+    assert "@" not in "".join(dirty["redacted_prefix"])
+    assert (clean["n_emails"] == 0).all() and (clean["n_ips"] == 0).all()
+    for _, r in clean.head(20).iterrows():
+        assert r["redacted_prefix"] == docs.loc[r["doc_id"], "text"][:80]
