@@ -73,6 +73,8 @@ HEADLINE = [
     "tfidf_topk",
     "quality_unigram_lm",
     "pii_redact",
+    "clean_funnel",
+    "tpch_q1",
 ]
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import clean
 from . import windows as W
 from .asof import asof_join
 from .textfeat import featurize_batch
@@ -3416,6 +3417,195 @@ FROM dirty
 """
 
 
+def _dirty_documents(spark, sf_dir):
+    """Documents with deterministic PII injection (doc_id%3==0 rows get
+    one email + one IP) — shared upstream for the corpus-clean queries
+    so the funnel's redaction counters are non-vacuous."""
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1 "),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+_SQL_DIRTY_DOCS = """
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com from 10.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text
+              ELSE text END AS text
+  FROM documents
+"""
+
+_SQL_CLEAN_FLAGS = f"""
+WITH dirty AS ({_SQL_DIRTY_DOCS}
+), f AS (
+  SELECT doc_id, lang, source, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         round((len(regexp_split_to_array(trim(text), '\\s+'))
+                - len(list_distinct(regexp_split_to_array(trim(text),
+                                                          '\\s+'))))
+               * 10000.0
+               / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                      AS DOUBLE)) / 10000.0 AS dup_frac,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rn
+  FROM dirty
+), k AS (
+  SELECT *, (rn = 1) AS keep_dedup,
+         (rn = 1 AND n_tokens BETWEEN {clean.MIN_TOKENS}
+                                  AND {clean.MAX_TOKENS}) AS keep_len,
+         (rn = 1 AND n_tokens BETWEEN {clean.MIN_TOKENS}
+                                  AND {clean.MAX_TOKENS}
+             AND dup_frac <= {clean.MAX_DUP_FRAC}) AS keep_rep
+  FROM f
+)
+SELECT *,
+       (keep_rep AND lang IN ('en', 'fr', 'es', 'de')) AS keep_lang,
+       len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IP_RE}')) AS n_ips
+FROM k
+"""
+
+
+def q_clean_funnel(spark, sf_dir):
+    """Corpus-cleaning funnel report (crawlfe/clean.py): exact dedup →
+    length bounds → repetition → language keep-set, all flags from ONE
+    scan (the only shuffle is the content-hash window), waterfall
+    counts from ONE aggregation. The composition every 100 TB
+    pre-training pipeline runs; per-stage re-scans would read the
+    corpus five times instead of once."""
+    return clean.funnel(clean.flag_docs(_dirty_documents(spark, sf_dir)))
+
+
+SQL_CLEAN_FUNNEL = f"""
+WITH flags AS ({_SQL_CLEAN_FLAGS}
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_dedup,
+         CAST(sum(CASE WHEN keep_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS length,
+         CAST(sum(CASE WHEN keep_rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS repetition,
+         CAST(sum(CASE WHEN keep_lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS lang
+  FROM flags
+)
+SELECT 0 AS stage_idx, 'total' AS stage, total AS n_kept,
+       CAST(0 AS BIGINT) AS n_dropped_here FROM a
+UNION ALL
+SELECT 1, 'exact_dedup', exact_dedup, total - exact_dedup FROM a
+UNION ALL
+SELECT 2, 'length', length, exact_dedup - length FROM a
+UNION ALL
+SELECT 3, 'repetition', repetition, length - repetition FROM a
+UNION ALL
+SELECT 4, 'lang', lang, repetition - lang FROM a
+"""
+
+
+def q_clean_docs(spark, sf_dir):
+    """The cleaned-corpus output of the funnel: surviving rows with
+    PII-redacted text (redaction flags are counters, never drops)."""
+    out = clean.corpus_clean(_dirty_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_emails",
+        "n_ips",
+        F.substring("text", 1, 80).alias("clean_prefix"),
+    )
+
+
+SQL_CLEAN_DOCS = f"""
+WITH flags AS ({_SQL_CLEAN_FLAGS}
+)
+SELECT doc_id, lang, source, n_tokens, n_emails, n_ips,
+       substr(regexp_replace(regexp_replace(text, '{_PII_EMAIL_RE}',
+                                            '<EMAIL>', 'g'),
+                             '{_PII_IP_RE}', '<IP>', 'g'),
+              1, 80) AS clean_prefix
+FROM flags WHERE keep_lang
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report) — the canonical wide-agg
+    probe: scan → pushed date filter → hash agg on a 6-ish-key group
+    with 8 aggregates. Map-side partial aggregation collapses ~all
+    rows before the (tiny) shuffle, so at 100 TB the exchange carries
+    kilobytes. All sums use the scaled-integer pattern (round to the
+    value grid, sum as BIGINT, divide back) so group totals are
+    bit-deterministic across engines and partition orders — raw
+    double summation order is not associative."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    def e(c, scale):
+        return F.sum(F.round(c * scale, 0).cast("bigint")) / F.lit(scale)
+
+    n = F.count(F.lit(1))
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            e(F.col("l_quantity"), 100.0).alias("sum_qty"),
+            e(F.col("l_extendedprice"), 100.0).alias("sum_base_price"),
+            e(disc_price, 10000.0).alias("sum_disc_price"),
+            e(charge, 1000000.0).alias("sum_charge"),
+            F.round(
+                e(F.col("l_quantity"), 100.0) / n.cast("double"), 4
+            ).alias("avg_qty"),
+            F.round(
+                e(F.col("l_extendedprice"), 100.0) / n.cast("double"), 4
+            ).alias("avg_price"),
+            F.round(
+                e(F.col("l_discount"), 100.0) / n.cast("double"), 4
+            ).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0)
+                AS BIGINT)) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * 1000000.0) AS BIGINT)) / 1000000.0 AS sum_charge,
+       round(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0
+             / count(*), 4) AS avg_qty,
+       round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0
+             / count(*), 4) AS avg_price,
+       round(sum(CAST(round(l_discount * 100.0) AS BIGINT)) / 100.0
+             / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3429,6 +3619,10 @@ REGISTRY: dict[str, tuple] = {
     # first, the core suite next, and the 10 cheapest scalar/set-op
     # queries (all driver-green in CORRECTNESS_r01.json) sit past
     # position 50 so a 50-entry cap costs the least information.
+    # r3 additions push topk_per_group / project_filter / null_handling
+    # past 50 too — all three unchanged since r1 and driver-green in
+    # CORRECTNESS_r02.json; scripts/check_entry.py re-verifies every
+    # past-window key per round (BENCH/sweeps_r03.jsonl).
     # -- round-1 fails (oracle CAST bug, fixed), unchecked keys, new ops,
     #    and de-vacuated 0-row passes --
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -3457,6 +3651,9 @@ REGISTRY: dict[str, tuple] = {
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
+    "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -264,3 +264,16 @@ def test_pii_redact_is_narrow(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_tpch_q1_partial_agg_and_pushdown(spark, sf_dir):
+    """Q1 must do map-side partial aggregation (two HashAggregates
+    around ONE exchange carrying only the collapsed groups — at 100 TB
+    the shuffle is kilobytes) and push the shipdate filter to the
+    parquet scan."""
+    from crawlfe.queries import q_tpch_q1
+
+    plan = plan_of(q_tpch_q1(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
