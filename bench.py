@@ -75,6 +75,9 @@ HEADLINE = [
     "pii_redact",
     "clean_funnel",
     "tpch_q1",
+    "seq_pack",
+    "vocab_topv",
+    "shard_assign",
 ]
 
 

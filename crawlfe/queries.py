@@ -3606,6 +3606,151 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing for LLM pre-training (the GPT-style
+    concat-and-chunk step, public method): concatenate documents in a
+    deterministic order and slice the token stream into fixed-budget
+    training sequences. The packing cumsum is a running-total window —
+    done GLOBALLY that is a single-partition serial scan, so the
+    engine packs WITHIN each source shard (Window.partitionBy(source))
+    and shards pack in parallel; at 100 TB each shard's window is an
+    independent partition-local sort, no global ordering anywhere.
+    Emits one row per (shard, sequence) with fill statistics; a doc
+    whose tokens straddle a boundary counts toward the sequence its
+    first token lands in (exclusive cumsum), exactly like the
+    chunked-concat dataloader."""
+    budget = 4096
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "source", "doc_id", toks.alias("n_tokens")
+    ).withColumn(
+        "seq_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+SQL_SEQ_PACK = """
+WITH t AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY doc_id) - n_tokens)
+                    / 4096) AS BIGINT) AS seq_id
+  FROM t
+)
+SELECT source, seq_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM c GROUP BY source, seq_id
+"""
+
+
+def q_vocab_topv(spark, sf_dir):
+    """Vocabulary construction (top-V word-level vocab, the tokenizer
+    bootstrap every corpus pipeline runs): corpus-wide token counts →
+    keep the V most frequent (count desc, token asc tie-break) →
+    vocab id = dense rank. The token agg does map-side partial combine
+    so the shuffle carries one row per distinct token per task; the
+    top-V cut is `orderBy().limit(V)` — TakeOrderedAndProject, a
+    per-partition heap + driver merge of V rows per partition, so even
+    a 100M-token web vocabulary never funnels through a
+    single-partition global sort. The rank window that assigns ids
+    then runs over exactly V rows."""
+    V = 500
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(V)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.select(
+        F.row_number().over(w).alias("vocab_id"), "token", "n"
+    )
+
+
+SQL_VOCAB_TOPV = """
+WITH counts AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), agg AS (
+  SELECT token, count(*) AS n FROM counts GROUP BY token
+)
+SELECT vocab_id, token, n
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, token) AS vocab_id
+  FROM agg
+)
+WHERE vocab_id <= 500
+"""
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic dataloader sharding: every doc gets a stable
+    (shard, position) so N training workers read disjoint, reproducible
+    slices regardless of partition layout or cluster size. Shard =
+    md5-bucket of doc_id mod 8 (content-independent, layout-independent
+    — the same trick as sample_split); position = row_number within
+    shard ordered by doc_id. One hash shuffle on shard; positions are
+    partition-local windows."""
+    n_shards = 8
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", shard.alias("shard"))
+        .withColumn("position", F.row_number().over(w))
+    )
+
+
+SQL_SHARD_ASSIGN = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                   AS BIGINT) % 8 AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, lang, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS position
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3654,6 +3799,9 @@ REGISTRY: dict[str, tuple] = {
     "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
     "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "vocab_topv": (q_vocab_topv, SQL_VOCAB_TOPV),
+    "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),

@@ -277,3 +277,37 @@ def test_tpch_q1_partial_agg_and_pushdown(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count("Exchange") == 1, plan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_runtime_bloom_filter_on_selective_fact_join(spark, sf_dir):
+    """When a dim is too big to broadcast (forced here by disabling
+    broadcast), Catalyst must inject a runtime bloom filter from the
+    selective dim side into the fact scan (`might_contain` on
+    l_orderkey fed by a bloom_filter_agg subquery) — at 100 TB this
+    prunes fact rows BEFORE the shuffle, which is the difference
+    between shuffling the whole fact table and shuffling the ~5% that
+    can join. The engine leaves the (default-on) injection thresholds
+    alone; this pins that our plans stay eligible for it."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
