@@ -1,16 +1,21 @@
-"""Single-pass corpus-cleaning funnel (the pre-training data pipeline).
+"""Corpus-cleaning funnel (the pre-training data pipeline).
 
 Composes the engine's filtering signals — exact dedup, length bounds,
 Gopher-style repetition (Rae+21 §A1.1, public method), language keep-set,
 PII redaction (C4/Dolma-style scrub) — into ONE flag-based pass:
 
-  * every signal is computed in a single scan of the corpus (the only
-    shuffle is the content-hash window for exact dedup);
+  * the fat rows NEVER shuffle: exact dedup comes from a slim
+    (sha, doc_id) pre-aggregation (its exchange carries 40-byte
+    pairs) broadcast-joined back; every other signal is a narrow
+    projection. The corpus text is read twice (slim pass + flag
+    pass) but two columnar scans beat one full-row shuffle by a wide
+    margin — measured: the window-shuffle design scored 0.727 N->4N
+    efficiency, the slim design restored it (BENCH/clean_runs.jsonl);
   * drops are FLAGS, not per-stage filters, so the funnel report
     (rows surviving each stage, in waterfall order) comes from one
     aggregation over the flagged frame instead of N re-scans — at
-    100 TB, re-scanning the corpus once per stage is the difference
-    between one pass and five;
+    100 TB, re-filtering the corpus once per stage is the difference
+    between one flag pass and five;
   * redaction never drops rows, so the cleaned output is
     `keep_lang AND NOT any-drop-flag` with the redacted text.
 
@@ -23,7 +28,7 @@ sizes. Mirrors the shape of the reference's dataset-cleaning stage
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # PII patterns (Java regex == RE2 subset; shared with q_pii_redact)
@@ -41,6 +46,30 @@ KEEP_LANGS = ("en", "fr", "es", "de")
 STAGES = ["total", "exact_dedup", "length", "repetition", "lang"]
 
 
+def _n_tokens_col():
+    return F.size(F.split(F.trim(F.col("text")), "\\s+"))
+
+
+def _dup_frac_col():
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    n_t = F.size(toks)
+    d_t = F.size(F.array_distinct(toks))
+    # scaled-integer rounding: exact integer ratios tie identically
+    # across engines (same pattern as quality_repetition)
+    return (
+        F.round((n_t - d_t).cast("double") * 10000.0 / n_t.cast("double"), 0)
+        / 10000.0
+    )
+
+
+def _redact_col():
+    return F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+        PII_IP_RE,
+        "<IP>",
+    )
+
+
 def flag_docs(docs: DataFrame) -> DataFrame:
     """Annotate (doc_id, text, lang, ...) with cumulative keep flags.
 
@@ -48,22 +77,40 @@ def flag_docs(docs: DataFrame) -> DataFrame:
     keep_lang (each cumulative: keep_X implies all earlier keeps),
     n_emails / n_ips and `clean_text` (redacted, never dropped).
     """
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    n_t = F.size(toks)
-    d_t = F.size(F.array_distinct(toks))
-    # scaled-integer rounding: exact integer ratios tie identically
-    # across engines (same pattern as quality_repetition)
-    dup_frac = (
-        F.round((n_t - d_t).cast("double") * 10000.0 / n_t.cast("double"), 0)
-        / 10000.0
+    # exact dedup: canonical row = lowest doc_id per content hash —
+    # via the SLIM pattern (the dedup analog of asof merge_scan_slim):
+    # a (sha, doc_id) projection aggregates to one row per
+    # DUPLICATED content hash (unique shas are dropped — on a real
+    # crawl corpus most content is unique, so this table is a small
+    # fraction of the corpus), and the fat rows take a left join
+    # against it that AQE converts to broadcast when it fits. The fat
+    # text column therefore NEVER shuffles: the only exchange in the
+    # funnel carries 40-byte (sha, doc_id) pairs. The earlier window
+    # design (row_number over partitionBy(sha)) shuffled every full
+    # row and measurably broke N->4N scaling (BENCH/clean_runs.jsonl:
+    # 0.727 at 3M docs; shuffle bandwidth, not CPU, was the ceiling).
+    sha = F.sha2("text", 256)
+    dup_min = (
+        docs.select(sha.alias("text_sha"), "doc_id")
+        .groupBy("text_sha")
+        .agg(
+            F.min("doc_id").alias("_min_doc_id"),
+            F.count(F.lit(1)).alias("_n_same"),
+        )
+        .where(F.col("_n_same") > 1)
+        .select("text_sha", "_min_doc_id")
     )
-    # exact dedup: canonical row = lowest doc_id per content hash.
-    # The ONE shuffle in the funnel; everything downstream is narrow.
-    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     out = (
-        docs.withColumn("n_tokens", n_t)
-        .withColumn("dup_frac", dup_frac)
-        .withColumn("keep_dedup", F.row_number().over(w) == 1)
+        docs.withColumn("text_sha", sha)
+        .join(dup_min, "text_sha", "left")
+        .withColumn(
+            "keep_dedup",
+            F.col("_min_doc_id").isNull()
+            | (F.col("doc_id") == F.col("_min_doc_id")),
+        )
+        .drop("_min_doc_id")
+        .withColumn("n_tokens", _n_tokens_col())
+        .withColumn("dup_frac", _dup_frac_col())
     )
     out = out.withColumn(
         "keep_len",
@@ -82,14 +129,7 @@ def flag_docs(docs: DataFrame) -> DataFrame:
     ).withColumn(
         "n_ips",
         F.size(F.regexp_extract_all("text", F.lit(PII_IP_RE), F.lit(0))),
-    ).withColumn(
-        "clean_text",
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
-            PII_IP_RE,
-            "<IP>",
-        ),
-    )
+    ).withColumn("clean_text", _redact_col())
 
 
 def funnel(flagged: DataFrame) -> DataFrame:
@@ -143,4 +183,45 @@ def corpus_clean(docs: DataFrame) -> DataFrame:
             "n_ips",
             F.col("clean_text").alias("text"),
         )
+    )
+
+
+def stream_clean(
+    docs: DataFrame, ts: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of :func:`corpus_clean` for a timestamped
+    document stream: the stateless quality gates (length, repetition,
+    language) and PII redaction are the SAME expressions as batch; the
+    batch slim-join content dedup becomes watermarked
+    ``dropDuplicatesWithinWatermark`` on sha2(text) — per-content
+    state is dropped once the watermark passes it, so memory stays
+    bounded on an unbounded crawl stream (an unwatermarked
+    dropDuplicates grows state forever).
+
+    Stateless gates run BEFORE the dedup state store, so dropped docs
+    never cost state. Semantics vs batch: the surviving content set is
+    identical (gates are content-deterministic); the surviving row per
+    duplicate-content group is first-arrival here vs lowest-doc_id in
+    batch. In batch mode the same function degrades to plain
+    ``dropDuplicates`` for parity testing.
+    """
+    kept = (
+        docs.withColumn("n_tokens", _n_tokens_col())
+        .withColumn("dup_frac", _dup_frac_col())
+        .where(
+            F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+            & (F.col("dup_frac") <= MAX_DUP_FRAC)
+            & F.col("lang").isin(*KEEP_LANGS)
+        )
+        .withColumn("text_sha", F.sha2("text", 256))
+        .withColumn(ts, F.col(ts).cast("timestamp"))
+    )
+    if kept.isStreaming:
+        kept = kept.withWatermark(ts, delay).dropDuplicatesWithinWatermark(
+            ["text_sha"]
+        )
+    else:
+        kept = kept.dropDuplicates(["text_sha"])
+    return kept.select(
+        "doc_id", ts, "lang", "n_tokens", _redact_col().alias("text")
     )

@@ -5,13 +5,12 @@ Usage (sandbox):
         --input /root/testdata/sf0.1 --output /tmp/crawlfe_clean
 
 Production shape: --input points at the Iceberg documents table. The
-funnel is genuinely SINGLE-PASS: flags come from one scan
-(crawlfe/clean.py), and the waterfall counts are collected with
-Spark's Observation API (`df.observe`) attached BEFORE the keep filter
-— the metrics are accumulated by the same job that writes the cleaned
-table, so at 100 TB the corpus is read exactly once and the report is
-exactly consistent with the data written (no second count pass, no
-TOCTOU). Prints one JSON summary line to stdout.
+fat rows never shuffle (slim-dedup design, crawlfe/clean.py), and the
+waterfall counts are collected with Spark's Observation API
+(`df.observe`) attached BEFORE the keep filter — the metrics are
+accumulated by the same job that writes the cleaned table, so the
+report needs no separate count pass and is exactly consistent with
+the data written (no TOCTOU). Prints one JSON summary line to stdout.
 """
 
 from __future__ import annotations

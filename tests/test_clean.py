@@ -1,6 +1,6 @@
 """Corpus-cleaning funnel (crawlfe/clean.py): waterfall invariants,
 redaction semantics, and the single-shuffle plan shape the 100 TB
-single-pass design depends on."""
+no-fat-shuffle design depends on."""
 
 from __future__ import annotations
 
@@ -89,17 +89,17 @@ def test_repetition_flag_threshold(spark):
     assert r["keep_len"] and not r["keep_rep"]
 
 
-def test_funnel_single_shuffle_plan(spark, sf_dir):
-    """The entire flag pass must contain exactly ONE Exchange (the
-    content-hash window for exact dedup) — at 100 TB a second shuffle
-    or a per-stage re-scan is the design failure the flag-based funnel
-    exists to avoid. The scan must also prune html-sized columns it
-    doesn't need (everything is needed here except n_chars)."""
-    plan = (
-        corpus_clean(_docs(spark, sf_dir))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert plan.count("Exchange") == 1, plan
-    assert "Join" not in plan, plan
+def test_funnel_fat_rows_never_shuffle(spark, sf_dir):
+    """The dedup decision must come from the SLIM (sha, doc_id)
+    aggregation joined back — after AQE finalizes, the join must be
+    broadcast (fat text rows never cross an exchange) and the only
+    shuffle in the funnel is the slim pre-aggregation. A
+    SortMergeJoin here would mean the whole corpus shuffles on the
+    content hash — the design failure that measurably broke N->4N
+    scaling (BENCH/clean_runs.jsonl, 0.727)."""
+    df = corpus_clean(_docs(spark, sf_dir))
+    df.count()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

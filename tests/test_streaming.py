@@ -329,3 +329,62 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     n = stream_dedup(static, keys=["doc_key"], ts="ts").count()
     assert n == 3
+
+
+def test_stream_clean_parity_with_batch(spark, tmp_path, sf_dir):
+    """stream_clean over a file-source stream (two micro-batch files,
+    availableNow) must keep exactly the batch-cleaned content set:
+    same surviving shas, one row per duplicate-content group, same
+    redaction. The dup group's survivor identity may differ
+    (first-arrival vs lowest-doc_id) — content equality is the
+    contract."""
+    from crawlfe.clean import stream_clean
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000) + F.col("doc_id") * 1_000_000)
+            ),
+        )
+    )
+    # plant a cross-batch duplicate: doc 0's text re-appears late
+    dup = docs.where(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(99_999)
+    )
+    in_dir, out_dir, ck = (
+        str(tmp_path / d) for d in ("in", "out", "ck")
+    )
+    docs.where(F.col("doc_id") < 250).write.parquet(
+        os.path.join(in_dir, "b0")
+    )
+    docs.where(F.col("doc_id") >= 250).unionByName(dup).write.parquet(
+        os.path.join(in_dir, "b1")
+    )
+
+    schema = spark.read.parquet(os.path.join(in_dir, "b0")).schema
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(in_dir)
+    q = (
+        stream_clean(stream, ts="ts", delay="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    want = stream_clean(docs.unionByName(dup), ts="ts").toPandas()
+    # one survivor per content group, same content set, same redaction
+    got_texts = sorted(got["text"])
+    want_texts = sorted(want["text"])
+    assert got_texts == want_texts
+    assert len(got) == len(set(got_texts))
+    # the planted duplicate survived exactly once
+    dup_text = want[want["doc_id"].isin([0, 99_999])]
+    assert len(got[got["text"].isin(dup_text["text"])]) <= len(dup_text)
