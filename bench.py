@@ -78,6 +78,7 @@ HEADLINE = [
     "seq_pack",
     "vocab_topv",
     "shard_assign",
+    "asof_nearest",
 ]
 
 

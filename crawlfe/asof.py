@@ -98,9 +98,13 @@ def asof_join(
     (zero temporal leakage, BASELINE.json:6); forward is the LABEL
     path — a training pipeline uses it to attach the outcome at the
     next snapshot (e.g. "did the page change by the next crawl"), where
-    looking forward is the point, not a leak. Only the merge-scan
-    strategies support it (the kernel is pd.merge_asof, which takes
-    the direction natively).
+    looking forward is the point, not a leak. ``direction="nearest"``
+    attaches the build row minimizing ``|ts_build - ts_probe|``
+    (ties -> the backward/earlier row, pd.merge_asof semantics) — the
+    snapshot-alignment mode for joining two crawl streams sampled on
+    different cadences. Only the merge-scan strategies support
+    forward/nearest (the kernel is pd.merge_asof, which takes the
+    direction natively).
 
     Output = all probe columns + ``ts_build`` (matched, nullable) +
     ``build_cols``. Column names must be disjoint from probe's.
@@ -113,7 +117,7 @@ def asof_join(
     clash = set(build_cols + [ts_build]) & set(probe.columns)
     if clash:
         raise ValueError(f"build columns clash with probe columns: {clash}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction}")
     if direction != "backward" and strategy not in (
         "merge_scan", "merge_scan_slim"

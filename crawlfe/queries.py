@@ -2463,6 +2463,56 @@ FROM probe p ASOF LEFT JOIN build b
 """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (direction='nearest'): each click attaches
+    the purchase minimizing |purchase_ts - click_ts|, ties to the
+    earlier row (pd.merge_asof semantics) — the snapshot-alignment
+    mode for joining two streams sampled on different cadences.
+    Same merge-scan kernel, direction passed through; the DuckDB twin
+    is a per-key candidate join ranked by absolute distance (fine at
+    oracle scale; the engine side stays a single-pass merge scan)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id")
+    )
+    build = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    j = asof_join(
+        probe, build, key="user_id", ts_probe="click_ts", ts_build="ts",
+        build_cols=["purchase_value"], strategy="merge_scan",
+        num_buckets=64, direction="nearest",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        _us("click_ts").alias("click_ts_us"),
+        _us("ts").alias("purchase_ts_us"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH probe AS (
+  SELECT user_id, ts AS click_ts, event_id FROM events WHERE event_type = 'click'
+), build AS (
+  SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT p.user_id, p.event_id, p.click_ts, b.ts, b.purchase_value,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(b.ts) - epoch_us(p.click_ts)), b.ts
+         ) AS rn
+  FROM probe p LEFT JOIN build b ON p.user_id = b.user_id
+)
+SELECT user_id, event_id,
+       epoch_us(click_ts) AS click_ts_us,
+       epoch_us(ts) AS purchase_ts_us,
+       round(purchase_value, 4) AS purchase_value
+FROM cand WHERE rn = 1
+"""
+
+
 def q_asof_tolerance(spark, sf_dir):
     """As-of join with a match-window tolerance (merge_asof semantics:
     the latest prior build row matches ONLY if probe_ts - build_ts <=
@@ -3803,6 +3853,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_topv": (q_vocab_topv, SQL_VOCAB_TOPV),
     "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
+    "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

@@ -232,3 +232,63 @@ def test_forward_rejected_by_window_strategies(spark):
                 ts_build="warc_ts", build_cols=["b_lang"],
                 strategy=strategy, direction="forward",
             )
+
+
+@pytest.mark.parametrize("strategy", ["merge_scan", "merge_scan_slim"])
+def test_nearest_direction_matches_oracle(spark, fixtures, strategy):
+    """direction='nearest' attaches the build row minimizing
+    |ts_build - ts_probe| (snapshot alignment across cadences);
+    parity vs pd.merge_asof direction='nearest'."""
+    grid, feats, grid_pdf, _ = fixtures
+    fp = feats.toPandas()
+    want = oracle_asof(
+        grid_pdf, fp, key="url", ts_probe="join_ts", ts_build="warc_ts",
+        build_cols=["text_sha256"], direction="nearest",
+    ).sort_values(["url", "join_ts"], ignore_index=True)
+    got = (
+        asof_join(
+            grid, feats, key="url", ts_probe="join_ts",
+            ts_build="warc_ts", build_cols=["text_sha256"],
+            strategy=strategy, num_buckets=32, direction="nearest",
+        )
+        .toPandas()
+    )
+    _check(got, want)
+
+
+def test_nearest_tie_prefers_backward(spark):
+    """An exactly equidistant pair must resolve to the EARLIER build
+    row (pd.merge_asof nearest tie rule) — pinned so the DuckDB
+    oracle's `ORDER BY abs_diff, ts` twin stays bit-faithful."""
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"],
+                "join_ts": pd.Series(
+                    [pd.Timestamp("2024-01-02 12:00:00")],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u", "u"],
+                "warc_ts": pd.Series(
+                    [
+                        pd.Timestamp("2024-01-02 11:00:00"),
+                        pd.Timestamp("2024-01-02 13:00:00"),
+                    ],
+                    dtype="datetime64[us]",
+                ),
+                "tag": ["back", "fwd"],
+            }
+        )
+    )
+    got = asof_join(
+        probe, build, key="url", ts_probe="join_ts", ts_build="warc_ts",
+        build_cols=["tag"], strategy="merge_scan", num_buckets=4,
+        direction="nearest",
+    ).toPandas()
+    assert list(got["tag"]) == ["back"]
