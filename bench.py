@@ -79,6 +79,15 @@ HEADLINE = [
     "vocab_topv",
     "shard_assign",
     "asof_nearest",
+    # added r3 (session 4): feature-eng pack #3 — SCD2 intervals,
+    # chunk-level paragraph dedup, multi-table point-in-time join,
+    # snapshot-diff features, TPC-H Q4/Q14 shapes
+    "scd2_intervals",
+    "dedup_paragraph",
+    "pit_features",
+    "snapshot_diff",
+    "tpch_q4",
+    "tpch_q14",
 ]
 
 

@@ -311,3 +311,86 @@ def test_runtime_bloom_filter_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q4_semi_join_prunes_fact(spark, sf_dir):
+    """Q4's EXISTS compiles to a LEFT-SEMI hash join whose lineitem
+    scan reads ONLY (l_orderkey, l_discount) with the discount filter
+    pushed — the semi side never materializes payload columns, which
+    at 100 TB is the difference between shuffling a 2-column key set
+    and the whole fact table."""
+    from crawlfe.queries import q_tpch_q4
+
+    df = q_tpch_q4(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(
+        set(c.split(":")[0] for c in s.split(","))
+        == {"l_orderkey", "l_discount"}
+        for s in schemas
+    ), schemas
+
+
+def test_tpch_q14_broadcast_and_pushdown(spark, sf_dir):
+    """Q14: the part dim broadcasts (no fact shuffle for the join) and
+    both shipdate range bounds reach the lineitem scan."""
+    from crawlfe.queries import q_tpch_q14
+
+    df = q_tpch_q14(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(l_shipdate" in pushed, pushed
+    assert "LessThan(l_shipdate" in pushed, pushed
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2 interval derivation is ONE hash exchange on the entity key
+    (the lead window); no second shuffle may appear."""
+    from crawlfe.queries import q_scd2_intervals
+
+    plan = plan_of(q_scd2_intervals(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_snapshot_diff_reuses_window_partitioning(spark, sf_dir):
+    """The per-entity re-aggregation after the lag window must reuse
+    the window stage's hashpartitioning(user_id) — exactly one
+    exchange in the whole plan, or the 100 TB job shuffles the
+    snapshot history twice."""
+    from crawlfe.queries import q_snapshot_diff
+
+    plan = plan_of(q_snapshot_diff(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_paragraph_no_cartesian_two_exchanges(spark, sf_dir):
+    """Chunk dedup = explode -> window on the chunk hash -> re-agg by
+    doc: exactly two hash exchanges (h, then doc_id), never an
+    all-pairs join."""
+    from crawlfe.queries import q_dedup_paragraph
+
+    plan = plan_of(q_dedup_paragraph(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_pit_features_one_scan_per_feature_table(spark, sf_dir):
+    """The chained point-in-time join reads each feature table once
+    and never degenerates to a cartesian candidate join."""
+    from crawlfe.queries import q_pit_features
+
+    plan = plan_of(q_pit_features(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
