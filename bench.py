@@ -88,6 +88,12 @@ HEADLINE = [
     "snapshot_diff",
     "tpch_q4",
     "tpch_q14",
+    # added r3 (session 4): feature-eng pack #4
+    "url_normalize",
+    "temporal_split",
+    "zorder",
+    "quantize_embed",
+    "tpch_q16",
 ]
 
 

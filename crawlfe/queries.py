@@ -4095,6 +4095,237 @@ WHERE l_shipdate >= DATE '1995-01-01'
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #4 (r3, this session): URL canonicalization, temporal
+# holdout split, z-order layout index, int8 embedding quantization,
+# TPC-H Q16 shape
+# --------------------------------------------------------------------------
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization — the web-crawl dedup prerequisite (two
+    crawls of the same page differ only in tracking params / case /
+    default port / fragment). URLs are synthesized deterministically
+    from doc_id so both engines see identical inputs; the canonical
+    form lowercases scheme+host, drops the https default port, strips
+    utm_* tracking params and the fragment. Pure narrow projection
+    (regexp in whole-stage codegen): zero shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example-"), F.col("source"),
+        F.lit(".COM:443/Path"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("/page?id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed&ref=rss#frag"),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    # lowercase scheme://host, keeping the path case-sensitive
+    canon = F.concat(
+        F.lower(F.regexp_extract("url", "^([^/]+//[^/]+)", 1)),
+        F.regexp_extract("url", "^[^/]+//[^/]+(/.*)?$", 1),
+    )
+    canon = F.regexp_replace(canon, ":443/", "/")       # https default port
+    canon = F.regexp_replace(canon, "#.*$", "")          # fragment
+    canon = F.regexp_replace(canon, "[?&]utm_[^&#]*", "")  # tracking params
+    # re-fix the separator if the first surviving param lost its '?'
+    canon = F.regexp_replace(canon, "^([^?]*)&", "$1?")
+    return d.select("doc_id", "url", canon.alias("canon_url"))
+
+
+SQL_URL_NORMALIZE = """
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example-' || source || '.COM:443/Path'
+           || CAST(doc_id % 7 AS VARCHAR) || '/page?id='
+           || CAST(doc_id AS VARCHAR) || '&utm_source=feed&ref=rss#frag'
+           AS url
+  FROM documents
+), c0 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([^/]+//[^/]+)', 1))
+           || coalesce(regexp_extract(url, '^[^/]+//[^/]+(/.*)$', 1), '')
+           AS c
+  FROM u
+), c1 AS (
+  SELECT doc_id, url, regexp_replace(c, ':443/', '/') AS c FROM c0
+), c2 AS (
+  SELECT doc_id, url, regexp_replace(c, '#.*$', '') AS c FROM c1
+), c3 AS (
+  SELECT doc_id, url,
+         regexp_replace(c, '[?&]utm_[^&#]*', '', 'g') AS c
+  FROM c2
+)
+SELECT doc_id, url,
+       regexp_replace(c, '^([^?]*)&', '\\1?') AS canon_url
+FROM c3
+"""
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-aware temporal holdout: per entity, the LAST 2 snapshots
+    become the test fold and everything earlier trains — the split a
+    point-in-time pipeline must use instead of a random one (a random
+    split leaks future snapshots of the same page into train). One
+    window shuffle on the entity key."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("ts_us"),
+        F.when(F.row_number().over(w) <= 2, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("fold"),
+    )
+
+
+SQL_TEMPORAL_SPLIT = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CASE WHEN row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 2
+            THEN 'test' ELSE 'train' END AS fold
+FROM events WHERE event_type = 'view'
+"""
+
+
+def _zorder_spark(x, y, bits: int = 16):
+    """Interleave the low ``bits`` of x (even positions) and y (odd):
+    the Morton/z-value used to cluster a table on two keys at once so
+    min/max file pruning works for BOTH predicates at 100 TB."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            .bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def _zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout index over two clustering keys. The
+    engine writes z-sorted files via repartitionByRange(zval) so scans
+    filtered on EITHER key prune row groups; the query materializes the
+    index itself (pure codegen projection, no exchange — asserted in
+    tests/test_plans.py)."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.col("user_id") % 65536).cast("bigint")
+    y = (F.col("event_id") % 65536).cast("bigint")
+    return ev.select(
+        "event_id",
+        x.alias("zx"),
+        y.alias("zy"),
+        _zorder_spark(x, y).alias("zval"),
+    )
+
+
+SQL_ZORDER = f"""
+WITH k AS (
+  SELECT event_id,
+         CAST(user_id % 65536 AS BIGINT) AS zx,
+         CAST(event_id % 65536 AS BIGINT) AS zy
+  FROM events
+)
+SELECT event_id, zx, zy,
+       CAST({_zorder_sql('zx', 'zy')} AS BIGINT) AS zval
+FROM k
+"""
+
+
+def q_quantize_embed(spark, sf_dir):
+    """Int8 max-abs quantization of the embedding column — the storage
+    path that makes a 100 TB ANN index 4x smaller. Per-vector scale =
+    max|v|; q_i = floor(v_i * 127 / scale + 0.5) (explicit HALF_UP so
+    Spark and DuckDB agree bit-for-bit; both start from the identical
+    stored float32). Output is the per-vector quantization summary —
+    narrow projection + per-row higher-order array fns, no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(vd, F.abs))
+    q = F.transform(
+        vd, lambda v: F.floor(v * 127.0 / scale + 0.5).cast("int")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "sum_q"
+        ),
+        F.array_min(q).alias("min_q"),
+        F.array_max(q).alias("max_q"),
+    )
+
+
+SQL_QUANTIZE_EMBED = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vd,
+         list_max(list_transform(vd, x -> abs(x))) AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(vd, x -> CAST(floor(x * 127.0 / scale + 0.5)
+                                      AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(qv) AS INT) AS n_dims,
+       round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_min(qv) AS INT) AS min_q,
+       CAST(list_max(qv) AS INT) AS max_q
+FROM q
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-count
+    aggregation over a fact-dim join minus an anti-joined supplier
+    exclusion list (lineitem's (l_partkey, l_suppkey) stands in for
+    partsupp). The exclusion list (negative-balance suppliers) is tiny
+    -> broadcast anti join; part broadcasts; the only real shuffle is
+    the distinct agg."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") != "Brand#1"
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4154,6 +4385,12 @@ REGISTRY: dict[str, tuple] = {
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    # -- new r3 (this session): feature-eng pack #4 --
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
+    "zorder": (q_zorder, SQL_ZORDER),
+    "quantize_embed": (q_quantize_embed, SQL_QUANTIZE_EMBED),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

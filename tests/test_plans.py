@@ -394,3 +394,46 @@ def test_pit_features_one_scan_per_feature_table(spark, sf_dir):
     plan = plan_of(q_pit_features(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_normalize_and_zorder_no_shuffle(spark, sf_dir):
+    """URL canonicalization and the z-order index are pure narrow
+    projections — zero exchanges at any scale."""
+    from crawlfe.queries import q_url_normalize, q_zorder
+
+    for q in (q_url_normalize, q_zorder):
+        plan = plan_of(q(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        # "*(1)" is the whole-stage-codegen stage marker in the
+        # executedPlan string (the literal node name only appears in
+        # formatted explain output)
+        assert "*(1) Project" in plan, plan
+
+
+def test_quantize_embed_no_shuffle(spark, sf_dir):
+    """Int8 quantization is per-row higher-order array work — zero
+    exchanges; the scan must prune to the three read columns."""
+    from crawlfe.queries import q_quantize_embed
+
+    plan = plan_of(q_quantize_embed(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_temporal_split_single_exchange(spark, sf_dir):
+    """The per-entity holdout split costs exactly one window shuffle."""
+    from crawlfe.queries import q_temporal_split
+
+    plan = plan_of(q_temporal_split(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tpch_q16_broadcasts_both_dims(spark, sf_dir):
+    """Q16: part and the supplier exclusion list both broadcast (the
+    fact side shuffles only for the distinct agg); the anti join is a
+    broadcast hash join, never a cartesian."""
+    from crawlfe.queries import q_tpch_q16
+
+    plan = plan_of(q_tpch_q16(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
