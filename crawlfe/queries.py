@@ -3978,7 +3978,10 @@ def q_snapshot_diff(spark, sf_dir):
     rate + mean absolute delta — the "how volatile is this page across
     crawls" feature family. One key-partitioned window + one re-agg;
     equality tests run on the raw stored doubles (bit-identical in
-    both engines), rounding applies only to the final aggregates."""
+    both engines); the mean delta uses the engine-portable 4-dp recipe
+    from q_backfill (DECIMAL sum — association-order-independent —
+    scaled by 10^4 before the round; a raw double round(avg) flipped
+    the sf0.1 hash by one ulp: 21.6738 vs 21.6737)."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "view")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     d = ev.select(
@@ -3989,12 +3992,16 @@ def q_snapshot_diff(spark, sf_dir):
     d = d.withColumn(
         "changed", (F.col("value") != F.col("prev_value")).cast("int")
     ).withColumn("abs_delta", F.abs(F.col("value") - F.col("prev_value")))
+    dsum = F.sum(F.col("abs_delta").cast("decimal(18,6)"))
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_snapshots"),
         F.coalesce(F.sum("changed"), F.lit(0)).cast("bigint").alias(
             "n_changed"
         ),
-        F.round(F.avg("abs_delta"), 4).alias("mean_abs_delta"),
+        (
+            F.round((dsum * 10000).cast("double") / F.count("abs_delta"))
+            / 10000
+        ).alias("mean_abs_delta"),
     )
 
 
@@ -4013,7 +4020,8 @@ WITH v AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_snapshots,
        CAST(coalesce(sum(changed), 0) AS BIGINT) AS n_changed,
-       round(avg(abs_delta), 4) AS mean_abs_delta
+       round(CAST(sum(CAST(abs_delta AS DECIMAL(18,6))) * 10000 AS DOUBLE)
+             / count(abs_delta)) / 10000 AS mean_abs_delta
 FROM d GROUP BY user_id
 """
 

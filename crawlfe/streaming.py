@@ -272,3 +272,37 @@ def watermarked_window_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), *keys, "n")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_left: str,
+    ts_right: str,
+    delay: str = "1 hour",
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event matches
+    right events of the same ``key`` arriving within
+    [ts_left, ts_left + horizon_s] — the streaming attribution shape
+    ("purchase within an hour of the click", "page re-crawled within a
+    day of the sitemap ping"). Both sides carry watermarks and the join
+    condition bounds event-time distance in BOTH directions, so Spark
+    can evict join state once the watermark passes ts + horizon —
+    bounded memory at 100 TB, unlike an unconstrained stream-stream
+    join whose buffers grow forever. The same function on batch frames
+    (watermarks are no-ops there) is the parity oracle
+    (tests/test_streaming.py)."""
+    lt = left.withColumn(ts_left, F.col(ts_left).cast("timestamp"))
+    rt = right.withColumn(ts_right, F.col(ts_right).cast("timestamp"))
+    if lt.isStreaming:
+        lt = lt.withWatermark(ts_left, delay)
+    if rt.isStreaming:
+        rt = rt.withWatermark(ts_right, delay)
+    cond = (
+        (lt[key] == rt[key])
+        & (rt[ts_right] >= lt[ts_left])
+        & (rt[ts_right] <= lt[ts_left] + F.expr(f"INTERVAL {horizon_s} SECONDS"))
+    )
+    return lt.join(rt, cond, "inner").drop(rt[key])

@@ -388,3 +388,66 @@ def test_stream_clean_parity_with_batch(spark, tmp_path, sf_dir):
     # the planted duplicate survived exactly once
     dup_text = want[want["doc_id"].isin([0, 99_999])]
     assert len(got[got["text"].isin(dup_text["text"])]) <= len(dup_text)
+
+
+def test_stream_interval_join_matches_batch(spark, dirs, sf_dir):
+    """Stream-stream interval join (clicks x purchases within 1h per
+    user, both sides watermarked) must emit exactly the rows the batch
+    join produces — inner interval joins emit matches as they arrive,
+    so unlike append-mode aggregation no tail rows are withheld."""
+    from crawlfe.streaming import stream_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "event_id"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cdir, pdir = dirs["in"] + "_c", dirs["in"] + "_p"
+    # two files per side -> multiple micro-batches under maxFilesPerTrigger
+    clicks.repartition(2).write.parquet(cdir)
+    purch.repartition(2).write.parquet(pdir)
+    sc = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    sp = (
+        spark.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    j = stream_interval_join(
+        sc,
+        sp.withColumnRenamed("p_user", "user_id"),
+        key="user_id",
+        ts_left="click_ts",
+        ts_right="purchase_ts",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select user_id, event_id, purchase_ts, purchase_value from ssj"
+    ).toPandas()
+    want = stream_interval_join(
+        clicks,
+        purch.withColumnRenamed("p_user", "user_id"),
+        key="user_id",
+        ts_left="click_ts",
+        ts_right="purchase_ts",
+    ).select("user_id", "event_id", "purchase_ts", "purchase_value").toPandas()
+    assert len(want) > 0
+    key = ["user_id", "event_id", "purchase_ts", "purchase_value"]
+    g = got.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    assert len(g) == len(w), (len(g), len(w))
+    assert g.equals(w)
