@@ -94,6 +94,10 @@ HEADLINE = [
     "zorder",
     "quantize_embed",
     "tpch_q16",
+    # added r3 (session 4): feature-eng pack #5
+    "grouped_corr",
+    "event_transitions",
+    "approx_percentile",
 ]
 
 

@@ -4334,6 +4334,131 @@ GROUP BY p_brand, p_type, p_size
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #5 (r3, this session): decimal-moment correlation,
+# event-transition features, approx-percentile sketch
+# --------------------------------------------------------------------------
+
+def q_grouped_corr(spark, sf_dir):
+    """Grouped Pearson correlation (value vs hour-of-day per event
+    type) computed from EXACT decimal moments: sum(x), sum(y),
+    sum(x*x), sum(x*y), sum(y*y) accumulate as DECIMAL — association-
+    order-independent, so the result is bit-identical at any
+    partitioning/cluster size — then the correlation closes over six
+    exact scalars in double. A plain F.corr is a float pairwise
+    update whose last ulp depends on partition merge order; this shape
+    is the distributed-stats discipline the engine uses everywhere
+    (zscore_norm, target_encode_loo). One shuffle (the group agg),
+    map-side partial moments."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.hour(F.col("ts").cast("timestamp")).cast("double")
+    d = ev.select("event_type", x.alias("x"), y.alias("y"))
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.round(cov / F.sqrt(vx * vy) * 10000) / 10000
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        corr.alias("corr_value_hour"),
+    )
+
+
+SQL_GROUPED_CORR = """
+WITH d AS (
+  SELECT event_type, value AS x,
+         CAST(extract(hour FROM ts) AS DOUBLE) AS y
+  FROM events
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy
+  FROM d GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             * 10000) / 10000 AS corr_value_hour
+FROM m
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """Behavioral transition features (the Markov/bigram counts of the
+    per-entity event sequence): lead() the next event type per user,
+    count (from, to) pairs, and attach each from-state's transition
+    share. Two stages: one window shuffle on the entity key, one agg
+    shuffle on the (from, to) pair; the share uses scaled-integer
+    rounding (exact integer inputs -> identical doubles everywhere)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.round(F.col("n") * 10000.0 / F.sum("n").over(wtot)) / 10000
+        ).alias("share"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n * 10000.0 / sum(n) OVER (PARTITION BY from_type)) / 10000
+         AS share
+FROM cnt
+"""
+
+
+def q_approx_percentile(spark, sf_dir):
+    """Approximate percentiles via Spark's Greenwald-Khanna sketch
+    (accuracy 10^4 ≙ rank error ≤ 1e-4·n) — the mergeable-sketch path
+    a 100 TB percentile MUST take (the exact `percentile` holds every
+    value; GK state is O(1/ε log εn) and merges map-side). Sketch
+    internals are engine-specific, so no SQL twin: rows-only here, and
+    tests/test_textpack.py bounds the rank error against the exact
+    percentile at the driver tier."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 10000
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("p50"),
+        F.percentile_approx("value", 0.9, acc).alias("p90"),
+        F.percentile_approx("value", 0.99, acc).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4399,6 +4524,10 @@ REGISTRY: dict[str, tuple] = {
     "zorder": (q_zorder, SQL_ZORDER),
     "quantize_embed": (q_quantize_embed, SQL_QUANTIZE_EMBED),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    # -- new r3 (this session): feature-eng pack #5 --
+    "grouped_corr": (q_grouped_corr, SQL_GROUPED_CORR),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "approx_percentile": (q_approx_percentile, None),
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),

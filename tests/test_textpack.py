@@ -400,3 +400,36 @@ def test_pii_redact_hits_and_passthrough(spark):
     assert (clean["n_emails"] == 0).all() and (clean["n_ips"] == 0).all()
     for _, r in clean.head(20).iterrows():
         assert r["redacted_prefix"] == docs.loc[r["doc_id"], "text"][:80]
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """The GK sketch's guarantee is on RANK, not value: for accuracy a,
+    the returned value's true rank must be within n/a of the target
+    rank. Verified per event_type at the driver correctness tier."""
+    sf_dir = "/root/testdata/sf0.01"
+    from crawlfe.queries import q_approx_percentile
+
+    got = {
+        (r["event_type"]): r
+        for r in q_approx_percentile(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for et, row in got.items():
+        vals = np.sort(
+            np.array(
+                ev.where(F.col("event_type") == et)
+                .select("value")
+                .toPandas()["value"]
+            )
+        )
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = row[col]
+            # true rank range of the returned value
+            lo = np.searchsorted(vals, v, side="left")
+            hi = np.searchsorted(vals, v, side="right")
+            target = q * n
+            slack = n / 10000 + 1
+            assert lo - slack <= target <= hi + slack, (
+                et, col, v, lo, hi, target, slack,
+            )
