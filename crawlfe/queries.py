@@ -4569,7 +4569,7 @@ REGISTRY: dict[str, tuple] = {
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
     "udtf_shingles": (q_udtf_shingles, SQL_UDTF_SHINGLES),
-    # ---- position 50 boundary (107 keys; r3's front-section additions
+    # ---- position 50 boundary (115 keys; r3's front-section additions
     # push the agg rollup/cube/grouping/pivot/percentile tail,
     # explode/levenshtein/udtf, the equi-join family, tpch_q3, the
     # text/dedup pack, and now also the asof_join/win_* temporal core
