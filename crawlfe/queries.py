@@ -4459,6 +4459,344 @@ def q_approx_percentile(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #6: retention cohorts, ordered session funnel,
+# fixed-width histogram, bigram PMI collocations, CDC upsert apply,
+# overlapping doc chunking, per-group quantile normalization
+# --------------------------------------------------------------------------
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle (the activation/retention report every
+    event pipeline ships): cohort = each user's first active day, then
+    distinct active users per (cohort_day, offset_days). Day indices
+    are exact integer division of epoch-µs (``div`` / ``//``) so both
+    engines bucket identically with no double rounding. Two shuffles:
+    the cohort window on user_id, then the (cohort, offset) agg with
+    map-side partial distinct."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    w = Window.partitionBy("user_id")
+    d = d.withColumn("cohort_day", F.min("day").over(w))
+    return d.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), c AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM d
+)
+SELECT cohort_day, day - cohort_day AS offset_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c GROUP BY cohort_day, day - cohort_day
+"""
+
+
+def q_session_funnel(spark, sf_dir):
+    """Ordered conversion funnel per session (view -> click -> purchase,
+    each step strictly at-or-after the previous step's first hit):
+    gap-sessionize the event stream, then three unordered-frame window
+    mins over (user_id, session_id) — the later steps reference the
+    earlier step's timestamp, so NULL propagates exactly when the
+    funnel breaks. All three funnel windows share one hash partitioning
+    and the final per-session agg reuses it: two exchanges total
+    (sessionize on user_id, funnel on user_id+session_id)."""
+    ev = _t(spark, sf_dir, "events")
+    s = W.sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S
+    ).select(
+        "user_id", "session_id", _us("ts").alias("ts_us"), "event_type"
+    )
+    w = Window.partitionBy("user_id", "session_id")
+    s = s.withColumn(
+        "fv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    s = s.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") >= F.col("fv")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") >= F.col("fc")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("fv").alias("first_view_us"),
+        F.min("fc").alias("first_click_us"),
+        F.min("fp").alias("first_purchase_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSION_FUNNEL = f"""
+WITH flagged AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+         THEN 1 ELSE 0 END AS new_sess,
+         ts, event_id
+  FROM events
+), sess AS (
+  SELECT user_id, event_type, ts_us,
+         CAST(sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+              AS BIGINT) AS session_id
+  FROM flagged
+), f1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id, session_id) AS fv
+  FROM sess
+), f2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= fv
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id, session_id) AS fc
+  FROM f1
+), f3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= fc
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id, session_id) AS fp
+  FROM f2
+)
+SELECT user_id, session_id,
+       min(fv) AS first_view_us,
+       min(fc) AS first_click_us,
+       min(fp) AS first_purchase_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM f3 GROUP BY user_id, session_id
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram per group (the distribution profile step
+    of any feature-quality report): bucket = min(floor(value/25), 19),
+    a pure float divide + floor both engines execute bit-identically on
+    identical doubles. One agg shuffle with map-side partial combine —
+    at 100 TB the shuffle carries at most groups x 20 rows per task."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.least(
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint"), F.lit(19)
+    ).alias("bucket")
+    return (
+        ev.select("event_type", b)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT event_type,
+       least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, least(CAST(floor(value / 25.0) AS BIGINT), 19)
+"""
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """Bigram PMI collocation mining (phrase detection for tokenizer /
+    vocab pipelines, Mikolov-style): adjacent-token pairs come from a
+    narrow ``zip_with(slice, slice)`` + one explode — NO positional
+    self-join, so the hot path never shuffles token-level rows twice.
+    Bigram and unigram counts partial-combine map-side; the two scalar
+    totals broadcast as 1-row cross joins; PMI is computed from an
+    identical expression string in both engines (same IEEE op order)
+    and rounded to 4dp. min-count 5 keeps the output the stable head."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    bi = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                "         slice(toks, 2, size(toks) - 1),"
+                "         (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    n_bi = cb.agg(F.sum("n").alias("n_bi"))
+    j = (
+        cb.where(F.col("n") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n",
+        F.expr(
+            "round(ln((CAST(n AS DOUBLE) * n_tok * n_tok)"
+            "          / (CAST(n_bi AS DOUBLE) * c1 * c2)), 4)"
+        ).alias("pmi"),
+    )
+
+
+SQL_PMI_BIGRAMS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+  FROM documents
+), pos AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS p, unnest(l) AS w FROM toks
+), bi AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+), cb AS (
+  SELECT w1, w2, count(*) AS n FROM bi GROUP BY w1, w2
+), uni AS (
+  SELECT w, count(*) AS c FROM pos GROUP BY w
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_tok,
+         (SELECT sum(n) FROM cb) AS n_bi
+)
+SELECT cb.w1, cb.w2, CAST(cb.n AS BIGINT) AS n,
+       round(ln((CAST(cb.n AS DOUBLE) * n_tok * n_tok)
+                 / (CAST(n_bi AS DOUBLE) * c1.c * c2.c)), 4) AS pmi
+FROM cb
+JOIN uni c1 ON c1.w = cb.w1
+JOIN uni c2 ON c2.w = cb.w2
+CROSS JOIN tot
+WHERE cb.n >= 5
+"""
+
+
+def q_cdc_upsert(spark, sf_dir):
+    """Changelog apply / MERGE-INTO emulation (the Iceberg CDC compact
+    step): treating purchases as upserts and errors as deletes, keep
+    each key's latest op by (ts, event_id) and drop keys whose latest
+    op is a delete — the canonical row_number()-desc upsert kernel.
+    One shuffle; the rank prunes to one row per key before the final
+    filter, so the output never exceeds |keys|."""
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.where(F.col("event_type").isin("purchase", "error"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = ch.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return last.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        _us("ts").alias("ts_us"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+SQL_CDC_UPSERT = """
+WITH ch AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type IN ('purchase', 'error')
+)
+SELECT user_id, epoch_us(ts) AS ts_us, round(value, 4) AS value
+FROM ch WHERE rn = 1 AND event_type = 'purchase'
+"""
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Overlapping fixed-size chunking (LLM context-window prep:
+    size 64 chars, stride 48): per-row ``sequence()`` + explode keeps
+    the operator fully narrow — zero shuffles, chunk fan-out bounded by
+    each row's own length, never a constant-range cross join on the
+    Spark side. substr is 1-based with identical out-of-range clamping
+    in both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    ).where(F.col("len") > 0)
+    starts = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.col("len") - 1, F.lit(48))
+        ).alias("start"),
+    )
+    chunk = F.substring(F.col("text"), F.col("start") + 1, 64)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / 48).cast("bigint").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+SQL_DOC_CHUNK = """
+SELECT doc_id, s.ci AS chunk_idx,
+       substr(text, CAST(s.ci * 48 + 1 AS INTEGER), 64) AS chunk,
+       length(substr(text, CAST(s.ci * 48 + 1 AS INTEGER), 64)) AS chunk_len
+FROM documents, (SELECT unnest(range(0, 64)) AS ci) s
+WHERE s.ci * 48 < length(text) AND length(text) > 0
+"""
+
+
+def q_quantile_norm(spark, sf_dir):
+    """Per-group quantile normalization (rank-based feature transform,
+    robust to outliers where z-score isn't): unique total order via the
+    doc_id tie-break makes rank == row_number, then the engine-portable
+    scaled-integer rounding recipe ((rank-1)*10000.0/(cnt-1), one IEEE
+    divide of exact integers) so both engines emit identical doubles.
+    The rank and count windows share one partitioning — one exchange."""
+    d = _t(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    d = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    q = F.when(
+        F.col("cnt") > 1,
+        F.round((F.col("rk") - 1) * 10000.0 / (F.col("cnt") - 1)) / 10000,
+    ).otherwise(F.lit(0.0))
+    return d.select("doc_id", "source", "n_chars", q.alias("qnorm"))
+
+
+SQL_QUANTILE_NORM = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CASE WHEN cnt > 1
+            THEN round((rk - 1) * 10000.0 / (cnt - 1)) / 10000
+            ELSE 0.0 END AS qnorm
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4475,11 +4813,23 @@ REGISTRY: dict[str, tuple] = {
     # past 50 too — all three unchanged since r1 and driver-green in
     # CORRECTNESS_r02.json; scripts/check_entry.py re-verifies every
     # past-window key per round (BENCH/sweeps_r03.jsonl).
-    # -- round-1 fails (oracle CAST bug, fixed), unchecked keys, new ops,
-    #    and de-vacuated 0-row passes --
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    "session_bounds": (q_session_bounds, SQL_SESSION_BOUNDS),
-    "skew_salted": (q_skew_salted, SQL_ASOF_SALT),
+    # The round-3 window is exactly: agg_vector (the lone r2 red, fixed
+    # this round — MUST get its driver row), the 7 pack-#6 keys (new
+    # this round, never checked), and the 42 r3-new pack #1-#5 keys
+    # (never checked) = 50. Everything r1/r2-driver-green and unchanged
+    # (sessionize, session_bounds, skew_salted, dedup_embedding,
+    # ann_lsh, ann_ivf, lang_id, ...) rotates past the boundary and is
+    # re-verified by the per-round tri-SF check_entry sweeps.
+    # -- r2's lone driver FAIL, reshaped to long-form this round --
+    "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 (this session): feature-eng pack #6 --
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
+    "doc_chunk": (q_doc_chunk, SQL_DOC_CHUNK),
+    "quantile_norm": (q_quantile_norm, SQL_QUANTILE_NORM),
     # -- new r3: first driver rows for the tolerance feature and the
     #    union_window / range_scan strategies, + distribution windows --
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
@@ -4528,7 +4878,12 @@ REGISTRY: dict[str, tuple] = {
     "grouped_corr": (q_grouped_corr, SQL_GROUPED_CORR),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "approx_percentile": (q_approx_percentile, None),
-    "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # ---- position 50 boundary (122 keys): everything below was
+    # driver-green in round 1 and/or round 2 and is unchanged since;
+    # kept green by the tri-SF check_entry sweeps ----
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_bounds": (q_session_bounds, SQL_SESSION_BOUNDS),
+    "skew_salted": (q_skew_salted, SQL_ASOF_SALT),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
@@ -4569,18 +4924,6 @@ REGISTRY: dict[str, tuple] = {
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "scalar_levenshtein": (q_scalar_levenshtein, SQL_SCALAR_LEVENSHTEIN),
     "udtf_shingles": (q_udtf_shingles, SQL_UDTF_SHINGLES),
-    # ---- position 50 boundary (115 keys; r3's front-section additions
-    # push the agg rollup/cube/grouping/pivot/percentile tail,
-    # explode/levenshtein/udtf, the equi-join family, tpch_q3, the
-    # text/dedup pack, and now also the asof_join/win_* temporal core
-    # (driver-green in BOTH r1 and r2, re-swept per-round) past it):
-    # everything below
-    # was driver-green in round 1 and/or round 2
-    # (CORRECTNESS_r0{1,2}.json) and is kept green by
-    # scripts/check_entry.py sweeps at all three SF tiers (committed
-    # evidence: BENCH/sweeps_r03.jsonl); rotated here so a 50-entry
-    # driver cap lands on the most-rounds-green, cheapest-to-reverify
-    # keys ----
     # -- joins --
     "join_inner": (q_join_inner, SQL_JOIN_INNER),
     "join_broadcast": (q_join_broadcast, SQL_JOIN_BROADCAST),

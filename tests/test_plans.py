@@ -496,3 +496,72 @@ def test_zorder_layout_clusters_2d_predicates(spark, sf_dir, tmp_path):
     # layout smears it over (almost) every file, z-order concentrates it
     assert zf < rf, (zf, rf)
     assert zf <= rf // 2, (zf, rf)
+
+
+def test_session_funnel_single_exchange(spark, sf_dir):
+    """The three funnel windows over (user_id, session_id) and the
+    final per-session agg must ALL reuse the sessionize stage's
+    hashpartitioning(user_id) — user_id alone satisfies the clustering
+    of every downstream (user_id, session_id) operator, so the whole
+    funnel is ONE exchange. A second exchange would re-shuffle the
+    full event stream at 100 TB."""
+    from crawlfe.queries import q_session_funnel
+
+    plan = plan_of(q_session_funnel(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_doc_chunk_is_narrow(spark, sf_dir):
+    """Chunk fan-out is per-row sequence+explode: zero exchanges, and
+    the parquet scan reads only the columns the chunker needs."""
+    from crawlfe.queries import q_doc_chunk
+
+    plan = plan_of(q_doc_chunk(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "lang" not in plan.split("ReadSchema", 1)[-1], plan
+
+
+def test_cdc_upsert_single_exchange_and_pushdown(spark, sf_dir):
+    """Last-op-wins upsert apply: one hash exchange on the key (the
+    row_number window); the changelog-type filter reaches the scan as
+    a pushed In predicate so deleted/op-irrelevant rows never shuffle."""
+    from crawlfe.queries import q_cdc_upsert
+
+    plan = plan_of(q_cdc_upsert(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "PushedFilters: [" in plan and "In(event_type" in plan, plan
+
+
+def test_histogram_partial_agg(spark, sf_dir):
+    """Fixed-width histogram: map-side partial HashAggregate before the
+    single exchange — the shuffle carries at most groups x 20 rows per
+    task regardless of input size."""
+    from crawlfe.queries import q_histogram
+
+    plan = plan_of(q_histogram(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan.split("Exchange", 1)[1], plan
+
+
+def test_pmi_bigrams_no_positional_self_join(spark, sf_dir):
+    """PMI collocations must build bigrams with the narrow
+    zip_with(slice, slice) explode, never a token-position self-join
+    (which would shuffle token-level rows twice at 100 TB): no
+    sort-merge join anywhere, no cartesian product, and the two scalar
+    totals enter as broadcast 1-row joins."""
+    from crawlfe.queries import q_pmi_bigrams
+
+    plan = plan_of(q_pmi_bigrams(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_retention_cohorts_two_exchanges(spark, sf_dir):
+    """Cohort triangle: the per-user min window (one exchange on
+    user_id) then the distinct-user agg (one exchange on the cohort
+    cell). Anything more re-shuffles the event stream."""
+    from crawlfe.queries import q_retention_cohorts
+
+    plan = plan_of(q_retention_cohorts(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
