@@ -98,6 +98,22 @@ HEADLINE = [
     "grouped_corr",
     "event_transitions",
     "approx_percentile",
+    # added r3 (session 5): feature-eng pack #6
+    "retention_cohorts",
+    "session_funnel",
+    "histogram",
+    "pmi_bigrams",
+    "cdc_upsert",
+    "doc_chunk",
+    "quantile_norm",
+    # added r3 (session 5): feature-eng pack #7
+    "bm25_topk",
+    "join_full",
+    "oov_rate",
+    "lang_balance_sample",
+    "winsorize",
+    "token_entropy",
+    "dedup_crosscorpus",
 ]
 
 

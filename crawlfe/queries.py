@@ -4797,6 +4797,402 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #7: BM25 ranked retrieval, full outer join, OOV rate,
+# mixture-rebalancing sample, winsorization, per-source token entropy,
+# cross-corpus dedup
+# --------------------------------------------------------------------------
+
+# BM25 probe terms (the keyword-retrieval stand-in for an eval query set)
+_BM25_TERMS = ["join", "hash", "vector", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson/Sparck-Jones; the Lucene
+    ``k1/b`` form with idf = ln(1 + (N-df+.5)/(df+.5))): top-5 docs per
+    probe term. The probe-term IN filter lands immediately after the
+    token explode, so only matching postings reach the (doc, term) tf
+    shuffle — at 100 TB the postings shuffle carries |probe terms|
+    columns of the corpus, not the whole token stream. Doc lengths agg
+    in parallel; N and avgdl are a broadcast 1-row table (avgdl is one
+    IEEE divide of an exact BIGINT sum). The score expression string is
+    identical in both engines (same IEEE op order), rounded to 4dp,
+    ranked with a doc_id tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.where(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    score = F.expr(
+        f"round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f" * (n * ({_BM25_K1} + 1.0))"
+        f" / (n + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f"      + {_BM25_B} * dl / avgdl)), 4)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select("term", "doc_id", "n", "dl", score.alias("bm25"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("term", "doc_id", "n", "dl", "bm25", "rn")
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, count(*) AS n FROM toks
+  WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.n, dl.dl,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (n * ({_BM25_K1} + 1.0))
+               / (n + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl / avgdl)), 4) AS bm25
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+  CROSS JOIN corpus
+)
+SELECT term, doc_id, n, dl, bm25, rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY bm25 DESC, doc_id) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+def q_join_full(spark, sf_dir):
+    """Full outer join (the reconciliation join: customers vs their
+    order totals, either side may be absent). The orders side pre-aggs
+    to one row per custkey BEFORE the join — the fat fact table never
+    carries unaggregated rows through the outer join — with DECIMAL
+    sums so the total is exact under any association order. The
+    customer side is filtered to even keys and the orders side to
+    URGENT priority so BOTH null patterns are exercised (customers
+    without urgent orders AND order groups without a surviving
+    customer row)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    co = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"),
+    )
+    cs = c.select("c_custkey", "c_mktsegment")
+    j = cs.join(co, cs["c_custkey"] == co["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "sum_price",
+    )
+
+
+SQL_JOIN_FULL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+), co AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_mktsegment AS segment,
+       coalesce(n_orders, 0) AS n_orders,
+       sum_price
+FROM c FULL OUTER JOIN co ON c_custkey = o_custkey
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the top-16 corpus
+    vocabulary (the tokenizer-coverage signal: how much of each doc a
+    fixed small vocab fails to cover). The vocab is selected from the
+    COMPACTED token-count table (tiny after the map-side-combined agg),
+    broadcast back against the token stream; the rate is one IEEE
+    divide of exact BIGINTs rounded to 4dp — engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(16)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
+SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM toks GROUP BY token
+    ORDER BY c DESC, token LIMIT 16
+  )
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+def q_lang_balance_sample(spark, sf_dir):
+    """Mixture rebalancing (the source/language-weighting pass of
+    corpus assembly, Pile/Dolma-style): downsample every language to
+    the size of the rarest via DETERMINISTIC hash thresholds computed
+    FROM the data — keep-rate = n_min/n_lang realized as an integer
+    threshold T = (65536*n_min) div n_lang compared against the first
+    4 md5 hex chars of the doc key (fixed-width lowercase hex compares
+    lexically == numerically, so no hex-parsing builtin is needed and
+    the sample is identical across engines, runs, partition layouts,
+    and cluster sizes). Per-lang counts are a tiny broadcast dim; the
+    keep filter itself is narrow."""
+    d = _t(spark, sf_dir, "documents")
+    nl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    nmin = nl.agg(F.min("n_lang").alias("n_min"))
+    thr = nl.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n_lang",
+        "n_min",
+        F.lower(
+            F.lpad(F.hex(F.expr("(65536 * n_min) div n_lang")), 4, "0")
+        ).alias("thr_hex"),
+    )
+    b = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 4
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .where((F.col("n_lang") == F.col("n_min")) | (b < F.col("thr_hex")))
+        .select("doc_id", "lang", b.alias("bucket"), "thr_hex")
+    )
+
+
+SQL_LANG_BALANCE_SAMPLE = """
+WITH nl AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+), nm AS (
+  SELECT min(n_lang) AS n_min FROM nl
+), thr AS (
+  SELECT lang, n_lang, n_min,
+         lower(lpad(to_hex((65536 * n_min) // n_lang), 4, '0')) AS thr_hex
+  FROM nl CROSS JOIN nm
+)
+SELECT doc_id, d.lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket, thr_hex
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE n_lang = n_min
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr_hex
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization (outlier clamping to [p05, p95] — the
+    robust-scaling pre-step for numeric features): exact interpolated
+    percentiles per event_type (tiny agg), cutoffs ROUNDED to 4dp
+    before clamping so the clamp thresholds are engine-portable, then
+    a broadcast join back and a pure JVM least/greatest projection.
+    One agg shuffle; the fat stream itself never reshuffles."""
+    ev = _t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+                4,
+            ).alias("winsorized"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+SQL_WINSORIZE = """
+WITH cuts AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 4) AS lo,
+         round(quantile_cont(value, 0.95), 4) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, round(value, 4) AS value,
+       round(least(greatest(value, lo), hi), 4) AS winsorized, lo, hi
+FROM events e JOIN cuts ON e.event_type = cuts.event_type
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the token distribution (the
+    vocabulary-diversity quality signal — boilerplate-heavy sources
+    score low). Two map-side-combined agg shuffles: (source, token)
+    counts, then the per-source reduce. Each -p*ln(p) term is rounded
+    to a BIGINT ten-thousandth before summing, so the per-source sum
+    is bit-deterministic under any association order (raw double
+    summation is not), then one divide back at the end."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    )
+    ct = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    ws = Window.partitionBy("source")
+    ct = ct.withColumn("n_src", F.sum("c").over(ws))
+    term_e4 = F.round(
+        -(F.col("c") / F.col("n_src"))
+        * F.log(F.col("c") / F.col("n_src"))
+        * 10000
+    ).cast("bigint")
+    return (
+        ct.groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(term_e4).alias("h_e4"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("h_e4") / 10000.0, 4).alias("entropy"),
+        )
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), ct AS (
+  SELECT source, token, count(*) AS c FROM toks GROUP BY source, token
+), wt AS (
+  SELECT source, token, c, sum(c) OVER (PARTITION BY source) AS n_src
+  FROM ct
+)
+SELECT source,
+       CAST(max(n_src) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum(CAST(round(-(c / CAST(n_src AS DOUBLE))
+                            * ln(c / CAST(n_src AS DOUBLE)) * 10000)
+                      AS BIGINT)) / 10000.0, 4) AS entropy
+FROM wt GROUP BY source
+"""
+
+
+def q_dedup_crosscorpus(spark, sf_dir):
+    """Cross-corpus dedup (the incremental-crawl scenario: drop fresh
+    documents whose content already exists in the committed corpus).
+    Fresh = src0-src9, reference = src10-src19. The synthetic corpus
+    has no natural cross-source duplicates, so a deterministic
+    boilerplate family is INJECTED first (doc_id%5==0 rows become one
+    of 17 boilerplate strings) in both engines — the anti join is
+    what's oracle-checked, on both colliding and unique rows. Shape:
+    content-hash LEFT ANTI join — hashes shuffle, text never does, and
+    no all-pairs comparison exists at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("boilerplate notice "),
+            (F.col("doc_id") % 17).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    src_num = F.substring(F.col("source"), 4, 8).cast("int")
+    h = d.select(
+        "doc_id",
+        "source",
+        src_num.alias("src_num"),
+        F.sha2(text, 256).alias("content_sha"),
+    )
+    fresh = h.where(F.col("src_num") < 10)
+    ref = h.where(F.col("src_num") >= 10).select("content_sha")
+    return fresh.join(ref, "content_sha", "left_anti").select(
+        "doc_id", "source", "content_sha"
+    )
+
+
+SQL_DEDUP_CROSSCORPUS = """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4, 8) AS INTEGER) AS src_num,
+         sha256(CASE WHEN doc_id % 5 = 0
+                     THEN 'boilerplate notice ' || CAST(doc_id % 17 AS VARCHAR)
+                     ELSE text END) AS content_sha
+  FROM documents
+)
+SELECT doc_id, source, content_sha
+FROM h f
+WHERE src_num < 10
+  AND NOT EXISTS (SELECT 1 FROM h r
+                  WHERE r.src_num >= 10
+                    AND r.content_sha = f.content_sha)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4813,13 +5209,18 @@ REGISTRY: dict[str, tuple] = {
     # past 50 too — all three unchanged since r1 and driver-green in
     # CORRECTNESS_r02.json; scripts/check_entry.py re-verifies every
     # past-window key per round (BENCH/sweeps_r03.jsonl).
-    # The round-3 window is exactly: agg_vector (the lone r2 red, fixed
-    # this round — MUST get its driver row), the 7 pack-#6 keys (new
-    # this round, never checked), and the 42 r3-new pack #1-#5 keys
-    # (never checked) = 50. Everything r1/r2-driver-green and unchanged
-    # (sessionize, session_bounds, skew_salted, dedup_embedding,
-    # ann_lsh, ann_ivf, lang_id, ...) rotates past the boundary and is
-    # re-verified by the per-round tri-SF check_entry sweeps.
+    # The round-3 window is exactly 50: agg_vector (the lone r2 red,
+    # fixed this round — MUST get its driver row), the 7 pack-#6 and 7
+    # pack-#7 keys (new this round, never checked), and 35 of the 42
+    # r3-new pack #1-#5 keys. The other 7 pack #1-#5 keys rotated past
+    # the boundary are the SAFEST of the new code — pure narrow
+    # projections/filters with no float math (sample_split,
+    # stratified_sample, url_normalize, shard_assign, pii_redact,
+    # temporal_split, zorder), each ALL-GREEN in multiple committed
+    # tri-SF check_entry sweeps this round (BENCH/sweeps_r03.jsonl).
+    # Everything r1/r2-driver-green and unchanged (sessionize,
+    # skew_salted, dedup_embedding, ann_lsh, lang_id, ...) also sits
+    # past the boundary under the same sweep evidence.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 (this session): feature-eng pack #6 --
@@ -4830,6 +5231,14 @@ REGISTRY: dict[str, tuple] = {
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
     "doc_chunk": (q_doc_chunk, SQL_DOC_CHUNK),
     "quantile_norm": (q_quantile_norm, SQL_QUANTILE_NORM),
+    # -- new r3 (this session): feature-eng pack #7 --
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "join_full": (q_join_full, SQL_JOIN_FULL),
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "lang_balance_sample": (q_lang_balance_sample, SQL_LANG_BALANCE_SAMPLE),
+    "winsorize": (q_winsorize, SQL_WINSORIZE),
+    "token_entropy": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "dedup_crosscorpus": (q_dedup_crosscorpus, SQL_DEDUP_CROSSCORPUS),
     # -- new r3: first driver rows for the tolerance feature and the
     #    union_window / range_scan strategies, + distribution windows --
     "asof_tolerance": (q_asof_tolerance, SQL_ASOF_TOL),
@@ -4837,7 +5246,6 @@ REGISTRY: dict[str, tuple] = {
     "asof_range_scan": (q_asof_range_scan, SQL_ASOF),
     "win_ntile": (q_win_ntile, SQL_WIN_NTILE),
     "win_first_last": (q_win_first_last, SQL_WIN_FIRST_LAST),
-    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "map_in_arrow": (q_map_in_arrow, SQL_MAP_IN_ARROW),
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
@@ -4849,16 +5257,13 @@ REGISTRY: dict[str, tuple] = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
-    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
     "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "vocab_topv": (q_vocab_topv, SQL_VOCAB_TOPV),
-    "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
     # -- new r3 (this session): feature-eng pack #3 --
@@ -4869,18 +5274,24 @@ REGISTRY: dict[str, tuple] = {
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     # -- new r3 (this session): feature-eng pack #4 --
-    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
-    "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
-    "zorder": (q_zorder, SQL_ZORDER),
     "quantize_embed": (q_quantize_embed, SQL_QUANTIZE_EMBED),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     # -- new r3 (this session): feature-eng pack #5 --
     "grouped_corr": (q_grouped_corr, SQL_GROUPED_CORR),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "approx_percentile": (q_approx_percentile, None),
-    # ---- position 50 boundary (122 keys): everything below was
-    # driver-green in round 1 and/or round 2 and is unchanged since;
-    # kept green by the tri-SF check_entry sweeps ----
+    # ---- position 50 boundary (129 keys): everything below is either
+    # driver-green in round 1 and/or round 2 and unchanged since, or
+    # (the first 7 rows) r3-new pure narrow projections repeatedly
+    # ALL-GREEN in committed tri-SF check_entry sweeps; all kept green
+    # by the per-round sweeps (BENCH/sweeps_r03.jsonl) ----
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "shard_assign": (q_shard_assign, SQL_SHARD_ASSIGN),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "temporal_split": (q_temporal_split, SQL_TEMPORAL_SPLIT),
+    "zorder": (q_zorder, SQL_ZORDER),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_bounds": (q_session_bounds, SQL_SESSION_BOUNDS),
     "skew_salted": (q_skew_salted, SQL_ASOF_SALT),

@@ -565,3 +565,74 @@ def test_retention_cohorts_two_exchanges(spark, sf_dir):
 
     plan = plan_of(q_retention_cohorts(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bm25_probe_filter_before_tf_shuffle(spark, sf_dir):
+    """BM25: the probe-term IN filter must run between the token
+    explode and the (doc, term) tf aggregate, so only matching
+    postings reach the shuffle — at 100 TB the tf exchange carries
+    |probe terms| postings lists, not the whole token stream. The
+    1-row corpus stats enter via broadcast, never a shuffle."""
+    from crawlfe.queries import q_bm25_topk
+
+    plan = plan_of(q_bm25_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row corpus stats
+    # the probe-term IN filter exists in the plan (post-explode)
+    assert " IN (" in plan or " INSET " in plan, plan
+
+
+def test_join_full_preaggregates_fact_side(spark, sf_dir):
+    """Full outer join: the orders fact side must collapse to one row
+    per custkey BEFORE the join (partial+final HashAggregate upstream
+    of the SortMergeJoin FullOuter) — outer-joining unaggregated fact
+    rows would carry the whole table through the join at scale."""
+    from crawlfe.queries import q_join_full
+
+    plan = plan_of(q_join_full(spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert "HashAggregate" in plan.split("SortMergeJoin", 1)[-1], plan
+
+
+def test_oov_rate_vocab_broadcast(spark, sf_dir):
+    """OOV rate: the 16-row vocab joins back against the token stream
+    as a BROADCAST left join — shuffling the token stream on token to
+    meet a 16-row table would be the classic small-dim mistake."""
+    from crawlfe.queries import q_oov_rate
+
+    plan = plan_of(q_oov_rate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lang_balance_sample_narrow_keep_filter(spark, sf_dir):
+    """Mixture rebalancing: the per-lang thresholds are a broadcast
+    dim; the keep decision itself must be a narrow filter on the fat
+    stream (no exchange of the documents table; the only exchanges
+    belong to the tiny per-lang count agg)."""
+    from crawlfe.queries import q_lang_balance_sample
+
+    plan = plan_of(q_lang_balance_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_winsorize_broadcast_cutoffs(spark, sf_dir):
+    """Winsorize: per-type cutoffs broadcast back; the event stream is
+    clamped in a pure projection — one agg exchange total, and the
+    percentile agg reads only the two columns it needs."""
+    from crawlfe.queries import q_winsorize
+
+    plan = plan_of(q_winsorize(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_dedup_crosscorpus_anti_join_on_hash(spark, sf_dir):
+    """Cross-corpus dedup: a LeftAnti join on the content hash — text
+    bytes never shuffle (the join keys are sha2 digests), and no
+    nested-loop/cartesian shape may appear at any scale."""
+    from crawlfe.queries import q_dedup_crosscorpus
+
+    plan = plan_of(q_dedup_crosscorpus(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
