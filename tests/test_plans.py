@@ -636,3 +636,46 @@ def test_dedup_crosscorpus_anti_join_on_hash(spark, sf_dir):
     plan = plan_of(q_dedup_crosscorpus(spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_join_blocked_no_cartesian(spark, sf_dir):
+    """Blocked fuzzy linkage: candidate pairs come from an equi join
+    on the block key — never a cartesian/nested-loop over probes x
+    dictionary (the all-pairs edit-distance mistake)."""
+    from crawlfe.queries import q_fuzzy_join
+
+    plan = plan_of(q_fuzzy_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_pairs_run_on_compacted_vocab(spark, sf_dir):
+    """BPE pair counting must scan the compacted vocabulary, not the
+    raw token stream: exactly two agg exchanges (word counts, then
+    pair counts) and the explode sits between them."""
+    from crawlfe.queries import q_bpe_pair_counts
+
+    plan = plan_of(q_bpe_pair_counts(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_skew_report_distributed_topk(spark, sf_dir):
+    """The heavy-hitter top-20 must plan TakeOrderedAndProject
+    (per-partition top-k + tiny merge), never a single-partition
+    window over every per-key count."""
+    from crawlfe.queries import q_skew_report
+
+    plan = plan_of(q_skew_report(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ewma_single_exchange_grouped_kernel(spark, sf_dir):
+    """Grouped EWMA: one hash exchange on the key into the Arrow
+    grouped-map kernel; the scan reads only the four columns the
+    kernel needs (never props/event payload)."""
+    from crawlfe.queries import q_ewma
+
+    plan = plan_of(q_ewma(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "props" not in plan.split("ReadSchema", 1)[-1], plan
