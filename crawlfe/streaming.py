@@ -274,6 +274,54 @@ def watermarked_window_counts(
     )
 
 
+def stream_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the STATIC dimension table (lang priors, domain metadata, model
+    registry rows) with an explicit broadcast hint — the dim ships to
+    executors once per plan, the stream side never shuffles, and no
+    join state accumulates (unlike stream-stream joins, stream-static
+    needs no watermark). The identical call on batch frames is the
+    parity oracle (tests/test_streaming.py)."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+):
+    """foreachBatch idempotent sink: each micro-batch appends to an
+    IcebergLite table under input_snapshot = ``batch-<id>``, so a batch
+    REPLAYED after a crash (Spark retries the epoch whose sink write
+    was not recorded in the checkpoint) is recognized as already
+    committed and skipped — end-to-end exactly-once from the sink's
+    own commit log, not just the file-sink manifest. This is the
+    pattern for sinks Spark has no transactional writer for (JDBC,
+    key-value stores, MERGE INTO): derive the idempotence key from
+    ``batchId``. Returns the StreamingQuery."""
+    from .io import IcebergLite
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = IcebergLite(table_path)
+        snap = f"batch-{batch_id:06d}"
+        if snap in tbl.committed_snapshots():
+            return  # replay after crash: already durable, skip
+        tbl.append(batch_df, input_snapshot=snap)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -451,3 +451,72 @@ def test_stream_interval_join_matches_batch(spark, dirs, sf_dir):
     w = want.sort_values(key, ignore_index=True)
     assert len(g) == len(w), (len(g), len(w))
     assert g.equals(w)
+
+
+def test_stream_enrich_broadcast_and_batch_parity(spark, dirs, sf_dir):
+    """Stream-static enrichment: a rate-free file stream joined to a
+    static dim emits exactly the batch join's rows, and the batch plan
+    broadcasts the dim (the stream side must never shuffle)."""
+    import pandas as pd
+
+    from crawlfe.streaming import stream_enrich
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_type": ["view", "click", "purchase", "signup", "error"],
+                "weight": [1.0, 2.0, 5.0, 3.0, 0.0],
+            }
+        )
+    )
+    # batch twin + plan shape
+    batch = stream_enrich(ev, dim, "event_type")
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # streaming run over the same rows
+    ev.write.parquet(dirs["in"] + "/b1")
+    stream = spark.readStream.schema(ev.schema).parquet(dirs["in"] + "/*")
+    q = (
+        stream_enrich(stream, dim, "event_type")
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(dirs["out"])
+    assert got.count() == ev.count()
+    b = batch.groupBy("event_type").agg(F.sum("weight").alias("s")).collect()
+    s = got.groupBy("event_type").agg(F.sum("weight").alias("s")).collect()
+    assert sorted(map(tuple, b)) == sorted(map(tuple, s))
+
+
+def test_stream_upsert_sink_replay_is_idempotent(spark, dirs, sf_dir):
+    """foreachBatch idempotent sink: batches commit under batch-<id>
+    snapshots; replaying the SAME epoch (fresh checkpoint over the same
+    input) must not duplicate rows — the sink's own commit log dedupes,
+    which is the exactly-once story for non-transactional sinks."""
+    from crawlfe.io import IcebergLite
+    from crawlfe.streaming import stream_upsert_sink
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    ev.write.parquet(dirs["in"] + "/b1")
+    stream = spark.readStream.schema(ev.schema).parquet(dirs["in"] + "/*")
+    q = stream_upsert_sink(stream, dirs["out"], dirs["ckpt"])
+    q.awaitTermination()
+    tbl = IcebergLite(dirs["out"])
+    n1 = tbl.read(spark).count()
+    assert n1 == 500
+    assert "batch-000000" in tbl.committed_snapshots()
+
+    # simulate an epoch replay: wipe the CHECKPOINT (Spark forgets the
+    # batch) but keep the sink table — the batchId-keyed commit log
+    # must swallow the duplicate write
+    shutil.rmtree(dirs["ckpt"], ignore_errors=True)
+    stream = spark.readStream.schema(ev.schema).parquet(dirs["in"] + "/*")
+    q = stream_upsert_sink(stream, dirs["out"], dirs["ckpt"] + "_replay")
+    q.awaitTermination()
+    assert IcebergLite(dirs["out"]).read(spark).count() == n1
