@@ -245,6 +245,10 @@ def main() -> int:
 
     raw_times: dict[str, list[float]] = {}
     if not args.pipeline_only:
+        # untimed warmup: the first registry query otherwise absorbs
+        # one-off JVM/codegen/Arrow-worker startup (~5-8 s observed),
+        # which best-of-2 cannot cancel when both its runs are first
+        REGISTRY["agg_basic"][0](spark, sf_dir).count()
         for name in HEADLINE:
             fn, _sql = REGISTRY[name]
             # best-of-2 per query (VERDICT r2 perf recommendation): a
