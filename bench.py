@@ -114,6 +114,16 @@ HEADLINE = [
     "winsorize",
     "token_entropy",
     "dedup_crosscorpus",
+    # added r3 (session 5): feature-eng packs #8-#9
+    "fuzzy_join",
+    "unpivot",
+    "bpe_pair_counts",
+    "skew_report",
+    "ewma",
+    "weighted_sample",
+    "agg_string_ordered",
+    "extract_entities",
+    "gap_detection",
 ]
 
 

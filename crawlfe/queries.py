@@ -5435,6 +5435,175 @@ def q_ewma(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #9: weighted sampling, ordered string aggregation,
+# regex entity extraction, crawl-cadence gap detection
+# --------------------------------------------------------------------------
+
+def q_weighted_sample(spark, sf_dir):
+    """Per-row weighted sampling (probability proportional to a quality
+    score — the importance-sampling step of corpus mixing): keep rate
+    = n_chars / max_chars per doc, realized deterministically as
+    hex4(md5(doc_id)) < threshold where threshold = (65536 * n_chars)
+    div max_chars formatted as fixed-width hex (string compare ==
+    numeric compare; reproducible across engines/layouts/cluster
+    sizes, unlike rand()-based acceptance). The 1-row max broadcasts;
+    the keep decision is a narrow filter."""
+    d = _t(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    b = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 4
+    )
+    thr = F.lower(
+        F.lpad(F.hex(F.expr("(65536 * n_chars) div max_chars")), 4, "0")
+    )
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .where((F.col("n_chars") == F.col("max_chars")) | (b < thr))
+        .select("doc_id", "n_chars", b.alias("bucket"), thr.alias("thr_hex"))
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+SELECT doc_id, n_chars,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+       lower(lpad(to_hex((65536 * n_chars) // max_chars), 4, '0'))
+         AS thr_hex
+FROM documents CROSS JOIN mx
+WHERE n_chars = max_chars
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < lower(lpad(to_hex((65536 * n_chars) // max_chars), 4, '0'))
+"""
+
+
+def q_agg_string_ordered(spark, sf_dir):
+    """Deterministic ordered string aggregation (manifest/report
+    building: the langs seen per source, alphabetical, pipe-joined).
+    Spark has no ORDER BY inside an aggregate, so the engine-portable
+    recipe is collect_set -> array_sort -> array_join — element order
+    is pinned by the sort, never by arrival order, so the result is
+    identical under any partitioning/cluster size (a bare
+    collect_list would not be). One small agg shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("lang")), "|"
+        ).alias("langs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+SQL_AGG_STRING_ORDERED = """
+SELECT source,
+       string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
+def q_extract_entities(spark, sf_dir):
+    """Regex entity extraction to long form (the IR step of PII audit /
+    link-graph building): pull every email out of the text into one
+    row per (doc_id, position, entity). As with pii_redact the
+    synthetic corpus carries no natural emails, so they are INJECTED
+    deterministically (doc_id%4==0 gets two) as part of the query in
+    both engines; the extraction itself — JVM `regexp_extract_all` +
+    posexplode, zero shuffle, no UDF — is what's oracle-checked, on
+    both hit and miss rows."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("from u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@a.example.org "),
+            F.col("text"),
+            F.lit(" cc admin"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("@b.example.net"),
+        ),
+    ).otherwise(F.col("text"))
+    hits = F.regexp_extract_all(dirty, F.lit(_PII_EMAIL_RE), F.lit(0))
+    d2 = d.select("doc_id", hits.alias("emails"))
+    return d2.select(
+        "doc_id", F.posexplode("emails").alias("pos", "email")
+    )
+
+
+SQL_EXTRACT_ENTITIES = """
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'from u' || CAST(doc_id AS VARCHAR)
+                   || '@a.example.org ' || text || ' cc admin'
+                   || CAST(doc_id % 7 AS VARCHAR) || '@b.example.net'
+              ELSE text END AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+         regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS emails
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(generate_subscripts(emails, 1) - 1 AS INTEGER) AS pos,
+       unnest(emails) AS email
+FROM hits
+"""
+
+
+def q_gap_detection(spark, sf_dir):
+    """Crawl-cadence gap detection (the inverse of backfill: REPORT the
+    holes instead of filling them — the data-quality monitor for any
+    snapshot pipeline): per-key lag() gaps above 4x the key's median
+    cadence. The median is exact per-key (tiny agg joined back —
+    broadcast at this cardinality, shuffle-on-key at web scale); gap
+    seconds are exact integer µs division, so both engines emit
+    identical rows. One window shuffle + one agg on the same key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = ev.select(
+        "user_id", "event_id", _us("ts").alias("ts_us")
+    ).withColumn("prev_us", F.lag("ts_us").over(w))
+    gaps = e.where(F.col("prev_us").isNotNull()).select(
+        "user_id",
+        "event_id",
+        # integer div, not double-divide-then-cast: a double quotient
+        # can round up across an integer boundary and truncate wrong
+        F.expr("(ts_us - prev_us) div 1000000").alias("gap_s"),
+    )
+    med = gaps.groupBy("user_id").agg(
+        F.expr("percentile(gap_s, 0.5)").alias("med_gap_s")
+    )
+    return (
+        gaps.join(med, "user_id")
+        .where(F.col("gap_s") > 4 * F.col("med_gap_s"))
+        .select("user_id", "event_id", "gap_s", F.round("med_gap_s", 1).alias("med_gap_s"))
+    )
+
+
+SQL_GAP_DETECTION = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_us
+  FROM events
+), gaps AS (
+  SELECT user_id, event_id,
+         CAST((ts_us - prev_us) // 1000000 AS BIGINT) AS gap_s
+  FROM e WHERE prev_us IS NOT NULL
+), med AS (
+  SELECT user_id, quantile_cont(gap_s, 0.5) AS med_gap_s
+  FROM gaps GROUP BY user_id
+)
+SELECT g.user_id, event_id, gap_s, round(med_gap_s, 1) AS med_gap_s
+FROM gaps g JOIN med ON g.user_id = med.user_id
+WHERE gap_s > 4 * med_gap_s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5536,6 +5705,13 @@ REGISTRY: dict[str, tuple] = {
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "map_in_arrow": (q_map_in_arrow, SQL_MAP_IN_ARROW),
     "asof_range_scan": (q_asof_range_scan, SQL_ASOF),
+    # -- new r3 pack #9 (added after the window filled; oracle-checked
+    #    by the committed tri-SF sweeps, first in line for the r4
+    #    driver window) --
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "agg_string_ordered": (q_agg_string_ordered, SQL_AGG_STRING_ORDERED),
+    "extract_entities": (q_extract_entities, SQL_EXTRACT_ENTITIES),
+    "gap_detection": (q_gap_detection, SQL_GAP_DETECTION),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
