@@ -61,6 +61,39 @@ def cpu_calibration(procs: int) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count())))
 
 
+def _copy_loop(q, core: int) -> None:
+    import numpy as np
+
+    os.sched_setaffinity(0, {core})
+    a = np.ones(200_000_000 // 8, dtype=np.float64)  # 200 MB
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 5:
+        np.copyto(b, a)
+        n += 1
+    q.put(n * a.nbytes * 2 / (time.time() - t0))
+
+
+def mem_bandwidth(procs: int) -> float:
+    """Aggregate DRAM copy bandwidth (bytes/s) of `procs` pinned numpy
+    copy loops. The sha256 busy-loop is cache-resident and blind to the
+    memory subsystem; on this shared VM, host-level memory overcommit
+    has been observed to crush >2-core DRAM bandwidth ~100x while CPU
+    calibration reads full speed (BENCH/BASELINE.md late-r3
+    adjudication). A 4-proc aggregate below ~5 GB/s disqualifies the
+    window for scaling probes — memory-heavy Spark stages would measure
+    the host's memory pressure, not the engine."""
+    q = mp.Queue()
+    ps = [mp.Process(target=_copy_loop, args=(q, i)) for i in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total
+
+
 def _ensure_zip() -> str:
     zip_path = os.path.join(REPO, "crawlfe.zip")
     subprocess.run(
@@ -128,6 +161,12 @@ def main() -> int:
     print(f"hardware calibration: {lo}c={calib[lo]/1e6:.2f}M "
           f"{hi}c={calib[hi]/1e6:.2f}M hashes/s "
           f"(speedup {hw_speedup:.2f}x of ideal 4x)", file=sys.stderr)
+    mem_bw_4p = mem_bandwidth(4)
+    mem_ok = mem_bw_4p >= 5e9
+    print(f"memory-bandwidth calibration: 4-proc aggregate "
+          f"{mem_bw_4p / 1e9:.1f} GB/s "
+          f"({'ok' if mem_ok else 'CRUSHED — window disqualified'})",
+          file=sys.stderr)
 
     results: dict[int, dict] = {}
     for cores in (lo, hi):
@@ -159,7 +198,9 @@ def main() -> int:
         "scaling_efficiency": round(eff, 3),
         "hardware_speedup": round(hw_speedup, 3),
         "hardware_normalized_efficiency": round(eff_norm, 3),
-        "pass": eff >= 0.8,
+        "mem_bw_4proc_gbps": round(mem_bw_4p / 1e9, 1),
+        "mem_window_ok": mem_ok,
+        "pass": eff >= 0.8 and mem_ok,
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
