@@ -65,25 +65,30 @@ def _copy_loop(q, core: int) -> None:
     import numpy as np
 
     os.sched_setaffinity(0, {core})
-    a = np.ones(200_000_000 // 8, dtype=np.float64)  # 200 MB
-    b = np.empty_like(a)
+    # RANDOM content, not a constant fill: on this VM the host merges
+    # identical guest pages (KSM), so an all-ones array measures host
+    # copy-on-write fault latency (~0.1 GB/s apparent!) instead of
+    # DRAM. Unique pages are unmergeable and measure the real memory
+    # path (BENCH/BASELINE.md late-r3 adjudication).
+    rng = np.random.default_rng(core)
+    a = rng.random(200_000_000 // 8)  # 200 MB
+    b = rng.random(200_000_000 // 8)
     t0 = time.time()
     n = 0
     while time.time() - t0 < 5:
         np.copyto(b, a)
+        b[0] += 1.0
         n += 1
     q.put(n * a.nbytes * 2 / (time.time() - t0))
 
 
 def mem_bandwidth(procs: int) -> float:
     """Aggregate DRAM copy bandwidth (bytes/s) of `procs` pinned numpy
-    copy loops. The sha256 busy-loop is cache-resident and blind to the
-    memory subsystem; on this shared VM, host-level memory overcommit
-    has been observed to crush >2-core DRAM bandwidth ~100x while CPU
-    calibration reads full speed (BENCH/BASELINE.md late-r3
-    adjudication). A 4-proc aggregate below ~5 GB/s disqualifies the
-    window for scaling probes — memory-heavy Spark stages would measure
-    the host's memory pressure, not the engine."""
+    copy loops over KSM-proof random pages. The sha256 busy-loop is
+    cache-resident and blind to the memory subsystem; a multi-proc
+    aggregate far below the healthy ~50 GB/s disqualifies the window
+    for scaling probes — memory-heavy Spark stages would measure the
+    host's memory pressure, not the engine."""
     q = mp.Queue()
     ps = [mp.Process(target=_copy_loop, args=(q, i)) for i in range(procs)]
     for p in ps:
