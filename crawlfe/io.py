@@ -85,14 +85,28 @@ class IcebergLite:
         return out
 
     def read(
-        self, spark: SparkSession, as_of: str | None = None
+        self,
+        spark: SparkSession,
+        as_of: str | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """Current table state, or (time travel) the state as of a
-        committed snapshot — ≅ Iceberg ``VERSION AS OF``."""
+        committed snapshot — ≅ Iceberg ``VERSION AS OF``.
+
+        ``merge_schema=True`` is the schema-evolution read (≅ Iceberg
+        add-column): snapshots written with extra columns union by
+        name and older rows null-fill. The emulation pays a
+        footer-read per file (Spark ``mergeSchema``); the production
+        Iceberg path resolves the schema from table metadata for
+        free, so callers should only pass it when the table is known
+        to have evolved."""
         files = self.data_files(as_of)
         if not files:
             return None
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def lineage(self, spark: SparkSession) -> DataFrame | None:
         """The metrics/lineage table, reconstructed from manifests."""

@@ -302,3 +302,33 @@ def test_concurrent_commits_never_overwrite(spark, tmp_path):
     # [0, 80), so the table must equal one generation of that range
     want = synth_pages(spark, cfg, url_lo=0, url_hi=80).count()
     assert tbl.read(spark).count() == want > 0
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Iceberg add-column analog: a later snapshot carries an extra
+    column; merge_schema=True unions by name with null-fill for the
+    old rows, plain read keeps working, and time travel to the
+    pre-evolution snapshot shows the original schema."""
+    import pandas as pd
+
+    from crawlfe.io import IcebergLite
+
+    tbl = IcebergLite(str(tmp_path / "tbl"))
+    tbl.append(
+        spark.createDataFrame(pd.DataFrame({"url": ["a", "b"], "n": [1, 2]})),
+        input_snapshot="snap-0",
+    )
+    tbl.append(
+        spark.createDataFrame(
+            pd.DataFrame({"url": ["c"], "n": [3], "lang": ["en"]})
+        ),
+        input_snapshot="snap-1",
+    )
+    evolved = tbl.read(spark, merge_schema=True)
+    assert set(evolved.columns) == {"url", "n", "lang"}
+    got = {r["url"]: r["lang"] for r in evolved.collect()}
+    assert got == {"a": None, "b": None, "c": "en"}
+    # time travel to before the evolution: original two-column schema
+    old = tbl.read(spark, as_of="snap-0", merge_schema=True)
+    assert set(old.columns) == {"url", "n"}
+    assert old.count() == 2
