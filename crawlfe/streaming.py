@@ -330,6 +330,7 @@ def stream_interval_join(
     ts_right: str,
     delay: str = "1 hour",
     horizon_s: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event matches
     right events of the same ``key`` arriving within
@@ -341,7 +342,13 @@ def stream_interval_join(
     bounded memory at 100 TB, unlike an unconstrained stream-stream
     join whose buffers grow forever. The same function on batch frames
     (watermarks are no-ops there) is the parity oracle
-    (tests/test_streaming.py)."""
+    (tests/test_streaming.py).
+
+    ``how="left_outer"`` is the non-attribution report ("clicks that
+    did NOT convert within the hour"): a left row with no match is
+    emitted with null right columns only once the watermark proves no
+    match can still arrive (its join-state window closed) — in batch
+    mode it degrades to a plain left join, which is the parity twin."""
     lt = left.withColumn(ts_left, F.col(ts_left).cast("timestamp"))
     rt = right.withColumn(ts_right, F.col(ts_right).cast("timestamp"))
     if lt.isStreaming:
@@ -353,4 +360,4 @@ def stream_interval_join(
         & (rt[ts_right] >= lt[ts_left])
         & (rt[ts_right] <= lt[ts_left] + F.expr(f"INTERVAL {horizon_s} SECONDS"))
     )
-    return lt.join(rt, cond, "inner").drop(rt[key])
+    return lt.join(rt, cond, how).drop(rt[key])

@@ -87,3 +87,61 @@ def test_asof_matches_pandas_oracle(spark, probe_rows, build_rows):
         assert np.allclose(
             got.loc[m, "v"].to_numpy(float), want.loc[m, "v"].to_numpy(float)
         ), strategy
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(probe_rows=rows, build_rows=rows,
+       direction=st.sampled_from(["forward", "nearest"]))
+def test_asof_directions_match_pandas_oracle(
+    spark, probe_rows, build_rows, direction
+):
+    """forward (label path) and nearest (snapshot alignment) vs the
+    pd.merge_asof oracle on random keyed timestamp sets — duplicate
+    probes, out-of-history probes, ties at equal distance (nearest
+    resolves to the earlier row, pd.merge_asof semantics)."""
+    probe_pdf = _mk(probe_rows).rename(columns={"ts": "join_ts"})
+    probe_pdf["pid"] = np.arange(len(probe_pdf))
+    build_pdf = (
+        _mk(build_rows, vcol="v")
+        .drop_duplicates(["k", "ts"], keep="last")
+        .reset_index(drop=True)
+    )
+
+    want = pd.merge_asof(
+        probe_pdf.sort_values(["join_ts", "pid"], kind="mergesort"),
+        build_pdf.sort_values("ts", kind="mergesort"),
+        left_on="join_ts",
+        right_on="ts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=True,
+    ).sort_values("pid", ignore_index=True)
+
+    probe = spark.createDataFrame(probe_pdf)
+    build = spark.createDataFrame(build_pdf)
+    for strategy in ("merge_scan", "merge_scan_slim"):
+        got = (
+            asof_join(
+                probe, build, key="k", ts_probe="join_ts", ts_build="ts",
+                build_cols=["v"], strategy=strategy, num_buckets=8,
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("pid", ignore_index=True)
+        )
+        assert len(got) == len(want), (strategy, direction)
+        assert (got["ts"].isna() == want["ts"].isna()).all(), (
+            strategy, direction,
+        )
+        m = ~want["ts"].isna()
+        assert (
+            got.loc[m, "ts"].astype("datetime64[us]").to_numpy()
+            == want.loc[m, "ts"].to_numpy()
+        ).all(), (strategy, direction)
+        assert np.allclose(
+            got.loc[m, "v"].to_numpy(float), want.loc[m, "v"].to_numpy(float)
+        ), (strategy, direction)

@@ -520,3 +520,98 @@ def test_stream_upsert_sink_replay_is_idempotent(spark, dirs, sf_dir):
     q = stream_upsert_sink(stream, dirs["out"], dirs["ckpt"] + "_replay")
     q.awaitTermination()
     assert IcebergLite(dirs["out"]).read(spark).count() == n1
+
+
+def test_stream_interval_join_left_outer_matches_batch(spark, dirs, sf_dir):
+    """Left-outer stream-stream interval join: clicks with NO purchase
+    within the horizon must appear exactly once with null right
+    columns once the watermark closes their window (availableNow
+    drains the stream, so every window closes); matched clicks carry
+    their purchases. The batch left join is the parity oracle."""
+    from crawlfe.streaming import stream_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "event_id"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cdir, pdir = dirs["in"] + "_lc", dirs["in"] + "_lp"
+    clicks.repartition(2).write.parquet(cdir)
+    purch.repartition(2).write.parquet(pdir)
+    sc = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    sp = (
+        spark.readStream.schema(purch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    j = stream_interval_join(
+        sc,
+        sp.withColumnRenamed("p_user", "user_id"),
+        key="user_id",
+        ts_left="click_ts",
+        ts_right="purchase_ts",
+        how="left_outer",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ssj_lo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = "user_id, event_id, purchase_ts, purchase_value"
+    got = spark.sql(f"select {cols} from ssj_lo").toPandas()
+    want = (
+        stream_interval_join(
+            clicks,
+            purch.withColumnRenamed("p_user", "user_id"),
+            key="user_id",
+            ts_left="click_ts",
+            ts_right="purchase_ts",
+            how="left_outer",
+        )
+        .select("user_id", "event_id", "purchase_ts", "purchase_value")
+        .toPandas()
+    )
+    # both null patterns are non-vacuous
+    assert want["purchase_ts"].isna().any()
+    assert want["purchase_ts"].notna().any()
+    # every emitted row matches the batch oracle exactly
+    key = ["user_id", "event_id", "purchase_ts", "purchase_value"]
+    g = got.sort_values(key, ignore_index=True, na_position="last")
+    w = want.sort_values(key, ignore_index=True, na_position="last")
+    merged = g.merge(w, on=key, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    # append-mode may withhold ONLY null-side rows whose join-state
+    # window the final watermark could not close: clicks within
+    # (delay + horizon) of the stream's max event time
+    missing = w.merge(g, on=key, how="left", indicator=True)
+    missing = missing[missing["_merge"] == "left_only"]
+    assert missing["purchase_ts"].isna().all()
+    # principled bound: a null-side row may be withheld iff the
+    # query's own FINAL watermark had not passed click_ts + horizon
+    import pandas as pd
+
+    wm = pd.Timestamp(q.lastProgress["eventTime"]["watermark"]).tz_localize(
+        None
+    )
+    click_ts = {
+        r["event_id"]: r["click_ts"]
+        for r in clicks.collect()
+    }
+    horizon = pd.Timedelta(seconds=3600)
+    for eid in missing["event_id"]:
+        assert click_ts[eid] + horizon >= wm, (eid, click_ts[eid], wm)
+    # matched rows are never withheld (inner results emit as they come)
+    assert (
+        g["purchase_ts"].notna().sum() == w["purchase_ts"].notna().sum()
+    )
