@@ -5603,6 +5603,48 @@ WHERE gap_s > 4 * med_gap_s
 """
 
 
+def q_sql_correlated(spark, sf_dir):
+    """SQL-surface demo with a correlated scalar subquery: orders above
+    their own customer's average order value. Catalyst decorrelates the
+    subquery into an aggregate + join (no per-row re-execution — the
+    plan is the same two-shuffle shape a hand-written window/join
+    gives), which is exactly why declaring it in SQL is scale-safe.
+    Every other registry key drives the DataFrame API; this one pins
+    the `spark.sql` entry point over registered temp views."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    # price > 2*avg compared in exact integer cents (price*n > 2*sum):
+    # a double avg at the filter boundary could ulp-flip between
+    # engines; integer cross-multiplication cannot
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS price
+        FROM orders_v o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * (
+                SELECT count(*) FROM orders_v i
+                WHERE i.o_custkey = o.o_custkey
+              ) > 2 * (
+                SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+                FROM orders_v i WHERE i.o_custkey = o.o_custkey
+              )
+        """
+    )
+
+
+SQL_SQL_CORRELATED = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+FROM orders o
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * (
+        SELECT count(*) FROM orders i
+        WHERE i.o_custkey = o.o_custkey
+      ) > 2 * (
+        SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        FROM orders i WHERE i.o_custkey = o.o_custkey
+      )
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5712,6 +5754,7 @@ REGISTRY: dict[str, tuple] = {
     "agg_string_ordered": (q_agg_string_ordered, SQL_AGG_STRING_ORDERED),
     "extract_entities": (q_extract_entities, SQL_EXTRACT_ENTITIES),
     "gap_detection": (q_gap_detection, SQL_GAP_DETECTION),
+    "sql_correlated": (q_sql_correlated, SQL_SQL_CORRELATED),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),

@@ -679,3 +679,16 @@ def test_ewma_single_exchange_grouped_kernel(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "props" not in plan.split("ReadSchema", 1)[-1], plan
+
+
+def test_sql_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst must decorrelate the scalar subqueries into aggregate
+    + join (one pass over orders per subquery, shared by AQE), never a
+    per-outer-row re-execution: no nested-loop/cartesian shape, and
+    the per-customer aggregates appear as ordinary HashAggregates."""
+    from crawlfe.queries import q_sql_correlated
+
+    plan = plan_of(q_sql_correlated(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan
