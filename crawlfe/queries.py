@@ -5603,6 +5603,64 @@ WHERE gap_s > 4 * med_gap_s
 """
 
 
+def q_dedup_windowed(spark, sf_dir):
+    """Time-windowed deduplication (the batch twin of
+    ``dropDuplicatesWithinWatermark``: suppress repeats of the same
+    (user, event_type) within 24 hours, keep re-appearances after the
+    horizon — the re-crawl/replay suppression shape). A row is a
+    duplicate iff an EARLIER same-key row sits within the trailing
+    day — expressed as a max-over-trailing-range window (exact
+    epoch-µs range frame, the row itself excluded via the
+    1-µs-preceding bound), one shuffle, no self-join. Returns the
+    kept rows."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", _us("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    prior = F.max("ts_us").over(w)
+    return (
+        e.withColumn("prior_us", prior)
+        .where(F.col("prior_us").isNull())
+        .select("user_id", "event_id", "event_type", "ts_us")
+    )
+
+
+SQL_DEDUP_WINDOWED = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events
+), m AS (
+  SELECT *, max(ts_us) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts_us
+           RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING
+         ) AS prior_us
+  FROM e
+)
+SELECT user_id, event_id, event_type, ts_us FROM m WHERE prior_us IS NULL
+"""
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct (the sketch that replaces
+    exact countDistinct when the key cardinality itself is web-scale):
+    per event_type, approx vs exact user counts side by side. The HLL
+    estimate is engine-specific by construction (Spark HLL++ vs
+    DuckDB's), so this key is rows-only; the pytest asserts the
+    documented relative-error bound against the exact count. Sketches
+    merge associatively — the map-side partials are tiny fixed-size
+    registers, the whole point at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def q_sql_correlated(spark, sf_dir):
     """SQL-surface demo with a correlated scalar subquery: orders above
     their own customer's average order value. Catalyst decorrelates the
@@ -5755,6 +5813,8 @@ REGISTRY: dict[str, tuple] = {
     "extract_entities": (q_extract_entities, SQL_EXTRACT_ENTITIES),
     "gap_detection": (q_gap_detection, SQL_GAP_DETECTION),
     "sql_correlated": (q_sql_correlated, SQL_SQL_CORRELATED),
+    "dedup_windowed": (q_dedup_windowed, SQL_DEDUP_WINDOWED),
+    "agg_approx_distinct": (q_agg_approx_distinct, None),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),

@@ -116,3 +116,38 @@ def test_pack9_plan_shapes(spark):
     # gap detection: window + agg share the user_id partitioning
     p = plan_of(q_gap_detection(spark, SF))
     assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_dedup_windowed_brute_parity(spark):
+    from crawlfe.queries import q_dedup_windowed
+
+    out = q_dedup_windowed(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    pdf = pd.DataFrame(
+        {
+            "user_id": ev["user_id"],
+            "event_id": ev["event_id"],
+            "ts_us": us,
+            "et": ev["event_type"],
+        }
+    ).sort_values(["user_id", "et", "ts_us"])
+    keep = []
+    for (_, _), grp in pdf.groupby(["user_id", "et"]):
+        ts = grp["ts_us"].to_numpy()
+        for r in grp.itertuples():
+            prior = ts[(ts >= r.ts_us - 86_400_000_000) & (ts < r.ts_us)]
+            if prior.size == 0:
+                keep.append(r.event_id)
+    assert set(out["event_id"]) == set(keep)
+    assert 0 < len(out) < len(ev)  # drops some, keeps some
+
+
+def test_approx_distinct_error_bound(spark):
+    from crawlfe.queries import q_agg_approx_distinct
+
+    out = q_agg_approx_distinct(spark, SF).toPandas()
+    assert len(out) > 0
+    # rsd=0.02 -> generous 5-sigma band; exact column is the oracle
+    rel = (out["approx_users"] - out["exact_users"]).abs() / out["exact_users"]
+    assert (rel <= 0.10).all(), out.to_string()
