@@ -5661,6 +5661,81 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
+_INCIDENT_PAD_US = 1_800_000_000  # 30 min either side
+_HOUR_US = 3_600_000_000
+
+
+def q_join_range_bucketed(spark, sf_dir):
+    """KEYLESS interval join at scale: purchases probed against
+    incident windows (error-heavy hours padded ±30 min) with no equi
+    key. Without a key Spark must nested-loop such a join; the scale
+    recipe is BUCKETING: each interval explodes into the hour buckets
+    it covers (≤2 extra rows per interval — interval fan-out, never
+    probe fan-out), probes bucket by ts div hour, and the join becomes
+    an EQUI join on bucket with the exact range predicate as a
+    residual filter. The bucket equi-join shuffles instead of
+    broadclooping; output is provably duplicate-free because each
+    (probe, interval) pair meets in exactly the probe's own bucket."""
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) div {_HOUR_US}"
+        ).alias("hour")
+    )
+    incidents = (
+        errs.groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_errs"))
+        .where(F.col("n_errs") >= 5)
+        .select(
+            F.col("hour").alias("incident_id"),
+            (F.col("hour") * _HOUR_US - _INCIDENT_PAD_US).alias("lo_us"),
+            ((F.col("hour") + 1) * _HOUR_US + _INCIDENT_PAD_US).alias(
+                "hi_us"
+            ),
+        )
+    )
+    # interval-side fan-out: one row per covered hour bucket
+    ib = incidents.select(
+        "incident_id",
+        "lo_us",
+        "hi_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo_us div {_HOUR_US}"),
+                F.expr(f"(hi_us - 1) div {_HOUR_US}"),
+            )
+        ).alias("bucket"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        _us("ts").alias("ts_us"),
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_HOUR_US}").alias(
+            "bucket"
+        ),
+    )
+    j = probes.join(ib, "bucket").where(
+        (F.col("ts_us") >= F.col("lo_us")) & (F.col("ts_us") < F.col("hi_us"))
+    )
+    return j.select("event_id", "incident_id", "ts_us")
+
+
+SQL_JOIN_RANGE_BUCKETED = f"""
+WITH errs AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hour
+  FROM events WHERE event_type = 'error'
+), incidents AS (
+  SELECT hour AS incident_id,
+         hour * {_HOUR_US} - {_INCIDENT_PAD_US} AS lo_us,
+         (hour + 1) * {_HOUR_US} + {_INCIDENT_PAD_US} AS hi_us
+  FROM errs GROUP BY hour HAVING count(*) >= 5
+)
+SELECT p.event_id, i.incident_id, epoch_us(p.ts) AS ts_us
+FROM events p JOIN incidents i
+  ON epoch_us(p.ts) >= i.lo_us AND epoch_us(p.ts) < i.hi_us
+WHERE p.event_type = 'purchase'
+"""
+
+
 def q_sql_correlated(spark, sf_dir):
     """SQL-surface demo with a correlated scalar subquery: orders above
     their own customer's average order value. Catalyst decorrelates the
@@ -5815,6 +5890,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_correlated": (q_sql_correlated, SQL_SQL_CORRELATED),
     "dedup_windowed": (q_dedup_windowed, SQL_DEDUP_WINDOWED),
     "agg_approx_distinct": (q_agg_approx_distinct, None),
+    "join_range_bucketed": (q_join_range_bucketed, SQL_JOIN_RANGE_BUCKETED),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),

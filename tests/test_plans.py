@@ -692,3 +692,17 @@ def test_sql_correlated_subquery_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_join_range_bucketed_is_equi_not_nested_loop(spark, sf_dir):
+    """The keyless interval join must execute as an EQUI join on the
+    hour bucket (hash/sort-merge/broadcast-HASH all fine) with the
+    range predicate as a residual — never the BroadcastNestedLoopJoin
+    that a bare range condition would plan, which at 100 TB scans
+    every probe against every interval."""
+    from crawlfe.queries import q_join_range_bucketed
+
+    plan = plan_of(q_join_range_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
