@@ -5778,6 +5778,100 @@ WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * (
 """
 
 
+def q_cumulative_reach(spark, sf_dir):
+    """Cumulative distinct-user reach per day (the audience growth
+    curve). A running COUNT(DISTINCT) is not directly distributable;
+    the scale recipe is the FIRST-SEEN transform: distinct count up to
+    day d == count of users whose first active day <= d. One tiny agg
+    per user (map-side combined), one day-level agg, then a cumsum
+    window over the day series — day cardinality is thousands at any
+    corpus size, so the window input is trivially small."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_day.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+SQL_CUMULATIVE_REACH = """
+WITH fd AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
+  FROM events GROUP BY user_id
+), pd AS (
+  SELECT first_day, count(*) AS new_users FROM fd GROUP BY first_day
+)
+SELECT first_day AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cumulative_users
+FROM pd
+"""
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users per day (the WAU curve).
+    Sliding COUNT(DISTINCT) cannot ride a window frame; the scale
+    recipe is the DAY-EXPLODE: each distinct (user, active-day) pair
+    fans out to the 7 report days it contributes to (bounded 7x
+    fan-out of the COMPACTED per-day-distinct table, never of raw
+    events), then an exact distinct count per report day. Report days
+    are clamped to the observed range so both engines emit the same
+    day axis."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    mx = ud.agg(F.max("day").alias("max_day"))
+    fan = ud.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.col("day") + 6, F.col("max_day")),
+            )
+        ).alias("report_day"),
+    )
+    return fan.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), mx AS (
+  SELECT max(day) AS max_day FROM ud
+), fan AS (
+  SELECT user_id, CAST(t.rd AS BIGINT) AS report_day
+  FROM ud CROSS JOIN mx,
+       UNNEST(range(day, least(day + 6, max_day) + 1)) AS t(rd)
+)
+SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM fan GROUP BY report_day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5891,6 +5985,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_windowed": (q_dedup_windowed, SQL_DEDUP_WINDOWED),
     "agg_approx_distinct": (q_agg_approx_distinct, None),
     "join_range_bucketed": (q_join_range_bucketed, SQL_JOIN_RANGE_BUCKETED),
+    "cumulative_reach": (q_cumulative_reach, SQL_CUMULATIVE_REACH),
+    "rolling_active_users": (q_rolling_active_users, SQL_ROLLING_ACTIVE_USERS),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),

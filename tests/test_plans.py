@@ -706,3 +706,31 @@ def test_join_range_bucketed_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_rolling_active_users_fans_out_compacted_days(spark, sf_dir):
+    """WAU day-explode: the 7x fan-out must apply to the per-(user,
+    day) DISTINCT table, never raw events — the distinct aggregate
+    sits upstream of the Generate (explode), and the report-day max
+    enters as a broadcast 1-row table."""
+    import re as _re
+
+    from crawlfe.queries import q_rolling_active_users
+
+    plan = plan_of(q_rolling_active_users(spark, sf_dir))
+    assert "Generate explode" in plan, plan
+    gen_pos = plan.index("Generate explode")
+    # a HashAggregate (the distinct) must appear BELOW the explode in
+    # the tree (later in the printed plan = upstream child)
+    assert "HashAggregate" in plan[gen_pos:], plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row max_day
+
+
+def test_cumulative_reach_window_over_compacted_days(spark, sf_dir):
+    """The cumsum window runs over per-day rows (thousands at any
+    scale), fed by two map-side-combined aggs; the raw event stream
+    crosses at most the per-user agg exchange."""
+    from crawlfe.queries import q_cumulative_reach
+
+    plan = plan_of(q_cumulative_reach(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
