@@ -5872,6 +5872,146 @@ FROM fan GROUP BY report_day
 """
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): customer
+    LEFT OUTER orders with a filter ON THE JOIN'S RIGHT SIDE (urgent
+    orders excluded — stands in for Q13's o_comment NOT LIKE; the
+    fixture carries no comment column), count per customer INCLUDING
+    zero-order customers, then the histogram of counts. Two-level agg
+    over an outer join — the right-side filter must stay in the join
+    (a WHERE would silently drop the zero-order customers)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicate revenue): revenue over
+    an OR of three conjunctive (brand, size-range, quantity-band)
+    groups — the disjunctive-pushdown probe (predicates adapted to the
+    fixture's columns; no p_container/l_shipmode exist). The common
+    l_quantity <= 30 conjunct is factored so SOMETHING pushes to the
+    lineitem scan even under the OR; revenue sums in DECIMAL for
+    association-order independence."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        j.where(F.col("l_quantity") <= 30)
+        .where(g1 | g2 | g3)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity <= 30
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers from a
+    nation set with above-average positive balance and NO orders —
+    an uncorrelated scalar-subquery threshold (broadcast 1-row avg in
+    exact cents) plus a LEFT ANTI join against orders, grouped by
+    nation (c_phone country codes don't exist in the fixture;
+    c_nationkey stands in). Balance compares in integer cents so the
+    threshold cannot ulp-flip between engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cents = F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    base = c.where(F.col("c_nationkey").isin(nations)).select(
+        "c_custkey", "c_nationkey", cents.alias("bal_cents")
+    )
+    thresh = (
+        base.where(F.col("bal_cents") > 0)
+        .agg(
+            F.sum("bal_cents").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    eligible = (
+        base.crossJoin(F.broadcast(thresh))
+        .where(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(o, base["c_custkey"] == o["o_custkey"], "left_anti")
+    )
+    return eligible.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+), t AS (
+  SELECT sum(bal_cents) AS s, count(*) AS n
+  FROM base WHERE bal_cents > 0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(bal_cents) / 100.0, 2) AS totacctbal
+FROM base CROSS JOIN t
+WHERE bal_cents * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5987,6 +6127,9 @@ REGISTRY: dict[str, tuple] = {
     "join_range_bucketed": (q_join_range_bucketed, SQL_JOIN_RANGE_BUCKETED),
     "cumulative_reach": (q_cumulative_reach, SQL_CUMULATIVE_REACH),
     "rolling_active_users": (q_rolling_active_users, SQL_ROLLING_ACTIVE_USERS),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
