@@ -6013,6 +6013,610 @@ GROUP BY c_nationkey
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #10: remaining TPC-H shapes on this column subset
+# (Q7/Q8/Q15/Q17/Q21), fixed-point PageRank, robust rolling/grouped
+# statistics (rolling median, MAD outliers), last-touch attribution,
+# domain-conditional boilerplate detection
+# --------------------------------------------------------------------------
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation pair): lineitem
+    joined through orders->customer for the customer nation and through
+    supplier for the supplier nation, restricted to the (1,2)/(2,1)
+    pair, revenue by (supp_nation, cust_nation, ship year). Nation is
+    broadcast twice under different aliases; the nationkey pair filter
+    pushes into the supplier/customer scans so the fact join only
+    carries the two nations' rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(
+            ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2))
+            | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+        )
+        .where(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((s_nationkey = 1 AND c_nationkey = 2)
+    OR (s_nationkey = 2 AND c_nationkey = 1))
+  AND year(l_shipdate) IN (1996, 1997)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): among PROMO-part orders
+    whose customer sits in ASIA, nation 3's share of yearly revenue.
+    share = conditional-sum / sum in one pass over the joined fact —
+    both sums ride the same map-side partial agg; dims broadcast. The
+    6dp-rounded ratio is immune to association-order ulp drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        _t(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.year("o_orderdate").isin(1996, 1997))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("s_nationkey") == 3, vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN s_nationkey = 3
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem, orders, customer, supplier, part, nation, region
+WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND p_type = 'PROMO'
+  AND year(o_orderdate) IN (1996, 1997)
+GROUP BY o_year
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over
+    1996-Q1 in EXACT integer cents (per-row round then bigint sum, so
+    the argmax can never ulp-flip between engines), suppliers equal to
+    the 1-row broadcast max. The classic view + scalar subquery becomes
+    agg -> crossJoin(broadcast(max)) -> filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    cents = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    )
+    rev = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select(F.col("l_suppkey"), cents.alias("cents"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_cents / 100.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM rev)
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): ECONOMY-part
+    lineitems whose quantity is below 20% of that part's average
+    quantity. The correlated avg subquery becomes per-part window sums
+    (one hash shuffle on l_partkey, no self-join), and the comparison
+    is exact integers: qty < 0.2*avg(qty) <=> 5*qty*cnt < sum_qty
+    (quantities are integral in this corpus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        "l_extendedprice",
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    w = Window.partitionBy("l_partkey")
+    j = j.withColumn("sum_qty", F.sum("qty").over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w)
+    )
+    small = j.where(
+        F.col("qty") * F.col("cnt") * F.lit(5) < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH j AS (
+  SELECT l_partkey, l_extendedprice, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+), stats AS (
+  SELECT l_partkey, l_extendedprice, qty,
+         sum(qty) OVER (PARTITION BY l_partkey) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM j
+)
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM stats WHERE qty * cnt * 5 < sum_qty
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this column subset: late = shipped more than 60 days after the
+    order date (the fixture has no commit/receipt dates). For finished
+    ('F') multi-supplier orders where EXACTLY ONE supplier shipped
+    late, count waiting orders per that supplier. The classic
+    exists/not-exists pair becomes one per-(order,supplier) agg plus
+    per-order window counts — two shuffles, no correlated rescans."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late_any"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w)
+    ).withColumn("n_late", F.sum("late_any").over(w))
+    waiting = flagged.where(
+        (F.col("late_any") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late") == 1)
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late_any
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), flagged AS (
+  SELECT l_suppkey, late_any,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(late_any) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_supp
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE late_any = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (3 power iterations, damping 0.85) over a deterministic
+    2-out-regular multigraph on the documents (link-based quality
+    signal for corpus curation): edges doc -> (7*doc+3) mod N and
+    doc -> (13*doc+5) mod N. All arithmetic is FIXED-POINT BIGINT at
+    scale 1e12 with floor division, so ranks are exact integers — the
+    iteration is bit-reproducible in any engine regardless of float
+    summation order. Each iteration is one shuffle (edge join + sum by
+    dst); the node/base sides rehash on doc_id, dangling inputs get
+    the teleport base via left join. At 100 TB the per-iteration state
+    is one (node, rank) table — the standard Pregel-as-joins layout."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("cnt"))
+    nodes = d.crossJoin(F.broadcast(n_row))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id * 7 + 3) % cnt").alias("dst"),
+    ).unionAll(
+        nodes.select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 13 + 5) % cnt").alias("dst"),
+        )
+    )
+    base = nodes.select(
+        "doc_id",
+        F.expr("CAST(15000000000000 DIV (100 * cnt) AS BIGINT)").alias(
+            "base"
+        ),
+    )
+    ranks = nodes.select(
+        "doc_id",
+        F.expr("CAST(1000000000000 DIV cnt AS BIGINT)").alias("r"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .select("dst", F.expr("r DIV 2").alias("half"))
+            .groupBy("dst")
+            .agg(F.sum("half").alias("s"))
+        )
+        ranks = base.join(
+            contrib, base.doc_id == contrib.dst, "left"
+        ).select(
+            base.doc_id,
+            (
+                F.col("base")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+            ).alias("r"),
+        )
+    return ranks.select("doc_id", F.col("r").alias("rank_e12"))
+
+
+SQL_PAGERANK = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % cnt AS dst
+  FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % cnt FROM documents CROSS JOIN n
+),
+base AS (
+  SELECT doc_id, CAST(15000000000000 // (100 * cnt) AS BIGINT) AS base
+  FROM nodes CROSS JOIN n
+),
+r0 AS (
+  SELECT doc_id, CAST(1000000000000 // cnt AS BIGINT) AS r
+  FROM nodes CROSS JOIN n
+),
+c1 AS (SELECT e.dst, sum(r.r // 2) AS s FROM edges e
+       JOIN r0 r ON r.doc_id = e.src GROUP BY e.dst),
+r1 AS (SELECT b.doc_id,
+              CAST(b.base + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS r
+       FROM base b LEFT JOIN c1 ON c1.dst = b.doc_id),
+c2 AS (SELECT e.dst, sum(r.r // 2) AS s FROM edges e
+       JOIN r1 r ON r.doc_id = e.src GROUP BY e.dst),
+r2 AS (SELECT b.doc_id,
+              CAST(b.base + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS r
+       FROM base b LEFT JOIN c2 ON c2.dst = b.doc_id),
+c3 AS (SELECT e.dst, sum(r.r // 2) AS s FROM edges e
+       JOIN r2 r ON r.doc_id = e.src GROUP BY e.dst)
+SELECT b.doc_id,
+       CAST(b.base + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rank_e12
+FROM base b LEFT JOIN c3 ON c3.dst = b.doc_id
+"""
+
+
+def q_rolling_median(spark, sf_dir):
+    """Rolling EXACT median of the last 5 events per user (robust
+    rolling statistic — the outlier-resistant twin of win_rolling's
+    mean). Spark's percentile aggregate runs as a window function over
+    the row frame, all JVM; at most 5 doubles per frame, and both
+    engines interpolate the even-count midpoint with the same single
+    IEEE op, so the 4dp round is stable."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", _us("ts").alias("ts_us"), "event_id", "value"
+    ).selectExpr(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "round(percentile(value, 0.5) OVER ("
+        "  PARTITION BY user_id ORDER BY ts_us, event_id"
+        "  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_med",
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       round(median(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_med
+FROM events
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Grouped robust outlier report via median absolute deviation
+    (feature-QA primitive: |x - median| > 3*MAD per language). Two
+    exact-percentile shuffles on the group key; the tiny per-lang
+    median/MAD tables broadcast back. n_chars is integral, so medians
+    land on exact .0/.5 doubles and the 3*MAD compare cannot
+    ulp-flip."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("x")
+    )
+    med = d.groupBy("lang").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dm = d.join(F.broadcast(med), "lang").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dm.groupBy("lang").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = dm.join(F.broadcast(mad), "lang")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("ad") > 3.0 * F.col("mad")).cast("bigint")
+        ).alias("n_outliers"),
+        F.round(F.min("med"), 1).alias("med_chars"),
+        F.round(F.min("mad"), 1).alias("mad_chars"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+), med AS (
+  SELECT lang, median(x) AS med FROM d GROUP BY lang
+), dm AS (
+  SELECT d.lang, d.x, med.med, abs(d.x - med.med) AS ad
+  FROM d JOIN med USING (lang)
+), mad AS (
+  SELECT lang, median(ad) AS mad FROM dm GROUP BY lang
+)
+SELECT dm.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ad > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(min(med), 1) AS med_chars,
+       round(min(mad), 1) AS mad_chars
+FROM dm JOIN mad USING (lang)
+GROUP BY dm.lang
+"""
+
+
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution (the training-label analog of ad
+    attribution): each purchase is attributed to the channel of the
+    latest prior click by the same user within a 7-day window, else to
+    channel -1 (direct). The engine's merge-scan as-of kernel with
+    tolerance does the touch lookup; channel is a JVM json_extract of
+    the click's props. Clicks are pre-deduped to one row per
+    (user, ts) (max channel) so tie order can never differ between
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purch_ts"), "event_id", "value"
+    )
+    build = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            (
+                F.get_json_object("props", "$.k").cast("int") % 5
+            ).alias("channel"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("channel").alias("channel"))
+    )
+    j = asof_join(
+        probe, build, key="user_id", ts_probe="purch_ts", ts_build="ts",
+        build_cols=["channel"], strategy="merge_scan", num_buckets=64,
+        tolerance=pd.Timedelta(days=7),
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("channel"), F.lit(-1)).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH probe AS (
+  SELECT user_id, ts AS purch_ts, event_id, value
+  FROM events WHERE event_type = 'purchase'
+), build AS (
+  SELECT user_id, ts,
+         max(CAST(json_extract_string(props, '$.k') AS INT) % 5)
+           AS channel
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), a AS (
+  SELECT p.value, b.ts, p.purch_ts, b.channel
+  FROM probe p ASOF LEFT JOIN build b
+    ON p.user_id = b.user_id AND p.purch_ts >= b.ts
+)
+SELECT CASE WHEN ts IS NOT NULL
+             AND epoch_us(purch_ts) - epoch_us(ts)
+                 <= CAST(7 AS BIGINT) * 24 * 3600 * 1000000
+            THEN channel ELSE -1 END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 4) AS revenue
+FROM a
+GROUP BY 1
+"""
+
+
+def q_boilerplate_para(spark, sf_dir):
+    """Domain-conditional boilerplate detection (the RefinedWeb-style
+    site-template filter, distinct from corpus-wide dedup_paragraph):
+    a 10-word chunk is boilerplate when it appears in >= 30% of its
+    source's docs (and at least 2). Chunk -> count DISTINCT docs per
+    (source, hash) -> integer-exact threshold against the broadcast
+    per-source doc count -> per-doc boilerplate ratio. One explode,
+    two hash aggs, one join keyed on the chunk hash — no pairwise
+    anything at 100 TB."""
+    ch = _PARA_CHUNK
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), "\\s+").alias("w")
+    )
+    n_chunks = F.expr(f"CAST((size(w) + {ch - 1}) DIV {ch} AS INT)")
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("w"), i * ch + 1, ch), " "
+                ),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", "source", F.md5(F.col("chunk")).alias("h"))
+    per_chunk = chunks.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_source = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    boiler = per_chunk.join(F.broadcast(per_source), "source").select(
+        "source",
+        "h",
+        (
+            (F.col("nd") >= 2) & (F.col("nd") * 10 >= F.col("n_docs") * 3)
+        ).cast("int").alias("is_boiler"),
+    )
+    return (
+        chunks.join(boiler, ["source", "h"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("is_boiler").alias("n_boiler"),
+            F.round(
+                F.sum("is_boiler") / F.count(F.lit(1)), 4
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+SQL_BOILERPLATE_PARA = """
+WITH arr AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), ch0 AS (
+  SELECT doc_id, source, w,
+         unnest(generate_series(0, CAST((len(w) + 9) // 10 AS INT) - 1))
+           AS chunk_idx
+  FROM arr
+), chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_slice(w, chunk_idx * 10 + 1,
+                                        chunk_idx * 10 + 10), ' ')) AS h
+  FROM ch0
+), per_chunk AS (
+  SELECT source, h, count(DISTINCT doc_id) AS nd
+  FROM chunks GROUP BY source, h
+), per_source AS (
+  SELECT source, count(DISTINCT doc_id) AS n_docs
+  FROM documents GROUP BY source
+), boiler AS (
+  SELECT source, h,
+         CAST(nd >= 2 AND nd * 10 >= n_docs * 3 AS INT) AS is_boiler
+  FROM per_chunk JOIN per_source USING (source)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+       round(sum(is_boiler) * 1.0 / count(*), 4) AS boiler_ratio
+FROM chunks JOIN boiler USING (source, h)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6087,21 +6691,35 @@ REGISTRY: dict[str, tuple] = {
     "vocab_topv": (q_vocab_topv, SQL_VOCAB_TOPV),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    # -- new r3 continuation (this session): feature-eng pack #10 —
+    #    the youngest code, so it takes the window slots; the pack #3-#5
+    #    keys it displaces are multiply sweep-green (sweeps_r03.jsonl) --
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "boilerplate_para": (q_boilerplate_para, SQL_BOILERPLATE_PARA),
     # -- new r3 (this session): feature-eng pack #3 --
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    # ---- position 50 boundary: everything below is either
+    # (first 10 rows) pack #3-#5 keys displaced by pack #10 — each
+    # ALL-GREEN in multiple committed tri-SF check_entry sweeps — or
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "pit_features": (q_pit_features, SQL_PIT_FEATURES),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
-    # -- new r3 (this session): feature-eng pack #4 --
     "quantize_embed": (q_quantize_embed, SQL_QUANTIZE_EMBED),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
-    # -- new r3 (this session): feature-eng pack #5 --
     "grouped_corr": (q_grouped_corr, SQL_GROUPED_CORR),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "approx_percentile": (q_approx_percentile, None),
-    # ---- position 50 boundary (134 keys): everything below is either
+    # ---- (former position-50 note, still true): everything below is either
     # driver-green in round 1 and/or round 2 and unchanged since, or
     # (the first 12 rows) r3-new keys repeatedly ALL-GREEN in committed
     # tri-SF check_entry sweeps (pure narrow projections, the stable
