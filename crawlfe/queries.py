@@ -6152,6 +6152,10 @@ def q_tpch_q15(spark, sf_dir):
         .select(F.col("l_suppkey"), cents.alias("cents"))
         .groupBy("l_suppkey")
         .agg(F.sum("cents").alias("total_cents"))
+        # rev feeds BOTH the max and the output join; without
+        # materializing, Spark re-derives the subtree and scans the
+        # fact table twice. |suppliers| rows — trivially cacheable.
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_cents").alias("max_cents"))
     return (
@@ -6617,6 +6621,296 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #11: the last TPC-H shapes (Q2/Q9/Q11/Q12/Q20 adapted
+# to this column subset — all 22 classic shapes now present) + per-domain
+# document cap (crawl-curation sampling)
+# --------------------------------------------------------------------------
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the fixture has no
+    partsupp, so supply cost is derived from lineitem — per
+    (part, supplier) the MIN unit price in exact cents (one IEEE
+    divide + round per row, then integer min). The classic correlated
+    min subquery becomes a per-part window min compared for equality —
+    one shuffle on p_partkey, no rescan. LARGE parts only; supplier
+    name/nation attached from broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "LARGE")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    unit_cents = F.expr(
+        "CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT)"
+    )
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey", unit_cents.alias("uc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("supply_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn(
+        "min_cents", F.min("supply_cents").over(w)
+    ).where(F.col("supply_cents") == F.col("min_cents"))
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("supply_cents") / 100.0, 2).alias("supplycost"),
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(100 * l_extendedprice / l_quantity) AS BIGINT))
+           AS supply_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE'
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, l_suppkey, supply_cents,
+         min(supply_cents) OVER (PARTITION BY l_partkey) AS min_cents
+  FROM cost
+)
+SELECT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+       round(supply_cents / 100.0, 2) AS supplycost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE supply_cents = min_cents
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): revenue
+    of 'red'-named parts grouped by the SUPPLIER's nation and order
+    year (the fixture has no partsupp supplycost, so profit = revenue).
+    Broadcast part/supplier/nation dims; the two fact tables sort-merge
+    on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("sum_profit")
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem, orders, part, supplier, nation
+WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock value): per-part traded value
+    from suppliers of nations {0,1,2}, keeping parts whose value
+    exceeds 1/2000 of the total — the classic uncorrelated
+    scalar-subquery HAVING. Values are exact integer cents; the
+    threshold compare is value_cents * 2000 > total_cents, pure
+    bigints, so no engine can ulp-flip a boundary part. The 1-row
+    total broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(0, 1, 2))
+        .select("s_suppkey")
+    )
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("value_cents"))
+        # val feeds BOTH the total and the output filter; materialize
+        # the |parts|-row agg so the fact table is scanned once.
+        .localCheckpoint(eager=False)
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 2000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (0, 1, 2)
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value_cents / 100.0, 2) AS part_value
+FROM val
+WHERE value_cents * 2000 > (SELECT sum(value_cents) FROM val)
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (late shipments by priority class): lineitems
+    shipped more than 90 days after the order date in 1996-1997,
+    bucketed by ship year (standing in for shipmode), counting
+    high-priority (1-URGENT/2-HIGH) vs low-priority orders — the
+    classic join + CASE-sum report. One fact-fact join, one agg, all
+    integer counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).where(
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        & F.year("l_shipdate").isin(1996, 1997)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint")
+    return j.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.sum(hi).alias("high_line_count"),
+        F.sum(1 - hi).alias("low_line_count"),
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND year(l_shipdate) IN (1996, 1997)
+GROUP BY ship_year
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess share): suppliers who
+    shipped MORE THAN HALF of some ECONOMY part's total quantity —
+    the classic exists-with-aggregate-subquery, decorrelated to
+    per-(part,supplier) sums + a per-part window total, compared as
+    exact integers (2*supp_qty > total_qty). Distinct suppliers out,
+    name attached from the broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    qty = F.expr("CAST(l_quantity AS BIGINT)")
+    per_ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey", qty.alias("qty"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = per_ps.withColumn(
+        "total_qty", F.sum("supp_qty").over(w)
+    ).where(F.col("supp_qty") * 2 > F.col("total_qty"))
+    return (
+        dominant.select("l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+  GROUP BY l_partkey, l_suppkey
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (
+    SELECT l_suppkey, supp_qty,
+           sum(supp_qty) OVER (PARTITION BY l_partkey) AS total_qty
+    FROM per_ps
+  )
+  WHERE supp_qty * 2 > total_qty
+)
+SELECT s_suppkey, s_name
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (crawl-curation sampling: at most K docs
+    per source so no site dominates the corpus). The kept subset is
+    chosen by deterministic hash order — row_number over
+    (md5(doc_id), doc_id) within each source — so any engine, layout,
+    or cluster size keeps the SAME documents. One window shuffle on
+    the small source key; at 100 TB sources are the partition key and
+    AQE handles the hot ones."""
+    k = 10
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "source", "rn")
+    )
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6684,16 +6978,21 @@ REGISTRY: dict[str, tuple] = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
-    "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
-    "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
-    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
-    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
-    "vocab_topv": (q_vocab_topv, SQL_VOCAB_TOPV),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    # -- new r3 continuation (this session): feature-eng pack #11 —
+    #    the last TPC-H shapes (all 22 now present) + per-domain cap --
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     # -- new r3 continuation (this session): feature-eng pack #10 —
-    #    the youngest code, so it takes the window slots; the pack #3-#5
-    #    keys it displaces are multiply sweep-green (sweeps_r03.jsonl) --
+    #    the youngest code, so it takes the window slots; the keys the
+    #    two packs displace (pack #2 tail clean_funnel/clean_docs/
+    #    tpch_q1/seq_pack/vocab_topv + the pack #3-#5 block) are each
+    #    multiply sweep-green (sweeps_r03.jsonl) --
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
@@ -6704,11 +7003,15 @@ REGISTRY: dict[str, tuple] = {
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "boilerplate_para": (q_boilerplate_para, SQL_BOILERPLATE_PARA),
-    # -- new r3 (this session): feature-eng pack #3 --
+    # ---- position 50 boundary: everything below is either a key
+    # displaced by packs #10/#11 (pack #2 tail + pack #3-#5 block,
+    # each ALL-GREEN in multiple committed tri-SF check_entry sweeps) or
+    "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
+    "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "vocab_topv": (q_vocab_topv, SQL_VOCAB_TOPV),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
-    # ---- position 50 boundary: everything below is either
-    # (first 10 rows) pack #3-#5 keys displaced by pack #10 — each
-    # ALL-GREEN in multiple committed tri-SF check_entry sweeps — or
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "pit_features": (q_pit_features, SQL_PIT_FEATURES),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
