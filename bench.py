@@ -124,6 +124,19 @@ HEADLINE = [
     "agg_string_ordered",
     "extract_entities",
     "gap_detection",
+    # added r3 (session 6): packs #10-#11 — remaining TPC-H shapes,
+    # fixed-point PageRank, robust stats, attribution, boilerplate
+    "tpch_q7",
+    "tpch_q15",
+    "tpch_q21",
+    "pagerank",
+    "rolling_median",
+    "mad_outliers",
+    "attribution",
+    "boilerplate_para",
+    "tpch_q2",
+    "tpch_q11",
+    "domain_cap",
 ]
 
 

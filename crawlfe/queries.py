@@ -6911,6 +6911,163 @@ WHERE rn <= 10
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #12: calendar feature extraction, coverage/integrity
+# audit, deterministic negative sampling, grouped median imputation
+# --------------------------------------------------------------------------
+
+def q_calendar_features(spark, sf_dir):
+    """Calendar feature extraction (the one-hot-able time features every
+    temporal model starts with): ISO day-of-week, hour, month,
+    is_weekend, days since epoch — all JVM datetime built-ins inside
+    one narrow projection; nothing shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _us("ts").alias("ts_us"),
+        (F.expr("weekday(ts)") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hh"),
+        F.month("ts").alias("mm"),
+        (F.expr("weekday(ts)") >= 5).cast("int").alias("is_weekend"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("epoch_day"),
+    )
+
+
+SQL_CALENDAR_FEATURES = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(hour(ts) AS INT) AS hh,
+       CAST(month(ts) AS INT) AS mm,
+       CAST(isodow(ts) >= 6 AS INT) AS is_weekend,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+         AS epoch_day
+FROM events
+"""
+
+
+def q_dormant_audit(spark, sf_dir):
+    """Coverage/integrity audit (the pipeline-health report a feature
+    store runs before training): per nation, customers with NO events
+    (dormant) vs total, with the dormancy rate. LEFT ANTI join against
+    the distinct event actors (shuffle on the key, events pre-shrunk
+    to distinct user_ids map-side), then a broadcast nation count —
+    integer-exact counts, one 6dp rate divide."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    actors = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey")
+    ).distinct()
+    dormant = c.join(actors, "c_custkey", "left_anti")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_dormant"))
+        .join(F.broadcast(per_nation), "c_nationkey")
+        .select(
+            "c_nationkey",
+            "n_dormant",
+            "n_customers",
+            F.round(
+                F.col("n_dormant") / F.col("n_customers"), 6
+            ).alias("dormant_rate"),
+        )
+    )
+
+
+SQL_DORMANT_AUDIT = """
+WITH dormant AS (
+  SELECT c_custkey, c_nationkey FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+), per_nation AS (
+  SELECT c_nationkey, count(*) AS n_customers FROM customer
+  GROUP BY c_nationkey
+)
+SELECT d.c_nationkey, CAST(count(*) AS BIGINT) AS n_dormant,
+       n_customers,
+       round(count(*) * 1.0 / n_customers, 6) AS dormant_rate
+FROM dormant d JOIN per_nation p ON d.c_nationkey = p.c_nationkey
+GROUP BY d.c_nationkey, n_customers
+"""
+
+
+def q_negative_sample(spark, sf_dir):
+    """Deterministic negative sampling (contrastive-training pairs):
+    k=4 pseudo-random negatives per anchor doc via the hash-style map
+    neg = (31*doc + 17*i + 7) mod N, skipping self-collisions. No RNG
+    state — any engine, layout, or retry produces the same pairs. One
+    broadcast of the 1-row corpus count; sequence+explode fan-out,
+    no shuffle at all."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        d.crossJoin(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("i"),
+            F.col("cnt"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr("(31 * doc_id + 17 * i + 7) % cnt").alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("doc_id"))
+    )
+
+
+SQL_NEGATIVE_SAMPLE = """
+SELECT doc_id, CAST(i AS INT) AS i,
+       (31 * doc_id + 17 * i + 7) % cnt AS neg_id
+FROM documents
+CROSS JOIN (SELECT count(*) AS cnt FROM documents)
+CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)
+WHERE (31 * doc_id + 17 * i + 7) % cnt != doc_id
+"""
+
+
+def q_impute_median(spark, sf_dir):
+    """Grouped median imputation (the standard missing-feature fill):
+    10% of values are masked by a deterministic rule (event_id % 10 ==
+    0 stands in for real missingness), then filled with the per-user
+    median of the SURVIVING values. One exact-percentile shuffle on
+    the user key, one shuffle join back; medians of doubles are
+    element-or-midpoint so the 4dp round is engine-stable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    return ev.join(med, "user_id").select(
+        "event_id",
+        "user_id",
+        F.col("v").isNull().cast("int").alias("was_missing"),
+        F.round(F.coalesce(F.col("v"), F.col("med")), 4).alias("imputed"),
+    )
+
+
+SQL_IMPUTE_MEDIAN = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+  FROM events
+), med AS (
+  SELECT user_id, median(v) AS med FROM ev GROUP BY user_id
+)
+SELECT event_id, ev.user_id,
+       CAST(v IS NULL AS INT) AS was_missing,
+       round(COALESCE(v, med), 4) AS imputed
+FROM ev JOIN med ON ev.user_id = med.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6969,10 +7126,6 @@ REGISTRY: dict[str, tuple] = {
     "asof_union_window": (q_asof_union_window, SQL_ASOF),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     # -- new r3 (this session): training-data feature-eng pack #2 --
-    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
-    "target_encode_loo": (q_target_encode_loo, SQL_TARGET_ENCODE_LOO),
-    "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
-    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
@@ -6980,6 +7133,13 @@ REGISTRY: dict[str, tuple] = {
     "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    # -- new r3 continuation (this session): feature-eng pack #12 —
+    #    calendar features, coverage audit, negative sampling, median
+    #    imputation --
+    "calendar_features": (q_calendar_features, SQL_CALENDAR_FEATURES),
+    "dormant_audit": (q_dormant_audit, SQL_DORMANT_AUDIT),
+    "negative_sample": (q_negative_sample, SQL_NEGATIVE_SAMPLE),
+    "impute_median": (q_impute_median, SQL_IMPUTE_MEDIAN),
     # -- new r3 continuation (this session): feature-eng pack #11 —
     #    the last TPC-H shapes (all 22 now present) + per-domain cap --
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
@@ -7004,8 +7164,13 @@ REGISTRY: dict[str, tuple] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "boilerplate_para": (q_boilerplate_para, SQL_BOILERPLATE_PARA),
     # ---- position 50 boundary: everything below is either a key
-    # displaced by packs #10/#11 (pack #2 tail + pack #3-#5 block,
-    # each ALL-GREEN in multiple committed tri-SF check_entry sweeps) or
+    # displaced by packs #10/#11/#12 (pack #2 head+tail + pack #3-#5
+    # block, each ALL-GREEN in multiple committed tri-SF check_entry
+    # sweeps) or
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "target_encode_loo": (q_target_encode_loo, SQL_TARGET_ENCODE_LOO),
+    "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
+    "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
     "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
     "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
