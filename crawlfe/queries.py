@@ -7068,6 +7068,214 @@ FROM ev JOIN med ON ev.user_id = med.user_id
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #13: graph statistics on the deterministic doc graph
+# (degrees + 2-hop reach, oriented triangle count), weak-supervision
+# label voting, calibration binning
+# --------------------------------------------------------------------------
+
+def _doc_edges(spark, sf_dir):
+    """The deterministic 2-out-regular doc multigraph shared with
+    q_pagerank: doc -> (7*doc+3) mod N and doc -> (13*doc+5) mod N."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = d.agg(F.count(F.lit(1)).alias("cnt"))
+    nodes = d.crossJoin(F.broadcast(n_row))
+    return nodes.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id * 7 + 3) % cnt").alias("dst"),
+    ).unionAll(
+        nodes.select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 13 + 5) % cnt").alias("dst"),
+        )
+    )
+
+
+SQL_DOC_EDGES = """
+  SELECT doc_id AS src, (doc_id * 7 + 3) % cnt AS dst
+  FROM documents CROSS JOIN (SELECT count(*) AS cnt FROM documents)
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % cnt
+  FROM documents CROSS JOIN (SELECT count(*) AS cnt FROM documents)
+"""
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Link-graph degree statistics (the fan-in/fan-out features of a
+    web graph): per node, out-degree, in-degree, and DISTINCT 2-hop
+    forward reach. Degrees are two hash aggs; the 2-hop count is one
+    self-join of the edge list on dst=src then countDistinct — the
+    standard neighborhood-expansion shuffle, keyed so skewed hubs hit
+    AQE, never a cartesian."""
+    edges = _doc_edges(spark, sf_dir)
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    out_deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    e2 = edges.select(F.col("src").alias("mid"), F.col("dst").alias("hop2"))
+    two_hop = (
+        edges.join(e2, edges.dst == e2.mid)
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.countDistinct("hop2").alias("reach2"))
+    )
+    return (
+        nodes.join(out_deg, "doc_id", "left")
+        .join(in_deg, "doc_id", "left")
+        .join(two_hop, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("reach2", F.lit(0)).alias("reach2"),
+        )
+    )
+
+
+SQL_GRAPH_DEGREES = f"""
+WITH edges AS ({SQL_DOC_EDGES}),
+od AS (SELECT src AS doc_id, count(*) AS out_deg FROM edges GROUP BY src),
+id_ AS (SELECT dst AS doc_id, count(*) AS in_deg FROM edges GROUP BY dst),
+th AS (
+  SELECT e1.src AS doc_id, count(DISTINCT e2.dst) AS reach2
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  GROUP BY e1.src
+)
+SELECT d.doc_id,
+       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(reach2, 0) AS BIGINT) AS reach2
+FROM documents d
+LEFT JOIN od ON d.doc_id = od.doc_id
+LEFT JOIN id_ ON d.doc_id = id_.doc_id
+LEFT JOIN th ON d.doc_id = th.doc_id
+"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Global triangle count (the classic shuffle-heavy graph
+    benchmark; clustering signal for link spam). Edges are first
+    canonicalized to distinct undirected (a < b) pairs — the standard
+    ORIENTATION optimization: every triangle a<b<c is then counted
+    exactly once by joining (a,b)x(b,c) and probing (a,c), so no
+    triangle is found 6 times and the join degrees stay bounded by the
+    max out-orientation degree. Three hash joins, one global count."""
+    edges = _doc_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedge = e1.join(e2, e1.y == e2.y2).select("x", "y", "z")
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = wedge.join(
+        e3, (wedge.x == e3.x3) & (wedge.z == e3.z3)
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH edges AS ({SQL_DOC_EDGES}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e1.b = e2.a
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_weak_labels(spark, sf_dir):
+    """Weak-supervision label model (Snorkel-style): three cheap
+    labeling functions — length, language whitelist, token count —
+    vote per document; majority label + unanimity flag. Pure JVM CASE
+    expressions in one narrow pass; the label model a 100 TB corpus
+    can actually afford before training a real classifier."""
+    d = _t(spark, sf_dir, "documents")
+    lf1 = (F.col("n_chars") > 300).cast("int")
+    lf2 = F.col("lang").isin("en", "de").cast("int")
+    lf3 = (F.size(F.split(F.trim(F.col("text")), "\\s+")) > 50).cast("int")
+    return d.select(
+        "doc_id",
+        lf1.alias("lf_len"),
+        lf2.alias("lf_lang"),
+        lf3.alias("lf_tok"),
+        ((lf1 + lf2 + lf3) >= 2).cast("int").alias("vote"),
+        ((lf1 == lf2) & (lf2 == lf3)).cast("int").alias("unanimous"),
+    )
+
+
+SQL_WEAK_LABELS = """
+SELECT doc_id,
+       CAST(n_chars > 300 AS INT) AS lf_len,
+       CAST(lang IN ('en', 'de') AS INT) AS lf_lang,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) > 50 AS INT)
+         AS lf_tok,
+       CAST((CAST(n_chars > 300 AS INT) + CAST(lang IN ('en', 'de') AS INT)
+             + CAST(len(regexp_split_to_array(trim(text), '\\s+')) > 50
+                    AS INT)) >= 2 AS INT) AS vote,
+       CAST(CAST(n_chars > 300 AS INT) = CAST(lang IN ('en', 'de') AS INT)
+            AND CAST(lang IN ('en', 'de') AS INT)
+                = CAST(len(regexp_split_to_array(trim(text), '\\s+')) > 50
+                       AS INT) AS INT) AS unanimous
+FROM documents
+"""
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Calibration / reliability binning (the eval-side twin of
+    eval_rank_stats): a deterministic md5-derived score in [0,1) per
+    doc vs the length label, bucketed into 10 bins with mean score and
+    positive rate. The score is the first 4 md5 hex digits / 65536 —
+    identical in any engine — and the bin edge is an integer compare,
+    so bucket membership can never ulp-flip. One map-side-combined
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    label = (F.col("n_chars") > 300).cast("int")
+    b = d.select(
+        (h16 * 10).alias("h10"),
+        (h16 / F.lit(65536.0)).alias("score"),
+        label.alias("label"),
+    ).select(
+        F.expr("CAST(h10 DIV 65536 AS INT)").alias("bin"),
+        "score",
+        "label",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg("label"), 6).alias("pos_rate"),
+    )
+
+
+SQL_CALIBRATION_BINS = """
+WITH b AS (
+  SELECT CAST((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) * 10) // 65536 AS INT) AS bin,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              AS BIGINT) / 65536.0 AS score,
+         CAST(n_chars > 300 AS INT) AS label
+  FROM documents
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(score), 6) AS mean_score,
+       round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+FROM b GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7127,12 +7335,14 @@ REGISTRY: dict[str, tuple] = {
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     # -- new r3 (this session): training-data feature-eng pack #2 --
     "contamination": (q_contamination, SQL_CONTAMINATION),
-    "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
-    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
-    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-    "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    # -- new r3 continuation (this session): feature-eng pack #13 —
+    #    graph stats, weak-supervision voting, calibration bins --
+    "graph_degrees": (q_graph_degrees, SQL_GRAPH_DEGREES),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "weak_labels": (q_weak_labels, SQL_WEAK_LABELS),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     # -- new r3 continuation (this session): feature-eng pack #12 —
     #    calendar features, coverage audit, negative sampling, median
     #    imputation --
@@ -7171,6 +7381,10 @@ REGISTRY: dict[str, tuple] = {
     "target_encode_loo": (q_target_encode_loo, SQL_TARGET_ENCODE_LOO),
     "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
     "quality_repetition": (q_quality_repetition, SQL_QUALITY_REPETITION),
+    "feature_hashing": (q_feature_hashing, SQL_FEATURE_HASHING),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "quality_unigram_lm": (q_quality_unigram_lm, SQL_QUALITY_UNIGRAM_LM),
     "clean_funnel": (q_clean_funnel, SQL_CLEAN_FUNNEL),
     "clean_docs": (q_clean_docs, SQL_CLEAN_DOCS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
