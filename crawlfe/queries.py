@@ -7276,6 +7276,165 @@ FROM b GROUP BY bin
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #14: ingest-boundary sources — Spark 4 Python
+# DataSource (warclite container), VariantType JSON, native XML scan
+# --------------------------------------------------------------------------
+
+def q_scan_warclite(spark, sf_dir):
+    """WARC-style container ingest via the engine's registered Spark 4
+    Python DataSource (crawlfe/warclite.py): the documents table is
+    exported to 8 warclite container files (hash-split by doc_id, the
+    per-file layout a crawl actually has), read back through
+    ``spark.read.format("warclite")`` — one InputPartition per file —
+    and aggregated per lang. The oracle recomputes the same aggregate
+    straight from the documents view, so correctness covers the full
+    container write → custom-source scan → agg round trip. Fixture
+    lives in a per-call tempdir (ADVICE r2: never a fixed /tmp path)."""
+    import os
+    import shutil
+    import tempfile
+
+    from . import warclite
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", "text")
+        .toPandas()  # fixture export is driver-side by design (like
+        # scan_csv's manifest); the SCAN under test is distributed
+    )
+    tmpdir = tempfile.mkdtemp(prefix="crawlfe_warclite_")
+    try:
+        by_file: dict[int, list] = {}
+        for r in docs.itertuples():
+            by_file.setdefault(int(r.doc_id) % 8, []).append(
+                {
+                    "url": f"https://{r.source}.example/doc/{r.doc_id}",
+                    "warc_ts_us": 10**15 + int(r.doc_id) * 10**6,
+                    "lang": r.lang,
+                    "payload": r.text.encode("utf-8"),
+                }
+            )
+        for i, recs in sorted(by_file.items()):
+            warclite.write_warclite(
+                os.path.join(tmpdir, f"part-{i:04d}.wlr"), recs
+            )
+        warclite.register(spark)
+        back = spark.read.format("warclite").load(tmpdir)
+        agg = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.octet_length("payload")).alias("n_bytes"),
+            F.min("warc_ts_us").alias("min_ts_us"),
+            F.max("warc_ts_us").alias("max_ts_us"),
+        )
+        out = agg.collect()  # materialize through the scan pre-cleanup
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        schema="lang string, n_records bigint, n_bytes bigint, "
+        "min_ts_us bigint, max_ts_us bigint",
+    )
+
+
+SQL_SCAN_WARCLITE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+       min(1000000000000000 + doc_id * 1000000) AS min_ts_us,
+       max(1000000000000000 + doc_id * 1000000) AS max_ts_us
+FROM documents GROUP BY lang
+"""
+
+
+def q_variant_json(spark, sf_dir):
+    """Semi-structured props via Spark 4 VariantType (the open-table
+    JSON column type): parse_json once, variant_get the field — the
+    binary-variant path Spark shreds at scan time on real Iceberg/Delta
+    tables, instead of per-expression JSON string re-parsing. Grouped
+    stats per event_type; k is extracted as int so sums are exact."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.sum(k.cast("bigint")) / F.count(F.lit(1)), 4).alias(
+            "avg_k"
+        ),
+    )
+
+
+SQL_VARIANT_JSON = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k,
+       round(sum(CAST(json_extract_string(props, '$.k') AS INT)) * 1.0
+             / count(*), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_scan_xml(spark, sf_dir):
+    """Native XML ingest (Spark 4 built-in xml source): the nation dim
+    exported as an XML document, re-read with rowTag + explicit schema,
+    aggregated per region. The oracle recomputes from the nation view —
+    the round trip write → xml scan → agg is what's checked. Same
+    per-call tempdir discipline as scan_csv/scan_warclite."""
+    import os
+    import shutil
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    n = _t(spark, sf_dir, "nation")
+    rows = sorted(
+        (int(r.n_nationkey), str(r.n_name), int(r.n_regionkey))
+        for r in n.collect()  # 25-row dim export, driver-side
+    )
+    tmpdir = tempfile.mkdtemp(prefix="crawlfe_xml_")
+    path = os.path.join(tmpdir, "nation.xml")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("<nations>\n")
+        for nk, name, rk in rows:
+            fh.write(
+                f"  <nation><n_nationkey>{nk}</n_nationkey>"
+                f"<n_name>{escape(name)}</n_name>"
+                f"<n_regionkey>{rk}</n_regionkey></nation>\n"
+            )
+        fh.write("</nations>\n")
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(path)
+    )
+    agg = back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.max("n_name").alias("last_nation"),
+    )
+    try:
+        out = agg.collect()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        schema="n_regionkey int, n_nations bigint, key_sum bigint, "
+        "last_nation string",
+    )
+
+
+SQL_SCAN_XML = """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       max(n_name) AS last_nation
+FROM nation GROUP BY n_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7306,10 +7465,12 @@ REGISTRY: dict[str, tuple] = {
     # past the boundary under the same sweep evidence.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #14 —
+    #    ingest sources: Python DataSource, Variant, native XML --
+    "scan_warclite": (q_scan_warclite, SQL_SCAN_WARCLITE),
+    "variant_json": (q_variant_json, SQL_VARIANT_JSON),
+    "scan_xml": (q_scan_xml, SQL_SCAN_XML),
     # -- new r3 (this session): feature-eng pack #6 --
-    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
-    "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
-    "histogram": (q_histogram, SQL_HISTOGRAM),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
     "doc_chunk": (q_doc_chunk, SQL_DOC_CHUNK),
@@ -7377,6 +7538,9 @@ REGISTRY: dict[str, tuple] = {
     # displaced by packs #10/#11/#12 (pack #2 head+tail + pack #3-#5
     # block, each ALL-GREEN in multiple committed tri-SF check_entry
     # sweeps) or
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "session_funnel": (q_session_funnel, SQL_SESSION_FUNNEL),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "target_encode_loo": (q_target_encode_loo, SQL_TARGET_ENCODE_LOO),
     "zscore_norm": (q_zscore_norm, SQL_ZSCORE_NORM),
