@@ -7435,6 +7435,271 @@ FROM nation GROUP BY n_regionkey
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #15: span-level dedup (Lee et al. 2022), exact
+# two-pass heavy hitters (distributed Misra-Gries), bloom-style
+# semi-join prefilter, incremental aggregate maintenance (IVM merge)
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8  # token-window width for span-level dedup
+
+
+def q_span_dedup(spark, sf_dir):
+    """Span-level (token-window) exact dedup, the substring-dedup shape
+    of Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better": every ``_SPAN_K``-token rolling window is hashed
+    (md5 over the space-joined window), windows whose hash occurs >= 2
+    times CORPUS-WIDE are duplicated spans, and each doc reports its
+    duplicated-span coverage. Scale shape: windows are generated
+    JVM-side (``transform`` over ``sequence`` — no Python), the only
+    shuffles are the window-hash count (map-side combinable) and the
+    hash-keyed join back; the fat text column never crosses an
+    exchange. At 100 TB you'd bucket the hash space; the plan is
+    identical per bucket."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    w = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_SPAN_K - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("t"), i, _SPAN_K))
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    cnt = w.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        w.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .where(F.col("n_dup_windows") >= 1)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"), 4
+        ).alias("dup_frac"),
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS h
+  FROM toks,
+       unnest(generate_series(1, len(t) - {_SPAN_K - 1})) AS g(i)
+  WHERE len(t) >= {_SPAN_K}
+), c AS (
+  SELECT h, count(*) AS n_occ FROM w GROUP BY h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+FROM w JOIN c USING (h)
+GROUP BY doc_id
+HAVING sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) >= 1
+"""
+
+
+_HH_K = 200  # heavy-hitter threshold divisor: report freq*K > N
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT corpus heavy hitters (tokens with freq > N/_HH_K) via the
+    standard two-pass distributed Misra-Gries: pass 1 runs an MG sketch
+    with _HH_K counters per partition inside ``mapInPandas`` (Arrow
+    batches, one dict of <= K counters per partition — by the pigeonhole
+    argument any global heavy hitter survives in >= 1 partition
+    sketch), the <= K x partitions candidates are collected and
+    broadcast, pass 2 exactly recounts ONLY the candidates and applies
+    the integer threshold. Scale shape: the full token stream is never
+    shuffled — pass 1 is shuffle-free, pass 2's groupBy carries only
+    candidate tokens. The threshold compare is integer (freq * K > N),
+    so the result is exact and engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok")
+    )
+
+    def mg_sketch(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _HH_K:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        if counters:
+            yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = [
+        r.tok
+        for r in toks.mapInPandas(mg_sketch, "tok string")
+        .distinct()
+        .collect()  # <= _HH_K x n_partitions rows by construction
+    ]
+    n_total = toks.count()
+    exact = (
+        toks.where(F.col("tok").isin(candidates))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * _HH_K > F.lit(n_total))
+    )
+    return exact.select("tok", F.col("freq").cast("long").alias("freq"))
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS freq
+FROM toks GROUP BY tok
+HAVING count(*) * {_HH_K} > (SELECT n FROM tot)
+"""
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Semi-join reduction via a broadcast membership bitmap (the
+    bloom-filter runtime-prefilter pattern Spark applies internally for
+    DPP/runtime filters, made explicit): the small side's join keys are
+    hashed into 8192 buckets, the distinct bucket set is broadcast as
+    ONE array literal, and the big side is prefiltered with
+    ``array_contains`` BEFORE the real join — at 100 TB the prefilter
+    drops most fact rows at the scan/exchange boundary for the cost of
+    a ~64 KB broadcast, false positives are resolved by the actual
+    equi join, so the filter is semantically transparent (the oracle is
+    the PLAIN join). Output: per-nation order stats for BUILDING-segment
+    customers."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    buckets = (
+        cust.select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(8192)).alias("b")
+        )
+        .distinct()
+        .agg(F.collect_set("b").alias("bs"))
+    )
+    pre = orders.crossJoin(F.broadcast(buckets)).where(
+        F.array_contains(
+            F.col("bs"), F.pmod(F.xxhash64("o_custkey"), F.lit(8192))
+        )
+    ).drop("bs")
+    joined = pre.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        pre.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.countDistinct("c_custkey").alias("n_custs"),
+    )
+
+
+SQL_BLOOM_PREFILTER = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_custs
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_nationkey
+"""
+
+
+def q_ivm_merge(spark, sf_dir):
+    """Incremental view maintenance by algebraic partial-aggregate
+    merge: events are split at a day boundary into a BASE slice (the
+    already-materialized aggregate) and a DELTA slice (new arrivals);
+    each slice is reduced to mergeable partials (count, sum, min, max
+    — avg derived at read time from sum/count), and the maintained
+    view is the MERGE of the two partial tables, never a recompute
+    over base rows. Scale shape: the nightly update touches only the
+    delta + the O(groups) partial table — at 100 TB that's the
+    difference between scanning the corpus and scanning a day. The
+    oracle recomputes from scratch over the union, which is exactly
+    what the merge must equal.
+
+    Partial sums are DECIMAL(18,6) (exact, association-order-free —
+    the backfill lesson: double partials merged in a different order
+    than the oracle's single pass ulp-flip round-to-4 ties); the avg
+    uses the scaled-integer 4-dp recipe and min/max/sum are emitted
+    un-re-rounded (identical exact inputs -> identical doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-21"
+
+    def partials(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sm"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partials(ev.where(F.col("ts") < cutoff))
+    delta = partials(ev.where(F.col("ts") >= cutoff))
+    dsum = F.sum("sm")
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            dsum.cast("double").alias("sum_value"),
+            (
+                F.round((dsum * 10000).cast("double") / F.sum("cnt"))
+                / 10000
+            ).alias("avg_value"),
+        )
+    )
+
+
+SQL_IVM_MERGE = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) * 10000 AS DOUBLE)
+             / count(*)) / 10000 AS avg_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7463,6 +7728,12 @@ REGISTRY: dict[str, tuple] = {
     # Everything r1/r2-driver-green and unchanged (sessionize,
     # skew_salted, dedup_embedding, ann_lsh, lang_id, ...) also sits
     # past the boundary under the same sweep evidence.
+    # r3-continuation packs #14/#15 (8 new keys) enter the window at
+    # the top; the displaced keys (rolling_median, mad_outliers,
+    # attribution, boilerplate_para, and earlier retention_cohorts /
+    # session_funnel / histogram / tpch_q6 / ...) are each ALL-GREEN in
+    # multiple committed tri-SF check_entry sweeps
+    # (BENCH/sweeps_r03.jsonl, incl. the 174-key sf0.01 sweep at HEAD).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #14 —
@@ -7470,6 +7741,12 @@ REGISTRY: dict[str, tuple] = {
     "scan_warclite": (q_scan_warclite, SQL_SCAN_WARCLITE),
     "variant_json": (q_variant_json, SQL_VARIANT_JSON),
     "scan_xml": (q_scan_xml, SQL_SCAN_XML),
+    # -- new r3 continuation (this session): feature-eng pack #15 —
+    #    span dedup, exact heavy hitters, bloom prefilter, IVM merge --
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
+    "ivm_merge": (q_ivm_merge, SQL_IVM_MERGE),
     # -- new r3 (this session): feature-eng pack #6 --
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),
