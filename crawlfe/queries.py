@@ -7561,15 +7561,14 @@ def q_heavy_hitters(spark, sf_dir):
         if counters:
             yield pd.DataFrame({"tok": list(counters.keys())})
 
-    candidates = [
-        r.tok
-        for r in toks.mapInPandas(mg_sketch, "tok string")
-        .distinct()
-        .collect()  # <= _HH_K x n_partitions rows by construction
-    ]
+    # <= _HH_K x n_partitions candidate rows by construction: small
+    # enough to BROADCAST (a left-semi broadcast join, not a literal
+    # IN list — at 1000 executors the candidate set is ~200k rows,
+    # which belongs in a broadcast relation, not in the plan tree)
+    candidates = toks.mapInPandas(mg_sketch, "tok string").distinct()
     n_total = toks.count()
     exact = (
-        toks.where(F.col("tok").isin(candidates))
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") * _HH_K > F.lit(n_total))
