@@ -361,3 +361,129 @@ def stream_interval_join(
         & (rt[ts_right] <= lt[ts_left] + F.expr(f"INTERVAL {horizon_s} SECONDS"))
     )
     return lt.join(rt, cond, how).drop(rt[key])
+
+
+def profile_accumulate(
+    pdfs, ts: str, value: str
+) -> tuple[int, int, float, int]:
+    """Fold one micro-batch's pandas frames into profile partials
+    (n, fixed-point sum, max, last_ts_us). Pure function (no Spark) so
+    the fixed-point accumulation is unit-testable in-sandbox where the
+    TWS protobuf protocol is unavailable (see tws_running_profile)."""
+    import numpy as np
+
+    n, sum_fp, mx, last_us = 0, 0, float("-inf"), -(1 << 62)
+    for pdf in pdfs:
+        v = pdf[value].to_numpy(dtype=np.float64)
+        t = pdf[ts].to_numpy("datetime64[us]").astype(np.int64)
+        n += len(v)
+        # fixed-point: one rounding per event, integer adds —
+        # batch-split-independent
+        sum_fp += int(np.rint(v * 10000.0).astype(np.int64).sum())
+        if len(v):
+            mx = max(mx, float(v.max()))
+            last_us = max(last_us, int(t.max()))
+    return n, sum_fp, mx, last_us
+
+
+def profile_merge(
+    a: tuple[int, int, float, int], b: tuple[int, int, float, int]
+) -> tuple[int, int, float, int]:
+    """Merge two profile partials — associative and commutative by
+    construction (integer adds, max), so the streamed profile is exact
+    for ANY micro-batch split."""
+    return (
+        a[0] + b[0],
+        a[1] + b[1],
+        max(a[2], b[2]),
+        max(a[3], b[3]),
+    )
+
+
+def tws_running_profile(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key running profile via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    handles, the successor of ``applyInPandasWithState``): maintain
+    (n_events, fixed-point value sum, max value, last event ts) in ONE
+    ValueState per key and emit the UPDATED profile for every key seen
+    in each micro-batch — the streaming feature-store maintenance
+    shape (the batch twin is a plain groupBy aggregate, which is the
+    parity oracle in tests/test_streaming.py).
+
+    The value sum is accumulated as int64 ten-thousandths (fixed
+    point), not double — state merges must be associativity-order-free
+    so the streamed profile is bit-equal to the batch recompute
+    regardless of how events split into micro-batches.
+
+    State is one 4-field row per key — O(keys) bytes, RocksDB-backed
+    at scale; no growth with event count.
+
+    SANDBOX CONSTRAINT (same class as the Pillow-gated media decode
+    and the Iceberg jar, SURVEY §1.3): the TWS Python<->JVM state
+    protocol needs ``google.protobuf``, which this container lacks and
+    cannot install — the end-to-end test is importorskip-gated; the
+    accumulate/merge kernels (profile_accumulate / profile_merge) are
+    pure functions unit-tested without it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = (
+        "n bigint, sum_fp bigint, max_value double, last_ts_us bigint"
+    )
+    out_schema = (
+        "user_id bigint, n_events bigint, sum_value double, "
+        "max_value double, last_ts_us bigint"
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState("profile", state_schema)
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            n, sum_fp, mx, last_us = profile_accumulate(rows, ts, value)
+            if n == 0:
+                return iter(())
+            if self._profile.exists():
+                c_n, c_sum, c_max, c_last = self._profile.get()
+                n, sum_fp, mx, last_us = profile_merge(
+                    (n, sum_fp, mx, last_us),
+                    (int(c_n), int(c_sum), float(c_max), int(c_last)),
+                )
+            self._profile.update((n, sum_fp, float(mx), last_us))
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [int(key_tuple[0])],
+                            "n_events": [n],
+                            "sum_value": [sum_fp / 10000.0],
+                            "max_value": [float(mx)],
+                            "last_ts_us": [last_us],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        F.col(key).cast("long").alias("user_id"),
+        F.col(ts).cast("timestamp").alias(ts),
+        F.col(value).cast("double").alias(value),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

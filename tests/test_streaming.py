@@ -615,3 +615,147 @@ def test_stream_interval_join_left_outer_matches_batch(spark, dirs, sf_dir):
     assert (
         g["purchase_ts"].notna().sum() == w["purchase_ts"].notna().sum()
     )
+
+
+def test_tws_running_profile_matches_batch_recompute(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) running
+    profile: ValueState survives micro-batches, each batch emits the
+    UPDATED profile, and the final emission per key is bit-equal to a
+    batch groupBy recompute over all events (fixed-point sums make the
+    parity exact regardless of the batch split).
+
+    Skipped in-sandbox: the TWS Python<->JVM state protocol imports
+    google.protobuf in Spark's driver worker, and the container has no
+    protobuf and no pip (same constraint class as Pillow / the Iceberg
+    jar). The kernels are covered by the pure-function tests below; on
+    a real cluster this test runs as-is."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from crawlfe.streaming import tws_running_profile
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(in_dir)
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    mn = pd.Timedelta(minutes=1)
+
+    def ev(u, minutes, v):
+        return {"user_id": u, "ts": t0 + minutes * mn, "value": v}
+
+    batch1 = pd.DataFrame([
+        ev(1, 0, 1.5), ev(1, 10, 2.25), ev(2, 5, -3.0001),
+    ])
+    batch2 = pd.DataFrame([
+        ev(1, 20, 0.125),            # u1 accumulates across batches
+        ev(3, 1, 7.77),              # u3 first appears in batch 2
+    ])
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_batch(pdf, name):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{in_dir}/{name}"
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(in_dir)
+        q = (
+            tws_running_profile(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(batch1, "b1")
+    run_batch(batch2, "b2")
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # u1 emitted twice (both batches), u2 and u3 once each
+    assert len(got) == 4
+    final = (
+        got.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id", ignore_index=True)
+    )
+    all_ev = pd.concat([batch1, batch2])
+    g = all_ev.groupby("user_id")
+    exp = pd.DataFrame(
+        {
+            "user_id": sorted(g.groups),
+            "n_events": g.size().values,
+            # same fixed-point rule as the operator
+            "sum_value": [
+                round(sum(round(v * 10000) for v in grp) / 10000.0, 10)
+                for _, grp in g["value"]
+            ],
+            "max_value": g["value"].max().values,
+        }
+    )
+    assert (final["user_id"].values == exp["user_id"].values).all()
+    assert (final["n_events"].values == exp["n_events"].values).all()
+    assert (final["sum_value"].values == exp["sum_value"].values).all()
+    assert (final["max_value"].values == exp["max_value"].values).all()
+    # u1's second emission shows state carried: 3 events, not 1
+    u1 = got[got.user_id == 1].sort_values("n_events")
+    assert list(u1["n_events"]) == [2, 3]
+    # last_ts_us is the true max event time per key
+    want_last = (
+        all_ev.groupby("user_id")["ts"].max().astype("datetime64[us]")
+    )
+    got_last = pd.to_datetime(final.set_index("user_id")["last_ts_us"], unit="us")
+    assert (got_last == want_last).all()
+
+
+def test_profile_kernel_split_invariance_and_merge_laws():
+    """The TWS profile kernels are exact under ANY micro-batch split:
+    accumulate(all) == merge(accumulate(part1), accumulate(part2)) for
+    every split point, and merge is commutative. This is the property
+    that makes the streamed profile bit-equal to the batch recompute."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlfe.streaming import profile_accumulate, profile_merge
+
+    rng_vals = [1.5, -3.00015, 0.12345, 7.0, 2.71828, -0.5, 1e6, 3.3]
+    t0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(len(rng_vals))],
+            "value": rng_vals,
+        }
+    )
+    whole = profile_accumulate([pdf], "ts", "value")
+    for cut in range(len(pdf) + 1):
+        a = profile_accumulate([pdf.iloc[:cut]], "ts", "value")
+        b = profile_accumulate([pdf.iloc[cut:]], "ts", "value")
+        assert profile_merge(a, b) == whole
+        assert profile_merge(b, a) == whole  # commutative
+    # multi-frame batch == single-frame batch
+    frames = [pdf.iloc[:3], pdf.iloc[3:5], pdf.iloc[5:]]
+    assert profile_accumulate(frames, "ts", "value") == whole
+    # fixed-point sum: one rounding per event, integer adds
+    n, sum_fp, mx, last_us = whole
+    assert n == len(rng_vals)
+    assert sum_fp == sum(int(np.rint(v * 10000.0)) for v in rng_vals)
+    assert mx == max(rng_vals)
+    assert last_us == int(
+        pdf["ts"].max().to_datetime64().astype("datetime64[us]").astype(np.int64)
+    )
+
+
+def test_profile_kernel_empty_batch():
+    import pandas as pd
+
+    from crawlfe.streaming import profile_accumulate
+
+    empty = pd.DataFrame({"ts": pd.to_datetime([]), "value": []})
+    n, sum_fp, mx, last_us = profile_accumulate([empty], "ts", "value")
+    assert n == 0 and sum_fp == 0
