@@ -34,12 +34,15 @@ _HDR = struct.Struct(">4sII")
 SCHEMA_DDL = "url string, warc_ts_us bigint, lang string, payload binary"
 
 
-def write_warclite(path: str, records: list[dict]) -> None:
-    """Write records (url, warc_ts_us, lang, payload: bytes) to one
-    warclite file. Plain sequential writer — the format is append-only
+def write_warclite(path: str, records) -> int:
+    """Write records (url, warc_ts_us, lang, payload: bytes — any
+    iterable of mapping-like rows) to one warclite file; returns the
+    record count. Plain sequential writer — the format is append-only
     by construction, like WARC."""
+    n = 0
     with open(path, "wb") as f:
         for r in records:
+            n += 1
             header = json.dumps(
                 {
                     "url": r["url"],
@@ -52,6 +55,7 @@ def write_warclite(path: str, records: list[dict]) -> None:
             f.write(_HDR.pack(MAGIC, len(header), len(payload)))
             f.write(header)
             f.write(payload)
+    return n
 
 
 def read_warclite_file(path: str) -> Iterator[tuple]:
@@ -94,10 +98,16 @@ def list_warclite_files(path: str) -> list[str]:
 
 try:  # pyspark is always present in this repo's environments; the
     # guard keeps the pure-python writer/reader importable without it
+    from dataclasses import dataclass
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
+        EqualTo,
+        Filter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class _FilePartition(InputPartition):
@@ -109,6 +119,24 @@ try:  # pyspark is always present in this repo's environments; the
             self._path = options.get("path")
             if not self._path:
                 raise ValueError("warclite: path option is required")
+            self._lang_eq: str | None = None
+
+        def pushFilters(self, filters: list["Filter"]):
+            # Spark 4.1 DSv2-python filter pushdown: accept simple
+            # lang-equality (the dominant crawl-subsetting predicate)
+            # and evaluate it at record-decode time, so non-matching
+            # payload bytes never cross into Arrow. Everything else is
+            # returned for Spark to evaluate post-scan.
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and f.attribute == ("lang",)
+                    and isinstance(f.value, str)
+                    and self._lang_eq is None
+                ):
+                    self._lang_eq = f.value
+                else:
+                    yield f
 
         def partitions(self) -> list[InputPartition]:
             # one partition per container file — WARC's natural split;
@@ -120,11 +148,96 @@ try:  # pyspark is always present in this repo's environments; the
         def read(self, partition: _FilePartition) -> Iterator[tuple]:
             # runs ON THE EXECUTOR; streams records, never materializes
             # the whole file
-            yield from read_warclite_file(partition.path)
+            recs = read_warclite_file(partition.path)
+            if self._lang_eq is not None:
+                want = self._lang_eq
+                recs = (r for r in recs if r[2] == want)
+            yield from recs
+
+    @dataclass
+    class _WLCommit(WriterCommitMessage):
+        staged: str | None
+        n: int
+
+    class WarcLiteWriter(DataSourceWriter):
+        """Two-phase-commit distributed writer (same atomic-visibility
+        discipline as crawlfe.io.IcebergLite): each task streams its
+        partition into ``<dir>/_staging/part-<pid>.wlr.tmp`` and
+        returns a commit message; only the DRIVER-side ``commit``
+        renames staged files to ``part-*.wlr`` (the only names the
+        reader lists) and writes ``_MANIFEST.json``, so a crashed or
+        speculative task can never leave a half-visible file."""
+
+        def __init__(self, options: dict, overwrite: bool):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("warclite: path option is required")
+            self._overwrite = overwrite
+
+        def write(self, rows) -> "_WLCommit":
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            stage = os.path.join(self._path, "_staging")
+            os.makedirs(stage, exist_ok=True)
+            tmp = os.path.join(stage, f"part-{pid:05d}.wlr.tmp")
+            n = write_warclite(
+                tmp,
+                (
+                    {
+                        "url": r.url,
+                        "warc_ts_us": r.warc_ts_us,
+                        "lang": r.lang,
+                        "payload": bytes(r.payload),
+                    }
+                    for r in rows
+                ),
+            )
+            if n == 0:
+                os.remove(tmp)  # empty partition: stage nothing
+                return _WLCommit(staged=None, n=0)
+            return _WLCommit(staged=tmp, n=n)
+
+        def commit(self, messages) -> None:
+            import shutil
+
+            if self._overwrite:
+                for p in list_warclite_files(self._path):
+                    os.remove(p)
+            files = {}
+            for m in messages:
+                if m is None or m.staged is None:
+                    continue
+                final = os.path.join(
+                    self._path,
+                    os.path.basename(m.staged)[: -len(".tmp")],
+                )
+                os.replace(m.staged, final)  # atomic on one fs
+                files[os.path.basename(final)] = m.n
+            with open(
+                os.path.join(self._path, "_MANIFEST.json"), "w"
+            ) as fh:
+                json.dump(
+                    {"files": files, "n_records": sum(files.values())},
+                    fh,
+                    sort_keys=True,
+                )
+            shutil.rmtree(
+                os.path.join(self._path, "_staging"), ignore_errors=True
+            )
+
+        def abort(self, messages) -> None:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self._path, "_staging"), ignore_errors=True
+            )
 
     class WarcLiteDataSource(DataSource):
-        """spark.read.format("warclite").load(dir) — Spark 4 Python
-        data source with file-granular partitions."""
+        """spark.read.format("warclite").load(dir) /
+        df.write.format("warclite").save(dir) — Spark 4 Python data
+        source with file-granular partitions and a two-phase-commit
+        writer."""
 
         @classmethod
         def name(cls) -> str:
@@ -136,13 +249,29 @@ try:  # pyspark is always present in this repo's environments; the
         def reader(self, schema) -> WarcLiteReader:
             return WarcLiteReader(self.options)
 
+        def writer(self, schema, overwrite: bool) -> WarcLiteWriter:
+            cols = [f.name for f in schema.fields]
+            want = ["url", "warc_ts_us", "lang", "payload"]
+            if cols != want:
+                raise ValueError(
+                    f"warclite writer needs columns {want}, got {cols}"
+                )
+            return WarcLiteWriter(self.options, overwrite)
+
     HAVE_SPARK_DATASOURCE = True
 except ImportError:  # pragma: no cover
     HAVE_SPARK_DATASOURCE = False
 
 
 def register(spark) -> None:
-    """Idempotently register the warclite format on a session."""
+    """Idempotently register the warclite format on a session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    SQL conf, default false in Spark 4.1): a reader that implements
+    ``pushFilters`` fails scans outright when the flag is off, so the
+    flag must travel with the registration — any session the driver
+    builds gets it the moment it registers the source."""
     if not HAVE_SPARK_DATASOURCE:  # pragma: no cover
         raise RuntimeError("pyspark DataSource API unavailable")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WarcLiteDataSource)

@@ -124,3 +124,87 @@ def test_scan_xml_query_matches_nation(spark):
         assert out.loc[rk, "n_nations"] == len(grp)
         assert out.loc[rk, "key_sum"] == grp["n_nationkey"].sum()
         assert out.loc[rk, "last_nation"] == grp["n_name"].max()
+
+
+def test_datasource_writer_roundtrip_two_phase(spark, tmp_path):
+    """df.write.format('warclite'): staged writes become visible only
+    at driver commit (part-*.wlr + _MANIFEST.json, no .tmp leftovers),
+    and the read-back equals what was written."""
+    import json
+
+    out = str(tmp_path / "out")
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://w.example/{i}" for i in range(20)],
+            "warc_ts_us": [10**15 + i for i in range(20)],
+            "lang": [["en", "de", "fr"][i % 3] for i in range(20)],
+            "payload": [f"payload {i}".encode() for i in range(20)],
+        }
+    )
+    warclite.register(spark)
+    df = spark.createDataFrame(pdf)
+    # Python data sources accept only Append/Overwrite save modes
+    df.repartition(4).write.format("warclite").mode("append").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_MANIFEST.json" in names
+    assert not any(n.endswith(".tmp") for n in names)
+    assert "_staging" not in names
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_records"] == 20
+
+    back = (
+        spark.read.format("warclite").load(out)
+        .toPandas()
+        .sort_values("url", ignore_index=True)
+    )
+    want = pdf.sort_values("url", ignore_index=True)
+    assert (back["url"] == want["url"]).all()
+    assert (back["warc_ts_us"] == want["warc_ts_us"]).all()
+    assert (back["lang"] == want["lang"]).all()
+    assert (
+        back["payload"].map(bytes) == want["payload"].map(bytes)
+    ).all()
+
+    # overwrite mode replaces, append mode errors on column mismatch
+    df.limit(5).repartition(1).write.format("warclite").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.format("warclite").load(out).count() == 5
+
+
+def test_datasource_lang_filter_pushdown(spark, tmp_path):
+    """lang = 'x' is evaluated at record-decode time inside the source
+    (pushFilters); result parity with a post-scan filter, and the
+    pushed filter no longer appears as a Spark-side Filter node."""
+    p = str(tmp_path)
+    recs = [
+        {
+            "url": f"https://ex.org/{i}",
+            "warc_ts_us": 10**15 + i,
+            "lang": ["en", "de"][i % 2],
+            "payload": b"x" * (i + 1),
+        }
+        for i in range(10)
+    ]
+    warclite.write_warclite(os.path.join(p, "a.wlr"), recs)
+    warclite.register(spark)
+    df = spark.read.format("warclite").load(p)
+    got = df.where(df.lang == "en").toPandas()
+    assert len(got) == 5
+    assert (got["lang"] == "en").all()
+    # unsupported predicates still work (evaluated post-scan by Spark)
+    got2 = df.where((df.lang == "en") & (df.warc_ts_us % 4 == 0)).toPandas()
+    assert len(got2) == 3  # en rows are i in {0,2,4,6,8}; ts % 4 == 0 keeps i in {0,4,8}
+    # reader-level check: pushFilters keeps only the lang EqualTo
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    r = warclite.WarcLiteReader({"path": p})
+    remaining = list(
+        r.pushFilters(
+            [EqualTo(("lang",), "en"), GreaterThan(("warc_ts_us",), 5)]
+        )
+    )
+    assert len(remaining) == 1 and isinstance(remaining[0], GreaterThan)
+    rows = [t for part in r.partitions() for t in r.read(part)]
+    assert len(rows) == 5 and all(t[2] == "en" for t in rows)
