@@ -137,6 +137,18 @@ HEADLINE = [
     "tpch_q2",
     "tpch_q11",
     "domain_cap",
+    # added r3 (continuation): packs #14-#16 — ingest sources, span
+    # dedup / heavy hitters / prefilter / IVM, supervised curation
+    "scan_warclite",
+    "variant_json",
+    "span_dedup",
+    "heavy_hitters",
+    "bloom_prefilter",
+    "ivm_merge",
+    "chi2_terms",
+    "embedding_outliers",
+    "token_budget_mix",
+    "label_prop",
 ]
 
 

@@ -7699,6 +7699,405 @@ GROUP BY user_id, event_type
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #16: supervised term selection, embedding outliers,
+# token-budget corpus mixing, annotator agreement, label propagation
+# --------------------------------------------------------------------------
+
+_CHI2_TOPK = 5  # discriminative terms reported per source
+
+
+def q_chi2_terms(spark, sf_dir):
+    """Chi-squared supervised term selection: per source (the label),
+    the top-``_CHI2_TOPK`` tokens most over-represented in that
+    source's documents, scored by the 2x2-contingency chi-squared
+    statistic over DOC-LEVEL presence (the classic feature-selection
+    screen before training a classifier on web text). Scale shape:
+    one distinct-token explode, two map-side-combinable hash aggs
+    ((source, tok) and tok), a broadcast of the tiny per-source and
+    corpus totals, and a per-source top-k window — the fat text never
+    crosses an exchange, and every chi2 input is an INTEGER count so
+    the statistic is engine-portable (one double division at the end,
+    rounded)."""
+    d = _t(spark, sf_dir, "documents")
+    pres = d.select(
+        "source",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), "\\s+"))
+        ).alias("tok"),
+    )
+    a = pres.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    tot_t = pres.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot_t")
+    )
+    n_s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    n_row = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    j = (
+        a.join(tot_t, "tok")
+        .join(F.broadcast(n_s), "source")
+        .join(F.broadcast(n_row))
+        .where(F.col("a") * F.col("n_all") > F.col("tot_t") * F.col("n_s"))
+    )
+    b = F.col("tot_t") - F.col("a")
+    c = F.col("n_s") - F.col("a")
+    dd = F.col("n_all") - F.col("n_s") - b
+    num = F.col("n_all") * F.pow(F.col("a") * dd - b * c, F.lit(2))
+    den = (
+        F.col("tot_t")
+        * (F.col("n_all") - F.col("tot_t"))
+        * F.col("n_s")
+        * (F.col("n_all") - F.col("n_s"))
+    )
+    scored = j.select(
+        "source",
+        "tok",
+        "a",
+        F.round(num / den.cast("double"), 4).alias("chi2"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _CHI2_TOPK)
+        .select("source", "rk", "tok", "a", "chi2")
+    )
+
+
+SQL_CHI2_TERMS = f"""
+WITH pres AS (
+  SELECT source, unnest(list_distinct(
+           regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+), a AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+  FROM pres GROUP BY source, tok
+), tt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tot_t FROM pres GROUP BY tok
+), ns AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s
+  FROM documents GROUP BY source
+), nr AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+scored AS (
+  SELECT a.source, a.tok, a.a,
+         round(n_all * pow(a.a * (n_all - n_s - (tot_t - a.a))
+                           - (tot_t - a.a) * (n_s - a.a), 2)
+               / CAST(tot_t * (n_all - tot_t) * n_s * (n_all - n_s)
+                      AS DOUBLE), 4) AS chi2
+  FROM a JOIN tt USING (tok) JOIN ns USING (source) CROSS JOIN nr
+  WHERE a.a * n_all > tot_t * n_s
+), ranked AS (
+  SELECT source, tok, a, chi2,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT source, CAST(rk AS INTEGER) AS rk, tok, a, chi2
+FROM ranked WHERE rk <= {_CHI2_TOPK}
+"""
+
+
+_OUTLIER_K = 10  # lowest-cosine vectors reported per label
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers: cosine of each vector to its
+    label centroid, reporting the ``_OUTLIER_K`` LOWEST-cosine vectors
+    per label — the "docs that don't belong to their cluster" screen
+    a training-data curation pass runs before trusting labels. Scale
+    shape: long-form (label, dim) layout via ``posexplode`` keeps
+    everything JVM-side; the centroid agg and the dot-product agg
+    both combine map-side, the centroid table is O(labels x dims) and
+    broadcast into the join, and the final per-label top-k is one
+    window. Ordering uses the ROUNDED cosine (then vec_id) so the
+    selected set is identical across engines despite fp summation
+    order."""
+    e = _t(spark, sf_dir, "embeddings")
+    lf = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("idx", "val"),
+    )
+    cen = lf.groupBy("label", "idx").agg(F.avg("val").alias("cen"))
+    per = (
+        lf.join(F.broadcast(cen), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("cen")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("v2"),
+            F.sum(F.col("cen") * F.col("cen")).alias("c2"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dot") / (F.sqrt("v2") * F.sqrt("c2")), 4
+            ).alias("cos_cen"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_cen").asc(), F.col("vec_id").asc()
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _OUTLIER_K)
+        .select("label", "rk", "vec_id", "cos_cen")
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH lf AS (
+  SELECT vec_id, label, i.idx - 1 AS idx,
+         CAST(embedding[i.idx] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) i(idx)
+), cen AS (
+  SELECT label, idx, avg(val) AS cen FROM lf GROUP BY label, idx
+), per AS (
+  SELECT vec_id, lf.label,
+         round(sum(val * cen)
+               / (sqrt(sum(val * val)) * sqrt(sum(cen * cen))),
+               4) AS cos_cen
+  FROM lf JOIN cen ON lf.label = cen.label AND lf.idx = cen.idx
+  GROUP BY vec_id, lf.label
+), ranked AS (
+  SELECT label, vec_id, cos_cen,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_cen ASC, vec_id ASC) AS rk
+  FROM per
+)
+SELECT CAST(label AS INTEGER) AS label, CAST(rk AS INTEGER) AS rk,
+       vec_id, cos_cen
+FROM ranked WHERE rk <= {_OUTLIER_K}
+"""
+
+
+_MIX_BUDGET = 1500  # whitespace tokens admitted per source
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing: admit documents per source in
+    deterministic doc_id order until each source's running token
+    total reaches ``_MIX_BUDGET`` — the dataset-mixture step that
+    turns per-domain weights into an actual training corpus (domains
+    contribute TOKENS, not doc counts). One narrow projection + one
+    cumulative-sum window per source; integer arithmetic only, and
+    the fat text column is dropped before the window shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id", "source", n_toks.cast("bigint").alias("n_toks")
+        )
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+        .where(F.col("cum_toks") <= _MIX_BUDGET)
+        .select("doc_id", "source", "n_toks", "cum_toks")
+    )
+
+
+SQL_TOKEN_BUDGET_MIX = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_toks
+  FROM t
+)
+SELECT doc_id, source, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+FROM c WHERE cum_toks <= {_MIX_BUDGET}
+"""
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two deterministic weak labelers (length
+    rule: n_chars >= 300; keyword rule: text contains 'spark') — the
+    inter-annotator-agreement statistic a labeling pipeline reports
+    before trusting weak supervision. One full-scan agg producing four
+    integer cell counts; kappa is two double divisions over those
+    integers, so the scalar is engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    la = (F.col("n_chars") >= 300).cast("bigint")
+    lb = F.col("text").contains("spark").cast("bigint")
+    cells = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(la * lb).alias("n11"),
+        F.sum(la * (1 - lb)).alias("n10"),
+        F.sum((1 - la) * lb).alias("n01"),
+        F.sum((1 - la) * (1 - lb)).alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pa = (F.col("n11") + F.col("n10")).cast("double") / F.col("n")
+    pb = (F.col("n11") + F.col("n01")).cast("double") / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+SQL_COHENS_KAPPA = """
+WITH cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN n_chars >= 300
+                        AND contains(text, 'spark')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN n_chars >= 300
+                        AND NOT contains(text, 'spark')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN n_chars < 300
+                        AND contains(text, 'spark')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN n_chars < 300
+                        AND NOT contains(text, 'spark')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM documents
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+       round(((n11 + n10) / CAST(n AS DOUBLE))
+             * ((n11 + n01) / CAST(n AS DOUBLE))
+             + ((n01 + n00) / CAST(n AS DOUBLE))
+             * ((n10 + n00) / CAST(n AS DOUBLE)), 6) AS pe,
+       round((((n11 + n00) / CAST(n AS DOUBLE))
+              - (((n11 + n10) / CAST(n AS DOUBLE))
+                 * ((n11 + n01) / CAST(n AS DOUBLE))
+                 + ((n01 + n00) / CAST(n AS DOUBLE))
+                 * ((n10 + n00) / CAST(n AS DOUBLE))))
+             / (1 - (((n11 + n10) / CAST(n AS DOUBLE))
+                     * ((n11 + n01) / CAST(n AS DOUBLE))
+                     + ((n01 + n00) / CAST(n AS DOUBLE))
+                     * ((n10 + n00) / CAST(n AS DOUBLE)))), 6) AS kappa
+FROM cells
+"""
+
+
+def _label_prop_round(unlabeled_nodes, edges, labeled):
+    """One majority-vote label-propagation round: each unlabeled node
+    takes the most frequent label over its in-neighbors that are
+    already labeled (ties -> lexicographically smallest label).
+    Integer vote counts + a deterministic window, so the assignment
+    is identical across engines and partitionings."""
+    votes = (
+        edges.join(
+            labeled.select(
+                F.col("doc_id").alias("src"), F.col("label").alias("nl")
+            ),
+            "src",
+        )
+        .join(unlabeled_nodes, edges.dst == unlabeled_nodes.doc_id)
+        .groupBy("doc_id", "nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("votes").desc(), F.col("nl").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("nl").alias("label"))
+    )
+
+
+def q_label_prop(spark, sf_dir):
+    """Two-round majority-vote label propagation over the shared doc
+    link graph: docs with ``doc_id % 10 == 0`` are seeds carrying
+    their ``source`` as the label; each round, every still-unlabeled
+    node adopts the modal label of its already-labeled in-neighbors
+    (tie -> smallest label). The semi-supervised labeling shape for
+    web corpora where only a slice has trusted labels. Scale shape:
+    each round is one edge-to-label equi join plus a vote hash agg
+    plus an argmax window — never a cartesian; the frontier shrinks
+    monotonically, and at 100 TB you would iterate with
+    ``localCheckpoint`` per round exactly like dedup_clusters."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = _doc_edges(spark, sf_dir)
+    seeds = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.col("source").alias("label"), F.lit(0).alias("rnd")
+    )
+    nodes = d.select("doc_id")
+    un1 = nodes.join(seeds.select("doc_id"), "doc_id", "left_anti")
+    r1 = _label_prop_round(un1, edges, seeds).withColumn(
+        "rnd", F.lit(1)
+    )
+    lab01 = seeds.select("doc_id", "label").unionAll(
+        r1.select("doc_id", "label")
+    )
+    un2 = nodes.join(lab01.select("doc_id"), "doc_id", "left_anti")
+    r2 = _label_prop_round(un2, edges, lab01).withColumn(
+        "rnd", F.lit(2)
+    )
+    return seeds.unionAll(r1).unionAll(r2).select(
+        "doc_id", "label", "rnd"
+    )
+
+
+SQL_LABEL_PROP = f"""
+WITH edges AS ({SQL_DOC_EDGES}),
+seeds AS (
+  SELECT doc_id, source AS label, 0 AS rnd
+  FROM documents WHERE doc_id % 10 = 0
+),
+v1 AS (
+  SELECT e.dst AS doc_id, s.label AS nl, count(*) AS votes
+  FROM edges e
+  JOIN seeds s ON e.src = s.doc_id
+  WHERE e.dst NOT IN (SELECT doc_id FROM seeds)
+  GROUP BY e.dst, s.label
+),
+r1 AS (
+  SELECT doc_id, nl AS label, 1 AS rnd
+  FROM (SELECT doc_id, nl,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, nl ASC) AS rk
+        FROM v1)
+  WHERE rk = 1
+),
+lab01 AS (
+  SELECT doc_id, label FROM seeds
+  UNION ALL SELECT doc_id, label FROM r1
+),
+v2 AS (
+  SELECT e.dst AS doc_id, l.label AS nl, count(*) AS votes
+  FROM edges e
+  JOIN lab01 l ON e.src = l.doc_id
+  WHERE e.dst NOT IN (SELECT doc_id FROM lab01)
+  GROUP BY e.dst, l.label
+),
+r2 AS (
+  SELECT doc_id, nl AS label, 2 AS rnd
+  FROM (SELECT doc_id, nl,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, nl ASC) AS rk
+        FROM v2)
+  WHERE rk = 1
+)
+SELECT doc_id, label, CAST(rnd AS INTEGER) AS rnd FROM seeds
+UNION ALL SELECT doc_id, label, CAST(rnd AS INTEGER) FROM r1
+UNION ALL SELECT doc_id, label, CAST(rnd AS INTEGER) FROM r2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7733,6 +8132,10 @@ REGISTRY: dict[str, tuple] = {
     # session_funnel / histogram / tpch_q6 / ...) are each ALL-GREEN in
     # multiple committed tri-SF check_entry sweeps
     # (BENCH/sweeps_r03.jsonl, incl. the 174-key sf0.01 sweep at HEAD).
+    # Pack #16 (5 new keys: chi2_terms, embedding_outliers,
+    # token_budget_mix, cohens_kappa, label_prop) likewise enters at
+    # the top; the 5 further-displaced keys are covered by the same
+    # committed tri-SF sweep evidence at the pack-#16 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #14 —
@@ -7746,6 +8149,14 @@ REGISTRY: dict[str, tuple] = {
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
     "ivm_merge": (q_ivm_merge, SQL_IVM_MERGE),
+    # -- new r3 continuation (this session): feature-eng pack #16 —
+    #    chi2 term selection, embedding outliers, token-budget mixing,
+    #    Cohen's kappa, 2-round label propagation --
+    "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
+    "label_prop": (q_label_prop, SQL_LABEL_PROP),
     # -- new r3 (this session): feature-eng pack #6 --
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

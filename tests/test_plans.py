@@ -734,3 +734,53 @@ def test_cumulative_reach_window_over_compacted_days(spark, sf_dir):
 
     plan = plan_of(q_cumulative_reach(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_chi2_terms_text_never_shuffles(spark, sf_dir):
+    """chi2 term selection: the fat text column is consumed by the
+    presence explode before any exchange; the per-source and corpus
+    totals enter as broadcasts (they are O(sources) and 1 row), so
+    the only hash exchanges carry (source, tok) / tok count rows."""
+    from crawlfe.queries import q_chi2_terms
+
+    plan = plan_of(q_chi2_terms(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    for ex in __import__("re").findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ):
+        assert "text" not in ex, plan
+
+
+def test_embedding_outliers_centroids_broadcast(spark, sf_dir):
+    """Embedding outliers: the O(labels x dims) centroid table joins
+    back by BROADCAST — shuffling the full long-form vector stream to
+    meet a few-hundred-row centroid table would be the small-dim
+    mistake at 100 TB."""
+    from crawlfe.queries import q_embedding_outliers
+
+    plan = plan_of(q_embedding_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_budget_mix_narrow_window(spark, sf_dir):
+    """Token-budget mixing: exactly one exchange (the per-source
+    window), and it carries the narrow (doc_id, source, n_toks)
+    projection — the text column must be dropped before the shuffle."""
+    from crawlfe.queries import q_token_budget_mix
+
+    plan = plan_of(q_token_budget_mix(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for ex in __import__("re").findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ):
+        assert "text" not in ex, plan
+
+
+def test_label_prop_no_cartesian(spark, sf_dir):
+    """Label propagation: every round is keyed equi joins + hash aggs;
+    no cartesian/nested-loop may appear except the broadcast of the
+    1-row node count that defines the deterministic graph."""
+    from crawlfe.queries import q_label_prop
+
+    plan = plan_of(q_label_prop(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
