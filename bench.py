@@ -149,6 +149,9 @@ HEADLINE = [
     "embedding_outliers",
     "token_budget_mix",
     "label_prop",
+    # added r3 (continuation): pack #17 — curriculum + vocab coverage
+    "curriculum_order",
+    "vocab_coverage",
 ]
 
 

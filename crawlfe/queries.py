@@ -8098,6 +8098,143 @@ UNION ALL SELECT doc_id, label, CAST(rnd AS INTEGER) FROM r2
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #17: curriculum ordering, vocabulary coverage curve
+# --------------------------------------------------------------------------
+
+_CURR_B = 4  # curriculum difficulty buckets
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: bucket documents into ``_CURR_B``
+    difficulty quartiles (proxy: n_chars) and emit the round-robin
+    interleave key ``within_rank * B + bucket`` that a trainer sorts
+    by to see all difficulties early and uniformly. Scale shape: the
+    quartile cutoffs are ONE exact-percentile agg broadcast back (no
+    global ntile window, which would single-partition the corpus);
+    bucketing is a pure projection; the within-bucket numbering
+    partitions by bucket — at 100 TB you'd salt that into
+    (bucket, shard) two-level numbering, same plan shape. The
+    interleave key is emitted as a SORT KEY for repartitionByRange,
+    not materialized as a global row number."""
+    d = _t(spark, sf_dir, "documents")
+    cuts = d.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("c1"),
+        F.expr("percentile(n_chars, 0.5)").alias("c2"),
+        F.expr("percentile(n_chars, 0.75)").alias("c3"),
+    )
+    b = (
+        F.when(F.col("n_chars") <= F.col("c1"), 1)
+        .when(F.col("n_chars") <= F.col("c2"), 2)
+        .when(F.col("n_chars") <= F.col("c3"), 3)
+        .otherwise(4)
+    )
+    bucketed = d.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_chars", b.alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return bucketed.withColumn(
+        "within_rank", F.row_number().over(w)
+    ).select(
+        "doc_id",
+        "bucket",
+        "within_rank",
+        (
+            F.col("within_rank").cast("bigint") * _CURR_B
+            + F.col("bucket")
+            - 1
+        ).alias("interleave_key"),
+    )
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH cuts AS (
+  SELECT quantile_cont(n_chars, 0.25) AS c1,
+         quantile_cont(n_chars, 0.5) AS c2,
+         quantile_cont(n_chars, 0.75) AS c3
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars <= c1 THEN 1
+              WHEN n_chars <= c2 THEN 2
+              WHEN n_chars <= c3 THEN 3
+              ELSE 4 END AS bucket
+  FROM documents CROSS JOIN cuts
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_chars ASC, doc_id ASC)
+            AS INTEGER) AS within_rank,
+       CAST(row_number() OVER (PARTITION BY bucket
+                               ORDER BY n_chars ASC, doc_id ASC)
+            * {_CURR_B} + bucket - 1 AS BIGINT) AS interleave_key
+FROM bucketed
+"""
+
+
+_COV_V = 500  # vocabulary sizes traced by the coverage curve
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: for the top-``_COV_V`` tokens (count
+    desc, token asc), the CUMULATIVE share of all corpus tokens a
+    vocabulary truncated at that id would cover — the curve that
+    picks V for a tokenizer. Scale shape: the token agg combines
+    map-side; the top-V cut is TakeOrderedAndProject (per-partition
+    heap, V rows to the driver-side merge); the cumsum window then
+    runs over exactly V rows, and the corpus token total enters as a
+    broadcast 1-row agg. Integer counts; one rounded double division
+    per output row."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(_COV_V)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("vocab_id", F.row_number().over(wr))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "vocab_id",
+            "token",
+            "n",
+            F.round(
+                F.col("cum_n").cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+top AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {_COV_V}
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token)
+            AS INTEGER) AS vocab_id,
+       token, n,
+       round(CAST(sum(n) OVER (ORDER BY n DESC, token
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE)
+             / total, 6) AS cum_share
+FROM top CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8132,9 +8269,10 @@ REGISTRY: dict[str, tuple] = {
     # session_funnel / histogram / tpch_q6 / ...) are each ALL-GREEN in
     # multiple committed tri-SF check_entry sweeps
     # (BENCH/sweeps_r03.jsonl, incl. the 174-key sf0.01 sweep at HEAD).
-    # Pack #16 (5 new keys: chi2_terms, embedding_outliers,
-    # token_budget_mix, cohens_kappa, label_prop) likewise enters at
-    # the top; the 5 further-displaced keys are covered by the same
+    # Packs #16+#17 (7 new keys: chi2_terms, embedding_outliers,
+    # token_budget_mix, cohens_kappa, label_prop, curriculum_order,
+    # vocab_coverage) likewise enter at
+    # the top; the further-displaced keys are covered by the same
     # committed tri-SF sweep evidence at the pack-#16 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
@@ -8157,6 +8295,10 @@ REGISTRY: dict[str, tuple] = {
     "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
     "label_prop": (q_label_prop, SQL_LABEL_PROP),
+    # -- new r3 continuation (this session): feature-eng pack #17 —
+    #    curriculum ordering + vocabulary coverage curve --
+    "curriculum_order": (q_curriculum_order, SQL_CURRICULUM_ORDER),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     # -- new r3 (this session): feature-eng pack #6 --
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

@@ -784,3 +784,26 @@ def test_label_prop_no_cartesian(spark, sf_dir):
 
     plan = plan_of(q_label_prop(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_order_no_global_window(spark, sf_dir):
+    """Curriculum ordering must not global-sort the corpus: the
+    quartile cutoffs enter as a broadcast 1-row agg and the only
+    window partitions by bucket — no empty-key (single-partition)
+    window over the documents table."""
+    from crawlfe.queries import q_curriculum_order
+
+    plan = plan_of(q_curriculum_order(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row cutoffs
+    assert "Exchange SinglePartition" not in plan or "partial" in plan, plan
+    assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_vocab_coverage_topv_heap_cut(spark, sf_dir):
+    """The top-V cut must be TakeOrderedAndProject (per-partition heap
+    + V-row driver merge), never a full global sort of the token
+    counts; the cumsum window then runs over exactly V rows."""
+    from crawlfe.queries import q_vocab_coverage
+
+    plan = plan_of(q_vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
