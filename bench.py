@@ -152,6 +152,10 @@ HEADLINE = [
     # added r3 (continuation): pack #17 — curriculum + vocab coverage
     "curriculum_order",
     "vocab_coverage",
+    # added r3 (continuation): pack #18 — corpus-ops monitoring
+    "dataset_card",
+    "ks_drift",
+    "benford_audit",
 ]
 
 

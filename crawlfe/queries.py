@@ -8235,6 +8235,248 @@ FROM top CROSS JOIN tot
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #18: dataset card, KS drift, Benford audit
+# --------------------------------------------------------------------------
+
+
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card — the summary table a corpus release
+    ships (docs, token volume, language spread, exact-dup rate, length
+    median). One token-count projection feeding a grouped agg, plus a
+    sha-level dup count that joins back as a tiny per-source table;
+    the text column is reduced to (sha, n_toks) before any exchange."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    dup = (
+        base.groupBy("source", "sha")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("n_occ") > 1, F.col("n_occ")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_docs")
+        )
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias(
+            "p50_chars"
+        ),
+    )
+    return (
+        card.join(F.broadcast(dup), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+            ).alias("avg_doc_tokens"),
+            "n_langs",
+            F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+            F.round(
+                F.coalesce("n_dup_docs", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "p50_chars",
+        )
+    )
+
+
+SQL_DATASET_CARD = """
+WITH base AS (
+  SELECT source, lang, n_chars,
+         sha256(text) AS sha,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              AS BIGINT) AS n_toks
+  FROM documents
+), dup AS (
+  SELECT source,
+         CAST(sum(CASE WHEN n_occ > 1 THEN n_occ ELSE 0 END)
+              AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, sha, count(*) AS n_occ
+        FROM base GROUP BY source, sha)
+  GROUP BY source
+), card AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50_chars
+  FROM base GROUP BY source
+)
+SELECT c.source, n_docs, total_tokens,
+       round(total_tokens / CAST(n_docs AS DOUBLE), 4)
+         AS avg_doc_tokens,
+       n_langs,
+       coalesce(n_dup_docs, 0) AS n_dup_docs,
+       round(coalesce(n_dup_docs, 0) / CAST(n_docs AS DOUBLE), 6)
+         AS dup_rate,
+       p50_chars
+FROM card c LEFT JOIN dup d ON c.source = d.source
+"""
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type
+    between the first and second half of the month (day <= 15 vs
+    day > 15) — the distribution-shift monitor a feature pipeline
+    runs between snapshots. The KS sup-distance is computed with an
+    INTEGER numerator: per distinct value, cumulative group counts
+    cum1/cum2 via one ordered window, then
+    ``max |cum1*n2 - cum2*n1| / (n1*n2)`` — one double division per
+    event_type at the very end, so the statistic is engine-exact.
+    Scale shape: a (event_type, value) pre-agg combines map-side; the
+    window runs over distinct values per type, not raw events."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("g1"),
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("g2"),
+    )
+    per_val = tagged.groupBy("event_type", "value").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum("g2").cast("bigint").alias("c2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_val.select(
+        "event_type",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    totals = per_val.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("num"),
+        )
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.round(
+                F.col("num").cast("double") / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+SQL_KS_DRIFT = """
+WITH per_val AS (
+  SELECT event_type, value,
+         CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)
+              AS BIGINT) AS c2
+  FROM events GROUP BY event_type, value
+), cum AS (
+  SELECT event_type,
+         sum(c1) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum1,
+         sum(c2) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum2
+  FROM per_val
+), totals AS (
+  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2
+  FROM per_val GROUP BY event_type
+)
+SELECT c.event_type, max(n1) AS n1, max(n2) AS n2,
+       round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / (max(n1) * max(n2)), 6) AS ks_stat
+FROM cum c JOIN totals t ON c.event_type = t.event_type
+GROUP BY c.event_type
+"""
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of event values per event_type — the
+    anomaly screen for synthetic/fabricated numeric columns. The
+    first significant digit comes from INTEGER cents (value has <= 2
+    decimals) via string head — no log10 on data doubles, so the
+    digit assignment is engine-exact; Benford's expected share
+    log10(1 + 1/d) is evaluated on nine integer constants only. One
+    narrow projection + one hash agg + a broadcast per-type total."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    counts = (
+        ev.select("event_type", cents.alias("cents"))
+        # Benford is defined on positive magnitudes; zero-cent rows
+        # would yield digit 0 (ANSI divide-by-zero in exp_share)
+        .where(F.col("cents") > 0)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n").alias("tot")
+    )
+    return counts.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+            "obs_share"
+        ),
+        F.round(
+            F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6
+        ).alias("exp_share"),
+    )
+
+
+SQL_BENFORD_AUDIT = """
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), counts AS (
+  SELECT event_type,
+         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cents WHERE c > 0 GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, digit, n,
+       round(n / CAST(tot AS DOUBLE), 6) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS exp_share
+FROM counts c JOIN totals t ON c.event_type = t.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8269,9 +8511,10 @@ REGISTRY: dict[str, tuple] = {
     # session_funnel / histogram / tpch_q6 / ...) are each ALL-GREEN in
     # multiple committed tri-SF check_entry sweeps
     # (BENCH/sweeps_r03.jsonl, incl. the 174-key sf0.01 sweep at HEAD).
-    # Packs #16+#17 (7 new keys: chi2_terms, embedding_outliers,
+    # Packs #16-#18 (10 new keys: chi2_terms, embedding_outliers,
     # token_budget_mix, cohens_kappa, label_prop, curriculum_order,
-    # vocab_coverage) likewise enter at
+    # vocab_coverage, dataset_card, ks_drift, benford_audit) likewise
+    # enter at
     # the top; the further-displaced keys are covered by the same
     # committed tri-SF sweep evidence at the pack-#16 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
@@ -8299,6 +8542,11 @@ REGISTRY: dict[str, tuple] = {
     #    curriculum ordering + vocabulary coverage curve --
     "curriculum_order": (q_curriculum_order, SQL_CURRICULUM_ORDER),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    # -- new r3 continuation (this session): feature-eng pack #18 —
+    #    dataset card, KS drift monitor, Benford audit --
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     # -- new r3 (this session): feature-eng pack #6 --
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

@@ -807,3 +807,24 @@ def test_vocab_coverage_topv_heap_cut(spark, sf_dir):
 
     plan = plan_of(q_vocab_coverage(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ks_drift_window_over_distinct_values(spark, sf_dir):
+    """KS drift: the cumulative window runs over the (event_type,
+    value) pre-agg — a HashAggregate must sit upstream (later in the
+    printed plan) of the Window, so raw events never hit the sort."""
+    from crawlfe.queries import q_ks_drift
+
+    plan = plan_of(q_ks_drift(spark, sf_dir))
+    assert "Window" in plan, plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan
+
+
+def test_benford_audit_broadcast_totals(spark, sf_dir):
+    """Benford audit: per-type totals are a tiny broadcast dim; the
+    digit histogram is one hash agg over a narrow projection."""
+    from crawlfe.queries import q_benford_audit
+
+    plan = plan_of(q_benford_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
