@@ -156,6 +156,10 @@ HEADLINE = [
     "dataset_card",
     "ks_drift",
     "benford_audit",
+    # added r3 (continuation): pack #19 — seeding, weights, buckets
+    "kmeanspp_seeds",
+    "domain_weights",
+    "length_buckets",
 ]
 
 

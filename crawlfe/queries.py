@@ -8477,6 +8477,259 @@ FROM counts c JOIN totals t ON c.event_type = t.event_type
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #19: k-means++ seeding, domain mixture weights,
+# sequence-length buckets
+# --------------------------------------------------------------------------
+
+_KMPP_K = 4  # seeds selected by farthest-point k-means++ init
+
+
+def _sq_dists_to(dims, cdims):
+    """Per (vec, center) squared L2 over long-form dims, then the
+    min over centers — two map-side-combinable hash aggs."""
+    c = cdims.select(
+        F.col("vec_id").alias("c_id"), "idx", F.col("val").alias("cval")
+    )
+    return (
+        dims.join(F.broadcast(c), "idx")
+        .groupBy("vec_id", "c_id")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval"))
+                * (F.col("val") - F.col("cval"))
+            ).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("min_d2"))
+    )
+
+
+def q_kmeanspp_seeds(spark, sf_dir):
+    """Deterministic farthest-point k-means++ seeding over the
+    embedding table (the IVF/ANN centroid bootstrap): seed 1 is
+    vec_id 0; each further seed is the vector FARTHEST (max min
+    squared L2, ties -> smallest vec_id, on the ROUNDED distance so
+    the pick is engine-stable) from the seeds chosen so far. The
+    iterative shape: k-1 driver rounds, each one long-form
+    distance job whose centers enter as a broadcast O(k x dims)
+    table; the driver holds ONLY the chosen vec_ids (O(k) ints —
+    the legitimate driver state of an iterative algorithm, like
+    pagerank's convergence flag). At 100 TB each round is one scan +
+    two map-side-combinable aggs; k rounds total."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("idx", "val"),
+    )
+    chosen = [(0, 0.0)]  # (vec_id, selection distance)
+    for _ in range(_KMPP_K - 1):
+        ids = [c for c, _ in chosen]
+        md = _sq_dists_to(dims, dims.where(F.col("vec_id").isin(ids)))
+        nxt = (
+            md.where(~F.col("vec_id").isin(ids))
+            .select("vec_id", F.round("min_d2", 4).alias("d4"))
+            .orderBy(F.col("d4").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(nxt["vec_id"]), float(nxt["d4"])))
+    out = spark.createDataFrame(
+        [
+            (rank, vid, dist)
+            for rank, (vid, dist) in enumerate(chosen, start=1)
+        ],
+        "seed_rank int, vec_id bigint, sel_dist double",
+    )
+    return out
+
+
+SQL_KMEANSPP_SEEDS = """
+WITH dims AS (
+  SELECT vec_id, i.idx - 1 AS idx,
+         CAST(embedding[i.idx] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) i(idx)
+),
+d1 AS (
+  SELECT v.vec_id, round(sum((v.val - c.val) * (v.val - c.val)), 4)
+           AS d4
+  FROM dims v JOIN dims c ON v.idx = c.idx AND c.vec_id = 0
+  WHERE v.vec_id <> 0
+  GROUP BY v.vec_id
+),
+s2 AS (SELECT vec_id, d4 FROM d1 ORDER BY d4 DESC, vec_id LIMIT 1),
+d2 AS (
+  SELECT vec_id,
+         round(min(d2_raw), 4) AS d4
+  FROM (
+    SELECT v.vec_id, c.vec_id AS c_id,
+           sum((v.val - c.val) * (v.val - c.val)) AS d2_raw
+    FROM dims v
+    JOIN dims c ON v.idx = c.idx
+    WHERE c.vec_id IN (0, (SELECT vec_id FROM s2))
+      AND v.vec_id NOT IN (0, (SELECT vec_id FROM s2))
+    GROUP BY v.vec_id, c.vec_id
+  )
+  GROUP BY vec_id
+),
+s3 AS (SELECT vec_id, d4 FROM d2 ORDER BY d4 DESC, vec_id LIMIT 1),
+d3 AS (
+  SELECT vec_id,
+         round(min(d2_raw), 4) AS d4
+  FROM (
+    SELECT v.vec_id, c.vec_id AS c_id,
+           sum((v.val - c.val) * (v.val - c.val)) AS d2_raw
+    FROM dims v
+    JOIN dims c ON v.idx = c.idx
+    WHERE c.vec_id IN (0, (SELECT vec_id FROM s2),
+                       (SELECT vec_id FROM s3))
+      AND v.vec_id NOT IN (0, (SELECT vec_id FROM s2),
+                           (SELECT vec_id FROM s3))
+    GROUP BY v.vec_id, c.vec_id
+  )
+  GROUP BY vec_id
+),
+s4 AS (SELECT vec_id, d4 FROM d3 ORDER BY d4 DESC, vec_id LIMIT 1)
+SELECT 1 AS seed_rank, CAST(0 AS BIGINT) AS vec_id, 0.0 AS sel_dist
+UNION ALL SELECT 2, vec_id, d4 FROM s2
+UNION ALL SELECT 3, vec_id, d4 FROM s3
+UNION ALL SELECT 4, vec_id, d4 FROM s4
+"""
+
+
+def q_domain_weights(spark, sf_dir):
+    """Inverse-propensity domain mixture weights: to rebalance a
+    skewed corpus toward a uniform per-source target, each source
+    gets weight N/(S*n_s) (target share over observed share), clipped
+    to [0.2, 5] — the reweighting table a training sampler joins
+    against. Two tiny aggs (per-source counts + two broadcast
+    scalars); integer counts, rounded double divisions."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    raw = F.col("n_all").cast("double") / (
+        F.col("n_sources") * F.col("n_docs")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(raw, 6).alias("raw_weight"),
+        F.round(F.least(F.greatest(raw, F.lit(0.2)), F.lit(5.0)), 6).alias(
+            "weight"
+        ),
+    )
+
+
+SQL_DOMAIN_WEIGHTS = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per
+)
+SELECT source, n_docs,
+       round(n_all / CAST(n_sources * n_docs AS DOUBLE), 6)
+         AS raw_weight,
+       round(least(greatest(n_all / CAST(n_sources * n_docs AS DOUBLE),
+                            0.2), 5.0), 6) AS weight
+FROM per CROSS JOIN tot
+"""
+
+
+def q_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing for batch packing: docs binned into
+    token-length quartiles (exact-percentile cutoffs, broadcast), and
+    per bucket the padding waste a fixed-shape batch would pay —
+    ``1 - sum_tokens/(n_docs*max_tokens)``. The report that justifies
+    length-bucketed batching over naive padding. Narrow projection +
+    one broadcast + one hash agg; integers except the two rounded
+    divisions."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    cuts = base.agg(
+        F.expr("percentile(n_toks, 0.25)").alias("c1"),
+        F.expr("percentile(n_toks, 0.5)").alias("c2"),
+        F.expr("percentile(n_toks, 0.75)").alias("c3"),
+    )
+    b = (
+        F.when(F.col("n_toks") <= F.col("c1"), 1)
+        .when(F.col("n_toks") <= F.col("c2"), 2)
+        .when(F.col("n_toks") <= F.col("c3"), 3)
+        .otherwise(4)
+    )
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "n_toks", b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+            F.sum("n_toks").alias("sum_toks"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_toks",
+            "max_toks",
+            F.round(
+                F.col("sum_toks").cast("double") / F.col("n_docs"), 4
+            ).alias("avg_toks"),
+            F.round(
+                1
+                - F.col("sum_toks").cast("double")
+                / (F.col("n_docs") * F.col("max_toks")),
+                6,
+            ).alias("padding_waste"),
+        )
+    )
+
+
+SQL_LENGTH_BUCKETS = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              AS BIGINT) AS n_toks
+  FROM documents
+), cuts AS (
+  SELECT quantile_cont(n_toks, 0.25) AS c1,
+         quantile_cont(n_toks, 0.5) AS c2,
+         quantile_cont(n_toks, 0.75) AS c3
+  FROM base
+), bucketed AS (
+  SELECT doc_id, n_toks,
+         CASE WHEN n_toks <= c1 THEN 1
+              WHEN n_toks <= c2 THEN 2
+              WHEN n_toks <= c3 THEN 3
+              ELSE 4 END AS bucket
+  FROM base CROSS JOIN cuts
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_toks) AS min_toks,
+       max(n_toks) AS max_toks,
+       round(sum(n_toks) / CAST(count(*) AS DOUBLE), 4) AS avg_toks,
+       round(1 - sum(n_toks)
+             / CAST(count(*) * max(n_toks) AS DOUBLE), 6)
+         AS padding_waste
+FROM bucketed GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8511,9 +8764,10 @@ REGISTRY: dict[str, tuple] = {
     # session_funnel / histogram / tpch_q6 / ...) are each ALL-GREEN in
     # multiple committed tri-SF check_entry sweeps
     # (BENCH/sweeps_r03.jsonl, incl. the 174-key sf0.01 sweep at HEAD).
-    # Packs #16-#18 (10 new keys: chi2_terms, embedding_outliers,
+    # Packs #16-#19 (13 new keys: chi2_terms, embedding_outliers,
     # token_budget_mix, cohens_kappa, label_prop, curriculum_order,
-    # vocab_coverage, dataset_card, ks_drift, benford_audit) likewise
+    # vocab_coverage, dataset_card, ks_drift, benford_audit,
+    # kmeanspp_seeds, domain_weights, length_buckets) likewise
     # enter at
     # the top; the further-displaced keys are covered by the same
     # committed tri-SF sweep evidence at the pack-#16 HEAD.
@@ -8547,6 +8801,11 @@ REGISTRY: dict[str, tuple] = {
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+    # -- new r3 continuation (this session): feature-eng pack #19 —
+    #    k-means++ seeding, domain mixture weights, length buckets --
+    "kmeanspp_seeds": (q_kmeanspp_seeds, SQL_KMEANSPP_SEEDS),
+    "domain_weights": (q_domain_weights, SQL_DOMAIN_WEIGHTS),
+    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     # -- new r3 (this session): feature-eng pack #6 --
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "cdc_upsert": (q_cdc_upsert, SQL_CDC_UPSERT),

@@ -828,3 +828,37 @@ def test_benford_audit_broadcast_totals(spark, sf_dir):
 
     plan = plan_of(q_benford_audit(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kmeanspp_round_broadcasts_centers(spark, sf_dir):
+    """Each k-means++ round joins the long-form vector stream against
+    the chosen-center dims by BROADCAST (the center table is
+    O(k x dims)); shuffling the full vector stream on idx to meet a
+    <=256-row center table would be the small-dim mistake."""
+    from crawlfe.queries import _sq_dists_to, _t
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("idx", "val"),
+    )
+    md = _sq_dists_to(dims, dims.where(F.col("vec_id").isin([0])))
+    plan = plan_of(md)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_length_buckets_single_agg_exchange(spark, sf_dir):
+    """Length buckets: the quartile cutoffs enter broadcast; besides
+    the tiny cutoff agg, the only exchange is the 4-group final agg —
+    and no exchange ever carries the text column."""
+    from crawlfe.queries import q_length_buckets
+
+    plan = plan_of(q_length_buckets(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row cutoffs
+    for ex in __import__("re").findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    ):
+        assert "text" not in ex, plan
