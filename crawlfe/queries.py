@@ -8730,6 +8730,300 @@ FROM bucketed GROUP BY bucket
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #20: model-eval + drift diagnostics — ROC AUC,
+# PSI drift, effective sample size, equal-frequency binning
+# --------------------------------------------------------------------------
+
+
+def q_roc_auc(spark, sf_dir):
+    """Per-day ROC AUC of ``value`` separating purchase (positive)
+    from click (negative) events — the Mann-Whitney rank statistic a
+    label-quality / feature-screen job computes per slice.
+
+    Distributed shape: the 100 TB event stream collapses to a
+    per-(day, value) pos/neg count histogram (one map-side-combinable
+    hash agg); the ordered window then runs over DISTINCT values per
+    day, not raw rows. The AUC numerator stays INTEGER the whole way
+    (ties get the standard half credit via ``2*neg_below*pos_at +
+    neg_at*pos_at`` summed as bigints); one double division per day
+    at the very end, so the statistic is engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    pv = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("ng"),
+        )
+        .groupBy("day", "v")
+        .agg(
+            F.sum("p").cast("bigint").alias("pos_at"),
+            F.sum("ng").cast("bigint").alias("neg_at"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select(
+        "day",
+        "pos_at",
+        "neg_at",
+        (F.sum("neg_at").over(w) - F.col("neg_at")).alias("neg_below"),
+    )
+    tot = pv.groupBy("day").agg(
+        F.sum("pos_at").alias("n_pos"), F.sum("neg_at").alias("n_neg")
+    )
+    return (
+        cum.join(F.broadcast(tot), "day")
+        .groupBy("day")
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.max("n_neg").alias("n_neg"),
+            F.sum(
+                2 * F.col("neg_below") * F.col("pos_at")
+                + F.col("neg_at") * F.col("pos_at")
+            ).alias("num2"),
+        )
+        .select(
+            "day",
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.col("num2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+SQL_ROC_AUC = """
+WITH pv AS (
+  SELECT CAST(day(ts) AS INTEGER) AS day, value AS v,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_at,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_at
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2
+), cum AS (
+  SELECT day, pos_at, neg_at,
+         CAST(sum(neg_at) OVER (PARTITION BY day ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - neg_at
+              AS BIGINT) AS neg_below
+  FROM pv
+), tot AS (
+  SELECT day, CAST(sum(pos_at) AS BIGINT) AS n_pos,
+         CAST(sum(neg_at) AS BIGINT) AS n_neg
+  FROM pv GROUP BY day
+)
+SELECT c.day, max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+       round(CAST(sum(2 * neg_below * pos_at + neg_at * pos_at)
+                  AS DOUBLE)
+             / (2.0 * max(n_pos) * max(n_neg)), 6) AS auc
+FROM cum c JOIN tot t ON c.day = t.day
+GROUP BY c.day
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per event_type between the first and
+    second half of the month over the fixed-width value bins of
+    ``q_histogram`` — the binned companion to the KS monitor
+    (``q_ks_drift``): PSI localizes WHERE the distribution moved.
+
+    Per-bin term ``(p_act - p_exp) * ln(p_act/p_exp)`` is computed
+    from integer counts (the ln argument is an exact integer ratio);
+    bins empty on either side yield NULL terms (excluded from the
+    total, the standard finite-PSI convention). The per-type total is
+    a window sum over <= 20 bin rows. One hash agg over the raw
+    events + a broadcast totals join — scale-right."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / F.lit(25.0)).cast("bigint"),
+                F.lit(19),
+            ).alias("bucket"),
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0).alias("e"),
+            F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("e").cast("bigint").alias("n_exp"),
+            F.sum("a").cast("bigint").alias("n_act"),
+        )
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum("n_exp").alias("tot_exp"), F.sum("n_act").alias("tot_act")
+    )
+    term = F.when(
+        (F.col("n_exp") > 0) & (F.col("n_act") > 0),
+        (
+            F.col("n_act") / F.col("tot_act").cast("double")
+            - F.col("n_exp") / F.col("tot_exp").cast("double")
+        )
+        * F.log(
+            (F.col("n_act") * F.col("tot_exp")).cast("double")
+            / (F.col("n_exp") * F.col("tot_act")).cast("double")
+        ),
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        b.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "bucket", "n_exp", "n_act", term.alias("t")
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "n_exp",
+            "n_act",
+            F.round("t", 6).alias("psi_term"),
+            F.round(F.sum("t").over(wt), 6).alias("psi_total"),
+        )
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH b AS (
+  SELECT event_type,
+         least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bucket,
+         CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exp,
+         CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_act
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(sum(n_exp) AS BIGINT) AS tot_exp,
+         CAST(sum(n_act) AS BIGINT) AS tot_act
+  FROM b GROUP BY 1
+), terms AS (
+  SELECT b.event_type, bucket, n_exp, n_act,
+         CASE WHEN n_exp > 0 AND n_act > 0 THEN
+           (n_act / CAST(tot_act AS DOUBLE)
+            - n_exp / CAST(tot_exp AS DOUBLE))
+           * ln(CAST(n_act * tot_exp AS DOUBLE)
+                / CAST(n_exp * tot_act AS DOUBLE))
+         ELSE NULL END AS t
+  FROM b JOIN t ON b.event_type = t.event_type
+)
+SELECT event_type, bucket, n_exp, n_act,
+       round(t, 6) AS psi_term,
+       round(sum(t) OVER (PARTITION BY event_type), 6) AS psi_total
+FROM terms
+"""
+
+
+def q_ess_weights(spark, sf_dir):
+    """Importance-weight diagnostics per event_type with ``value`` as
+    the sample weight: Kish effective sample size
+    ``(sum w)^2 / sum w^2`` and its ratio to the raw count — the
+    sanity check run after any reweighting (domain mixture, inverse
+    propensity) to catch a few heavy weights silently dominating the
+    corpus. One map-side-combinable hash agg; nothing else."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.sum("value")
+    sw2 = F.sum(F.col("value") * F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(sw, 4).alias("sum_w"),
+        F.round((sw * sw) / sw2, 4).alias("ess"),
+        F.round((sw * sw) / sw2 / F.count(F.lit(1)), 6).alias(
+            "ess_ratio"
+        ),
+    )
+
+
+SQL_ESS_WEIGHTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_w,
+       round(sum(value) * sum(value) / sum(value * value), 4) AS ess,
+       round(sum(value) * sum(value) / sum(value * value)
+             / count(*), 6) AS ess_ratio
+FROM events GROUP BY event_type
+"""
+
+
+def q_equal_freq_bins(spark, sf_dir):
+    """Deterministic equal-frequency decile binning of ``value`` per
+    event_type — the feature-discretization operator (quantile
+    binning) built WITHOUT ntile: ntile breaks ties arbitrarily, so
+    two engines (or two runs) can bin tied rows differently. Here
+    every distinct value gets ``bin = ceil(10 * cum_count / total)``
+    from the cumulative count over distinct values, so ties land in
+    one bin and the assignment is engine-exact INTEGER arithmetic
+    (``(10*cum + tot - 1) div tot``).
+
+    Scale shape: raw rows collapse to a per-(type, value) count
+    first; the ordered window runs over distinct values per type
+    (bounded by the value domain), never over raw rows."""
+    ev = _t(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("event_type", F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pv.select(
+        "event_type", "v", "c", F.sum("c").over(w).alias("cumc")
+    )
+    tot = pv.groupBy("event_type").agg(F.sum("c").alias("tot"))
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "v",
+            "c",
+            F.expr("CAST((10 * cumc + tot - 1) DIV tot AS INT)").alias(
+                "bin"
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.round(F.min("v"), 4).alias("lo"),
+            F.round(F.max("v"), 4).alias("hi"),
+        )
+    )
+
+
+SQL_EQUAL_FREQ_BINS = """
+WITH pv AS (
+  SELECT event_type, value AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cumc
+  FROM pv
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS tot
+  FROM pv GROUP BY 1
+)
+SELECT c.event_type,
+       CAST((10 * cumc + tot - 1) // tot AS INTEGER) AS bin,
+       CAST(sum(c.c) AS BIGINT) AS n,
+       round(min(v), 4) AS lo, round(max(v), 4) AS hi
+FROM cum c JOIN tot t ON c.event_type = t.event_type
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8771,8 +9065,18 @@ REGISTRY: dict[str, tuple] = {
     # enter at
     # the top; the further-displaced keys are covered by the same
     # committed tri-SF sweep evidence at the pack-#16 HEAD.
+    # Pack #20 (4 new keys: roc_auc, psi_drift, ess_weights,
+    # equal_freq_bins) enters at the top under the same rule; the four
+    # further-displaced keys are ALL-GREEN in the committed tri-SF
+    # sweep at the pack-#19 HEAD (BENCH/sweeps_r03.jsonl, git 9a1d0ad).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #20 —
+    #    model-eval + drift: ROC AUC, PSI, ESS, equal-freq binning --
+    "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "ess_weights": (q_ess_weights, SQL_ESS_WEIGHTS),
+    "equal_freq_bins": (q_equal_freq_bins, SQL_EQUAL_FREQ_BINS),
     # -- new r3 continuation (this session): feature-eng pack #14 —
     #    ingest sources: Python DataSource, Variant, native XML --
     "scan_warclite": (q_scan_warclite, SQL_SCAN_WARCLITE),
