@@ -9024,6 +9024,283 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #21: corpus-association + sampling — mutual
+# information, sequential Poisson weighted sample, power-iteration
+# top principal direction, group-k-fold assignment
+# --------------------------------------------------------------------------
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information between ``lang`` and ``source`` over the
+    documents table — the categorical-association audit that catches
+    a corpus whose language mix is secretly a proxy for one source
+    (a leakage/confound screen before per-lang models are trained).
+
+    Per-cell PMI ``ln(n_ls * N / (n_l * n_s))`` takes ln of an exact
+    integer ratio; the MI total is a window sum over the tiny
+    lang x source cell table. One hash agg over raw docs + two
+    broadcast marginal joins — scale-right."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ml = cells.groupBy("lang").agg(F.sum("n").alias("n_l"))
+    ms = cells.groupBy("source").agg(F.sum("n").alias("n_s"))
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    pmi = F.log(
+        (F.col("n") * F.col("n_all")).cast("double")
+        / (F.col("n_l") * F.col("n_s")).cast("double")
+    )
+    wt = Window.partitionBy()
+    return (
+        cells.join(F.broadcast(ml), "lang")
+        .join(F.broadcast(ms), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.round(pmi, 6).alias("pmi"),
+            (F.col("n") / F.col("n_all").cast("double") * pmi).alias(
+                "_t"
+            ),
+        )
+        .select(
+            "lang",
+            "source",
+            "n",
+            "pmi",
+            F.round("_t", 6).alias("mi_term"),
+            F.round(F.sum("_t").over(wt), 6).alias("mi_total"),
+        )
+    )
+
+
+SQL_MUTUAL_INFO = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), ml AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_l FROM cells GROUP BY 1
+), ms AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cells
+), terms AS (
+  SELECT c.lang, c.source, c.n,
+         ln(CAST(c.n * n_all AS DOUBLE)
+            / CAST(n_l * n_s AS DOUBLE)) AS pmi,
+         c.n / CAST(n_all AS DOUBLE)
+           * ln(CAST(c.n * n_all AS DOUBLE)
+                / CAST(n_l * n_s AS DOUBLE)) AS t
+  FROM cells c JOIN ml USING (lang) JOIN ms USING (source)
+       CROSS JOIN tot
+)
+SELECT lang, source, n, round(pmi, 6) AS pmi,
+       round(t, 6) AS mi_term,
+       round(sum(t) OVER (), 6) AS mi_total
+FROM terms
+"""
+
+
+_WSAMPLE_K = 5  # PPS sample size per group
+
+
+def q_pps_sample(spark, sf_dir):
+    """Deterministic weight-proportional sampling without replacement
+    (k=5 per event_type, weight = ``value``) by sequential Poisson
+    sampling (Ohlsson '98): priority = u / w with a content-hash
+    uniform ``u = (md5_32(event_id) + 1) / 2^32``, keep the k smallest
+    priorities per group. Unlike Efraimidis-Spirakis' ``u^(1/w)`` key
+    this priority needs NO transcendental (one IEEE divide of a dyadic
+    rational by the weight), so the selection is bit-identical across
+    engines, runs, and cluster sizes — rand()-free PPS sampling fit
+    for a 100 TB reshuffle-proof pipeline. Top-k per group prunes
+    map-side before the single shuffle (rank window per group)."""
+    ev = _t(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("event_id").cast("string"), "utf-8")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = ev.where(F.col("value") > 0).select(
+        "event_type",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        (u / F.col("value")).alias("prio"),
+    )
+    w = Window.partitionBy("event_type").orderBy("prio", "event_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _WSAMPLE_K)
+        .select(
+            "event_type",
+            F.col("rank").cast("int").alias("rank"),
+            "event_id",
+            "value",
+            F.round("prio", 8).alias("prio"),
+        )
+    )
+
+
+SQL_PPS_SAMPLE = """
+WITH keyed AS (
+  SELECT event_type, event_id, round(value, 4) AS value,
+         ((CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                AS UBIGINT) AS BIGINT) + 1) / 4294967296.0)
+           / value AS prio
+  FROM events WHERE value > 0
+), ranked AS (
+  SELECT event_type, event_id, value, prio,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY prio, event_id) AS rank
+  FROM keyed
+)
+SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value,
+       round(prio, 8) AS prio
+FROM ranked WHERE rank <= 5
+"""
+
+
+_PCA_ROUNDS = 3  # unnormalized power-iteration rounds
+
+
+def q_embedding_pca1(spark, sf_dir):
+    """Fixed-round power iteration toward the top principal direction
+    of the embedding table: the 3-round unnormalized iterate
+    v3 = (X^T X)^2 (X^T 1) on the Gram matrix (convergence to the
+    dominant singular vector depends on the eigengap — more rounds =
+    more CTE pairs; the ITERATE, bit-reproducible across engines, is
+    the contract). Each round is two long-form hash aggs (vec-dot
+    then dim-sum); nothing ever leaves the cluster. Normalization/sign are deferred to the very
+    end: the output divides v3 by its largest-|component| entry
+    (deterministic argmax, ties by lowest idx), one exact IEEE divide
+    per dim — so no intermediate sqrt/normalize whose rounding could
+    drift between rounds. The same fixed-round recipe as the k-means++
+    seeder (``q_kmeanspp_seeds``); the SQL twin chains one CTE pair
+    per round."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("idx", "val"),
+    ).select(
+        "vec_id", "idx", F.col("val").cast("double").alias("val")
+    )
+    # v0 = all-ones: s_i = sum_j x_ij
+    v = dims.groupBy("idx").agg(F.sum("val").alias("v"))  # after rnd 1
+    for _ in range(_PCA_ROUNDS - 1):
+        s = (
+            dims.join(F.broadcast(v), "idx")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+        )
+        v = (
+            dims.join(s, "vec_id")
+            .groupBy("idx")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("v"))
+        )
+    pivot = v.orderBy(F.abs(F.col("v")).desc(), F.col("idx").asc()).limit(1)
+    return (
+        v.crossJoin(
+            F.broadcast(pivot.select(F.col("v").alias("pivot")))
+        )
+        .select(
+            F.col("idx").cast("int").alias("idx"),
+            F.round(F.col("v") / F.col("pivot"), 6).alias("component"),
+        )
+    )
+
+
+SQL_EMBEDDING_PCA1 = """
+WITH dims AS (
+  SELECT vec_id, i.idx - 1 AS idx,
+         CAST(embedding[i.idx] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) i(idx)
+), v1 AS (
+  SELECT idx, sum(val) AS v FROM dims GROUP BY idx
+), s2 AS (
+  SELECT vec_id, sum(val * v) AS s
+  FROM dims JOIN v1 USING (idx) GROUP BY vec_id
+), v2 AS (
+  SELECT idx, sum(val * s) AS v
+  FROM dims JOIN s2 USING (vec_id) GROUP BY idx
+), s3 AS (
+  SELECT vec_id, sum(val * v) AS s
+  FROM dims JOIN v2 USING (idx) GROUP BY vec_id
+), v3 AS (
+  SELECT idx, sum(val * s) AS v
+  FROM dims JOIN s3 USING (vec_id) GROUP BY idx
+), piv AS (
+  SELECT v AS pv FROM v3 ORDER BY abs(v) DESC, idx ASC LIMIT 1
+)
+SELECT CAST(idx AS INTEGER) AS idx,
+       round(v / pv, 6) AS component
+FROM v3 CROSS JOIN piv
+"""
+
+
+def q_group_kfold(spark, sf_dir):
+    """Group-k-fold assignment: every ``source`` lands wholly in one
+    of 5 folds (``md5_16(source) mod 5``), so same-source documents
+    can never straddle a train/eval boundary — the group-leakage twin
+    of the temporal holdout (``q_temporal_split``). Reports per
+    (fold, lang) doc counts, distinct sources, and the fold's share of
+    the corpus; content-hashed assignment is reproducible across
+    engines, runs, and cluster sizes. Narrow projection + one hash
+    agg + one broadcast total."""
+    d = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.encode("source", "utf-8")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 5
+    ).cast("int")
+    per = (
+        d.select("lang", "source", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+    tot = per.agg(F.sum("n_docs").alias("n_all"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(F.col("n_docs") / F.col("n_all").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+SQL_GROUP_KFOLD = """
+WITH assigned AS (
+  SELECT lang, source,
+         CAST(CAST(CAST('0x' || substr(md5(source), 1, 4) AS UBIGINT)
+              AS BIGINT) % 5 AS INTEGER) AS fold
+  FROM documents
+), per AS (
+  SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM assigned GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all FROM per
+)
+SELECT fold, lang, n_docs, n_sources,
+       round(n_docs / CAST(n_all AS DOUBLE), 6) AS share
+FROM per CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9065,10 +9342,12 @@ REGISTRY: dict[str, tuple] = {
     # enter at
     # the top; the further-displaced keys are covered by the same
     # committed tri-SF sweep evidence at the pack-#16 HEAD.
-    # Pack #20 (4 new keys: roc_auc, psi_drift, ess_weights,
-    # equal_freq_bins) enters at the top under the same rule; the four
+    # Packs #20-#21 (8 new keys: roc_auc, psi_drift, ess_weights,
+    # equal_freq_bins, mutual_info, pps_sample, embedding_pca1,
+    # group_kfold) enter at the top under the same rule; the eight
     # further-displaced keys are ALL-GREEN in the committed tri-SF
-    # sweep at the pack-#19 HEAD (BENCH/sweeps_r03.jsonl, git 9a1d0ad).
+    # sweeps at the pack-#19 and pack-#21 HEADs
+    # (BENCH/sweeps_r03.jsonl, git 9a1d0ad and after).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #20 —
@@ -9077,6 +9356,12 @@ REGISTRY: dict[str, tuple] = {
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "ess_weights": (q_ess_weights, SQL_ESS_WEIGHTS),
     "equal_freq_bins": (q_equal_freq_bins, SQL_EQUAL_FREQ_BINS),
+    # -- new r3 continuation (this session): feature-eng pack #21 —
+    #    association + sampling: MI, seq-Poisson sample, PCA-1, kfold --
+    "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
+    "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
+    "embedding_pca1": (q_embedding_pca1, SQL_EMBEDDING_PCA1),
+    "group_kfold": (q_group_kfold, SQL_GROUP_KFOLD),
     # -- new r3 continuation (this session): feature-eng pack #14 —
     #    ingest sources: Python DataSource, Variant, native XML --
     "scan_warclite": (q_scan_warclite, SQL_SCAN_WARCLITE),

@@ -5,13 +5,14 @@ Usage (sandbox):
         --input /root/testdata/sf0.1 --output /tmp/crawlfe_monitor
 
 Production shape: --input points at the Iceberg documents/events
-tables; the job writes three small report tables (per-source dataset
-cards, per-event-type KS drift statistics, Benford first-digit audit)
-in ONE pass each and prints a single JSON summary line — the nightly
-monitoring job a training-data pipeline schedules between ingest and
-training. Every report is a registry query (crawlfe/queries.py pack
-#18), so what this job ships is exactly what the DuckDB oracles have
-verified at three SF tiers. Alert logic is deliberately threshold-only
+tables; the job writes five small report tables (per-source dataset
+cards, per-event-type KS drift statistics, Benford first-digit audit,
+binned PSI drift, lang x source mutual information) in ONE pass each
+and prints a single JSON summary line — the nightly monitoring job a
+training-data pipeline schedules between ingest and training. Every
+report is a registry query (crawlfe/queries.py packs #18/#20/#21), so
+what this job ships is exactly what the DuckDB oracles have verified
+at three SF tiers. Alert logic is deliberately threshold-only
 (max KS, max |obs-exp| Benford gap) — the job computes statistics, a
 human owns the paging policy.
 """
@@ -34,6 +35,8 @@ from crawlfe.queries import (  # noqa: E402
     q_benford_audit,
     q_dataset_card,
     q_ks_drift,
+    q_mutual_info,
+    q_psi_drift,
 )
 
 
@@ -61,6 +64,8 @@ def main() -> int:
     cards = q_dataset_card(spark, args.input)
     drift = q_ks_drift(spark, args.input)
     benford = q_benford_audit(spark, args.input)
+    psi = q_psi_drift(spark, args.input)
+    mi = q_mutual_info(spark, args.input)
 
     cards.write.mode("overwrite").parquet(
         os.path.join(args.output, "dataset_cards")
@@ -71,6 +76,12 @@ def main() -> int:
     benford.write.mode("overwrite").parquet(
         os.path.join(args.output, "benford_audit")
     )
+    psi.write.mode("overwrite").parquet(
+        os.path.join(args.output, "psi_drift")
+    )
+    mi.write.mode("overwrite").parquet(
+        os.path.join(args.output, "mutual_info")
+    )
 
     card_rows = cards.collect()  # O(sources) — report-size only
     drift_rows = drift.collect()  # O(event types)
@@ -78,6 +89,12 @@ def main() -> int:
         benford.select(
             F.max(F.abs(F.col("obs_share") - F.col("exp_share"))).alias("g")
         ).collect()[0]["g"]
+    )
+    worst_psi = (
+        psi.select(F.max("psi_total").alias("p")).collect()[0]["p"]
+    )
+    mi_total = float(
+        mi.select(F.max("mi_total").alias("m")).collect()[0]["m"]
     )
     summary = {
         "n_sources": len(card_rows),
@@ -91,6 +108,8 @@ def main() -> int:
             if r["ks_stat"] > args.ks_alert
         ),
         "max_benford_gap": round(float(worst_benford), 6),
+        "max_psi": round(float(worst_psi), 6),
+        "lang_source_mi": round(mi_total, 6),
         "elapsed_sec": round(time.time() - t0, 2),
     }
     print(json.dumps(summary, sort_keys=True))

@@ -53,6 +53,13 @@ def test_reports_land_and_summary_consistent(job_out):
     assert rep["ks_alerts"] == sorted(
         drift[drift["ks_stat"] > 0.1]["event_type"]
     )
+    psi = pd.read_parquet(os.path.join(out, "psi_drift"))
+    mi = pd.read_parquet(os.path.join(out, "mutual_info"))
+    assert rep["max_psi"] == round(psi["psi_total"].max(), 6)
+    assert rep["lang_source_mi"] == round(mi["mi_total"].max(), 6)
+    # MI total is one value repeated per cell, and non-negative
+    assert mi["mi_total"].nunique() == 1
+    assert rep["lang_source_mi"] >= 0
 
 
 def test_reports_match_registry_queries(spark, job_out):
