@@ -160,6 +160,14 @@ HEADLINE = [
     "kmeanspp_seeds",
     "domain_weights",
     "length_buckets",
+    "roc_auc",
+    "psi_drift",
+    "ess_weights",
+    "equal_freq_bins",
+    "mutual_info",
+    "pps_sample",
+    "embedding_pca1",
+    "group_kfold",
 ]
 
 
