@@ -168,6 +168,12 @@ HEADLINE = [
     "pps_sample",
     "embedding_pca1",
     "group_kfold",
+    "sql_recursive",
+    "lateral_topk",
+    "simhash_pairs",
+    "grouped_ols",
+    "gini_skew",
+    "pr_auc",
 ]
 
 
