@@ -9812,6 +9812,592 @@ GROUP BY t.day, tot.n_pos, tot.n_neg
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #23: inverted-index sparse top-k, signed-random-
+# projection signatures, manual HLL registers, Spearman rank
+# correlation, integer CUSUM changepoint, KS best-threshold
+# --------------------------------------------------------------------------
+
+_SPARSE_Q = 1000  # fixed-point grid for embedding values (exact: 24+10 bits)
+_SPARSE_MIN = 200  # keep |q| >= 200, i.e. |v| >= 0.2 (~11% density here)
+_SPARSE_POST_CAP = 128  # impact-ordered posting-list truncation per dim
+_SPARSE_TOPK = 3
+
+
+def q_sparse_topk(spark, sf_dir):
+    """Sparse top-k similarity by INVERTED-INDEX join — the scale path
+    for sparse/thresholded vectors that ``knn_cosine`` (brute) and
+    ``ann_lsh`` (dense signatures) don't cover: explode each vector to
+    its significant (dim, weight) postings, equi-join on dim, and sum
+    weight products per pair, so cost is sum-of-squared-posting-lists
+    instead of N^2.
+
+    Two scale controls, both deterministic: values are fixed-pointed
+    to an integer grid (``round(v*1000)`` — a float's 24-bit mantissa
+    times 2^3*5^3 stays exact in a double, and the grid can never land
+    on an exact .5, so HALF_UP-vs-half-even engines agree) making
+    every dot product an exact BIGINT; and posting lists are
+    IMPACT-ORDERED-TRUNCATED to the top-|q| 128 entries per dim
+    (ties by vec_id) — the classic IR trick that bounds the self-join
+    quadratic term per dimension no matter how hot a dimension gets.
+    One narrow shuffle on dim, one pair agg, one per-vec top-k window."""
+    e = _t(spark, sf_dir, "embeddings")
+    pe = e.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    q = pe.select(
+        "vec_id",
+        "d",
+        F.round(F.col("v").cast("double") * _SPARSE_Q, 0)
+        .cast("bigint")
+        .alias("q"),
+    ).where(F.abs(F.col("q")) >= _SPARSE_MIN)
+    wd = Window.partitionBy("d").orderBy(
+        F.abs(F.col("q")).desc(), F.col("vec_id")
+    )
+    post = (
+        q.withColumn("r", F.row_number().over(wd))
+        .where(F.col("r") <= _SPARSE_POST_CAP)
+        .drop("r")
+    )
+    pairs = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+        )
+        .agg(
+            F.sum(F.col("a.q") * F.col("b.q")).alias("dot_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("dot_q").desc(), F.col("nbr_id")
+    )
+    return (
+        pairs.where(F.col("dot_q") > 0)
+        .withColumn("rk", F.row_number().over(wv).cast("int"))
+        .where(F.col("rk") <= _SPARSE_TOPK)
+    )
+
+
+SQL_SPARSE_TOPK = """
+WITH pe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+), kept AS (
+  SELECT * FROM pe WHERE abs(q) >= 200
+), post AS (
+  SELECT vec_id, d, q FROM (
+    SELECT *, row_number() OVER (PARTITION BY d
+                                 ORDER BY abs(q) DESC, vec_id) AS r
+    FROM kept) t
+  WHERE r <= 128
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         CAST(sum(a.q * b.q) AS BIGINT) AS dot_q,
+         CAST(count(*) AS BIGINT) AS n_dims
+  FROM post a JOIN post b ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_id, nbr_id, dot_q, n_dims, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot_q DESC, nbr_id) AS rk
+  FROM pairs WHERE dot_q > 0) t
+WHERE rk <= 3
+"""
+
+
+_SRP_BITS = 16  # signature width
+_SRP_Q = 1000000  # fixed-point grid (24+20 bits — exact in a double)
+
+
+def q_srp_signature(spark, sf_dir):
+    """Signed-random-projection (SimHash-for-vectors) signatures: bit
+    j of a vector's signature is the sign of its dot product with a
+    pseudorandom +/-1 hyperplane — the JVM-declarative, oracle-backed
+    twin of the numpy sign-bit bucketing inside ``ann_lsh``.
+
+    Engine-portable by construction: the hyperplane sign for (dim, j)
+    is the parity of an md5 nibble (content-addressed — identical on
+    any engine, run, or cluster size), values are fixed-pointed to
+    integers so each projection sum is an exact BIGINT (association-
+    order-independent — safe under any partitioning), and the
+    signature packs bits as sum(bit * 2^j). Emits each vector's
+    signature, its popcount, and the signature's bucket occupancy
+    (the LSH collision-rate diagnostic). Linear work, one narrow agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    pe = e.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    q = pe.select(
+        "vec_id",
+        "d",
+        F.round(F.col("v").cast("double") * _SRP_Q, 0)
+        .cast("bigint")
+        .alias("q"),
+    )
+    j = q.select(
+        "vec_id",
+        "d",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(_SRP_BITS - 1))).alias("j"),
+    )
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            ":",
+                            F.col("d").cast("string"),
+                            F.col("j").cast("string"),
+                        ),
+                        "utf-8",
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ) * 2 - 1
+    proj = (
+        j.select("vec_id", "j", (sign * F.col("q")).alias("t"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("t").alias("s"))
+    )
+    bits = proj.select(
+        "vec_id",
+        F.when(
+            F.col("s") > 0,
+            F.expr("CAST(power(2, j) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bit_val"),
+        F.when(F.col("s") > 0, 1).otherwise(0).cast("bigint").alias("one"),
+    )
+    sigs = bits.groupBy("vec_id").agg(
+        F.sum("bit_val").alias("sig"), F.sum("one").alias("n_bits")
+    )
+    occ = sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_n")
+    )
+    return sigs.join(occ, "sig").select("vec_id", "sig", "n_bits", "bucket_n")
+
+
+SQL_SRP_SIGNATURE = """
+WITH pe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS q
+  FROM embeddings
+), j AS (
+  SELECT vec_id, d, q, r.j
+  FROM pe CROSS JOIN (SELECT unnest(range(16)) AS j) r
+), proj AS (
+  SELECT vec_id, j,
+         CAST(sum(((CAST(CAST('0x' || substr(
+                 md5(CAST(d AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 4)
+               AS UBIGINT) AS BIGINT) % 2) * 2 - 1) * q) AS BIGINT) AS s
+  FROM j GROUP BY 1, 2
+), sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s > 0
+                       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig,
+         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bits
+  FROM proj GROUP BY 1
+), occ AS (
+  SELECT sig, CAST(count(*) AS BIGINT) AS bucket_n FROM sigs GROUP BY 1
+)
+SELECT s.vec_id, s.sig, s.n_bits, o.bucket_n
+FROM sigs s JOIN occ o ON s.sig = o.sig
+"""
+
+
+_HLL_M = 16  # registers (bucket = low 4 hash bits)
+_HLL_W = 56  # rank-observable width (60-bit md5 prefix minus 4)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Manual HyperLogLog distinct-user estimate per event_type, built
+    from first principles so the MERGEABLE-SKETCH mechanics (the thing
+    that makes distinct counts map-side-combinable at 10^12 rows) are
+    visible and oracle-checkable — unlike ``agg_approx_distinct``
+    which delegates to Spark's built-in HLL++.
+
+    A 60-bit md5 prefix splits into a 4-bit register index and a
+    56-bit observable whose geometric rank is trailing-zeros+1,
+    computed EXACTLY with integer ops (``bit_count((x & -x) - 1)``) —
+    no float log2 at the edge. Register state is max(rank): any
+    partitioning/merge order gives the same registers. The harmonic
+    denominator is kept as an exact integer sum(2^(57-r)) (max 16 *
+    2^56 < 2^63) so the one double division happens once at the end;
+    the exact countDistinct rides along as the audit column."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.encode(F.col("user_id").cast("string"), "utf-8")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    based = ev.select("event_type", "user_id", h.alias("h")).select(
+        "event_type",
+        "user_id",
+        (F.col("h") % _HLL_M).cast("int").alias("bucket"),
+        F.shiftright(F.col("h"), 4).alias("rest"),
+    )
+    ranked = based.select(
+        "event_type",
+        "user_id",
+        "bucket",
+        F.when(F.col("rest") == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.bit_count(F.expr("(rest & -rest) - 1")) + 1)
+        .cast("int")
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("event_type", "bucket").agg(
+        F.max("rank").alias("r")
+    )
+    den = regs.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(power(2, 57 - r) AS BIGINT)")).alias("dp"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+    )
+    full = den.select(
+        "event_type",
+        (
+            F.col("dp")
+            + (F.lit(_HLL_M) - F.col("nb")) * F.lit(144115188075855872)
+        ).alias("den_scaled"),
+    )
+    return (
+        exact.join(full, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_distinct",
+            F.round(
+                F.lit(0.673)
+                * 256.0
+                * 144115188075855872.0
+                / F.col("den_scaled").cast("double"),
+                4,
+            ).alias("hll_est"),
+        )
+    )
+
+
+SQL_HLL_DISTINCT = """
+WITH based AS (
+  SELECT event_type, user_id,
+         CAST(h % 16 AS INTEGER) AS bucket,
+         h >> 4 AS rest
+  FROM (
+    SELECT event_type, user_id,
+           CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                AS UBIGINT) AS BIGINT) AS h
+    FROM events) t
+), ranked AS (
+  SELECT event_type, bucket,
+         CAST(CASE WHEN rest = 0 THEN 57
+                   ELSE bit_count((rest & -rest) - 1) + 1 END
+              AS INTEGER) AS rank
+  FROM based
+), regs AS (
+  SELECT event_type, bucket, max(rank) AS r
+  FROM ranked GROUP BY 1, 2
+), den AS (
+  SELECT event_type,
+         CAST(sum(CAST(power(2, 57 - r) AS BIGINT)) AS BIGINT)
+           + (16 - CAST(count(*) AS BIGINT)) * 144115188075855872
+           AS den_scaled
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, e.n_events, e.exact_distinct,
+       round(0.673 * 256.0 * 144115188075855872.0
+             / CAST(d.den_scaled AS DOUBLE), 4) AS hll_est
+FROM exact e JOIN den d ON e.event_type = d.event_type
+"""
+
+
+def q_spearman_corr(spark, sf_dir):
+    """Per-event_type Spearman rank correlation between ``value`` and
+    arrival order — the monotone-trend detector that Pearson
+    (``grouped_corr``) misses on non-linear drifts.
+
+    Both rankings use row_number with the event_id tie-break (a fixed,
+    documented tie convention — deterministic on any engine), so the
+    rank difference d and sum(d^2) are EXACT integers; the classic
+    ``rho = 1 - 6*sum(d^2) / (n*(n^2-1))`` does one double division
+    per group at the end. Two sorts within the group partition, one
+    agg — no joins."""
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type",
+        F.row_number().over(wv).cast("bigint").alias("rv"),
+        F.row_number().over(wt).cast("bigint").alias("rt"),
+    )
+    return (
+        r.select(
+            "event_type",
+            ((F.col("rv") - F.col("rt")) * (F.col("rv") - F.col("rt"))).alias(
+                "d2"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_d2",
+            F.round(
+                1.0
+                - (6.0 * F.col("sum_d2").cast("double"))
+                / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("rho"),
+        )
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH r AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS BIGINT) AS rv,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS rt
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS sum_d2,
+       round(1.0 - (6.0 * CAST(sum((rv - rt) * (rv - rt)) AS DOUBLE))
+             / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6)
+         AS rho
+FROM r GROUP BY 1
+"""
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Per-user CUSUM changepoint: the event index where the running
+    sum's deviation from the global trend line peaks — the standard
+    level-shift detector for metric streams (did this user's spend
+    regime change, and when?).
+
+    Fully integer until the report: values go to exact cents
+    (``round(value*100)`` — never an exact .5 on this grid), and the
+    centered deviation is cross-multiplied as ``n*cumsum - i*total``
+    instead of subtracting a float mean, so the argmax is over exact
+    BIGINTs (no ulp ties across engines). The per-user total rides in
+    the same window pass (unbounded frame) — one sort per user key,
+    no self-join; the argmax is a second tiny window over the same
+    partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    cum = c.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    dev = cum.select(
+        "user_id",
+        "event_id",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total")).alias(
+            "adev"
+        ),
+    )
+    wpick = Window.partitionBy("user_id").orderBy(
+        F.col("adev").desc(), F.col("i")
+    )
+    return (
+        dev.withColumn("pk", F.row_number().over(wpick))
+        .where(F.col("pk") == 1)
+        .select(
+            "user_id",
+            "n",
+            F.col("i").alias("cp_i"),
+            F.col("event_id").alias("cp_event_id"),
+            F.col("adev").alias("max_abs_dev"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), cum AS (
+  SELECT user_id, event_id,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS total
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), dev AS (
+  SELECT user_id, event_id, i, n,
+         abs(n * cum - i * total) AS adev
+  FROM cum
+)
+SELECT user_id, n, i AS cp_i, event_id AS cp_event_id,
+       adev AS max_abs_dev
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY adev DESC, i) AS pk
+  FROM dev) t
+WHERE pk = 1
+"""
+
+
+def q_best_threshold(spark, sf_dir):
+    """Per-day best split threshold by the Kolmogorov-Smirnov / Youden
+    statistic: the ``value`` cut that maximizes |TPR - FPR| separating
+    purchase (positive) from click (negative) events — the
+    decision-stump learner behind score cutoff selection, and the
+    argmax companion to ``roc_auc``/``pr_auc`` (which integrate the
+    whole curve instead).
+
+    Argmax over EXACT integers: at each distinct value (ascending,
+    <= threshold predicts negative) the KS numerator is
+    ``|cum_pos*n_neg - cum_neg*n_pos|`` — pure BIGINT cross-
+    multiplication, so no float ulp can flip the winner across
+    engines; ties break to the smallest threshold. Stream collapses
+    to the per-(day, value) histogram first (map-side combine); days
+    with a single class are excluded (KS undefined)."""
+    ev = _t(spark, sf_dir, "events")
+    pv = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ng"),
+        )
+        .groupBy("day", "v")
+        .agg(
+            F.sum("p").cast("bigint").alias("pos_at"),
+            F.sum("ng").cast("bigint").alias("neg_at"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("day")
+    cum = pv.select(
+        "day",
+        "v",
+        F.sum("pos_at").over(w).alias("cum_pos"),
+        F.sum("neg_at").over(w).alias("cum_neg"),
+        F.sum("pos_at").over(wall).alias("n_pos"),
+        F.sum("neg_at").over(wall).alias("n_neg"),
+    ).where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    scored = cum.select(
+        "day",
+        "v",
+        "n_pos",
+        "n_neg",
+        F.abs(
+            F.col("cum_pos") * F.col("n_neg")
+            - F.col("cum_neg") * F.col("n_pos")
+        ).alias("ks_num"),
+    )
+    wpick = Window.partitionBy("day").orderBy(
+        F.col("ks_num").desc(), F.col("v")
+    )
+    return (
+        scored.withColumn("pk", F.row_number().over(wpick))
+        .where(F.col("pk") == 1)
+        .select(
+            "day",
+            F.col("v").alias("thr_v"),
+            "n_pos",
+            "n_neg",
+            F.round(
+                F.col("ks_num").cast("double")
+                / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ).alias("ks"),
+        )
+    )
+
+
+SQL_BEST_THRESHOLD = """
+WITH pv AS (
+  SELECT CAST(day(ts) AS INTEGER) AS day, value AS v,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_at,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_at
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2
+), cum AS (
+  SELECT day, v,
+         CAST(sum(pos_at) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_pos,
+         CAST(sum(neg_at) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_neg,
+         CAST(sum(pos_at) OVER (PARTITION BY day) AS BIGINT) AS n_pos,
+         CAST(sum(neg_at) OVER (PARTITION BY day) AS BIGINT) AS n_neg
+  FROM pv
+  WINDOW w AS (PARTITION BY day ORDER BY v)
+), scored AS (
+  SELECT day, v, n_pos, n_neg,
+         abs(cum_pos * n_neg - cum_neg * n_pos) AS ks_num
+  FROM cum WHERE n_pos > 0 AND n_neg > 0
+)
+SELECT day, v AS thr_v, n_pos, n_neg,
+       round(CAST(ks_num AS DOUBLE)
+             / CAST(n_pos * n_neg AS DOUBLE), 6) AS ks
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY ks_num DESC, v) AS pk
+  FROM scored) t
+WHERE pk = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9863,8 +10449,21 @@ REGISTRY: dict[str, tuple] = {
     # grouped_ols, gini_skew, pr_auc) enters at the top under the same
     # rule; the six further-displaced keys are ALL-GREEN in the
     # committed tri-SF sweeps at the pack-#21 HEAD.
+    # Pack #23 (6 new keys: sparse_topk, srp_signature, hll_distinct,
+    # spearman_corr, cusum_changepoint, best_threshold) enters at the
+    # top under the same rule; the six further-displaced keys are
+    # ALL-GREEN in the committed tri-SF sweeps at the pack-#22 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #23 —
+    #    inverted-index sparse top-k, SRP signatures, manual HLL,
+    #    Spearman, CUSUM changepoint, KS best-threshold --
+    "sparse_topk": (q_sparse_topk, SQL_SPARSE_TOPK),
+    "srp_signature": (q_srp_signature, SQL_SRP_SIGNATURE),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "spearman_corr": (q_spearman_corr, SQL_SPEARMAN_CORR),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "best_threshold": (q_best_threshold, SQL_BEST_THRESHOLD),
     # -- new r3 continuation (this session): feature-eng pack #22 —
     #    SQL recursion/lateral surface, JVM simhash pairs, grouped OLS,
     #    Gini concentration, PR-AUC --
