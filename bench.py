@@ -174,6 +174,13 @@ HEADLINE = [
     "grouped_ols",
     "gini_skew",
     "pr_auc",
+    # added r3 (continuation): pack #23 sparse retrieval + sketches
+    "sparse_topk",
+    "srp_signature",
+    "hll_distinct",
+    "spearman_corr",
+    "cusum_changepoint",
+    "best_threshold",
 ]
 
 
