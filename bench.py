@@ -181,6 +181,13 @@ HEADLINE = [
     "spearman_corr",
     "cusum_changepoint",
     "best_threshold",
+    # added r3 (continuation): pack #24 sketches + statistics
+    "count_min",
+    "tvd_drift",
+    "weighted_median",
+    "interval_union",
+    "welch_t",
+    "cooccur_lift",
 ]
 
 

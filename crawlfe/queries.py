@@ -10398,6 +10398,551 @@ WHERE pk = 1
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #24: count-min sketch, total-variation drift,
+# weighted median, interval union, Welch t, co-occurrence lift
+# --------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # columns per row
+_CMS_PROBES = 20  # audit the heaviest users
+
+
+def q_count_min(spark, sf_dir):
+    """Manual Count-Min sketch of per-user event frequency — the
+    mergeable point-frequency companion to ``q_hll_distinct``'s
+    cardinality registers and ``heavy_hitters``' exact candidates:
+    4 x 64 integer registers, each event adds 1 to one column per
+    hash row, and a point estimate is the MIN over the 4 rows (always
+    an over-estimate; the exact count rides along as the audit
+    column).
+
+    Register state is a pure sum, so any partitioning / merge order
+    gives identical registers (map-side combinable at 10^12 rows);
+    the hash is a content-addressed md5 prefix (engine-portable, no
+    RNG). Probe set = the 20 heaviest users by exact count (count
+    desc, user_id tie-break), so output is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+
+    def _col(r, uid):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat_ws(
+                                ":",
+                                r.cast("string"),
+                                uid.cast("string"),
+                            ),
+                            "utf-8",
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    regs = (
+        ev.select("user_id")
+        .crossJoin(F.broadcast(rows))
+        .select("r", _col(F.col("r"), F.col("user_id")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("reg"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    # TakeOrderedAndProject (per-partition heap + driver merge of 20
+    # rows/partition), never a global single-partition window
+    probes = exact.orderBy(
+        F.col("exact_n").desc(), F.col("user_id")
+    ).limit(_CMS_PROBES)
+    cells = probes.crossJoin(F.broadcast(rows)).select(
+        "user_id",
+        "exact_n",
+        "r",
+        _col(F.col("r"), F.col("user_id")).alias("c"),
+    )
+    return (
+        cells.join(F.broadcast(regs), ["r", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("reg").alias("cms_est"))
+    )
+
+
+SQL_COUNT_MIN = """
+WITH rows_ AS (
+  SELECT CAST(unnest(range(4)) AS INTEGER) AS r
+), regs AS (
+  SELECT r,
+         CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT)
+              AS BIGINT) % 64 AS c,
+         CAST(count(*) AS BIGINT) AS reg
+  FROM events CROSS JOIN rows_
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM events GROUP BY 1
+), probes AS (
+  SELECT user_id, exact_n FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_n DESC, user_id) AS rk
+    FROM exact) t
+  WHERE rk <= 20
+), cells AS (
+  SELECT p.user_id, p.exact_n, r.r,
+         CAST(CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                || CAST(p.user_id AS VARCHAR)), 1, 15) AS UBIGINT)
+              AS BIGINT) % 64 AS c
+  FROM probes p CROSS JOIN rows_ r
+)
+SELECT c.user_id, c.exact_n, CAST(min(g.reg) AS BIGINT) AS cms_est
+FROM cells c JOIN regs g ON c.r = g.r AND c.c = g.c
+GROUP BY 1, 2
+"""
+
+
+def q_tvd_drift(spark, sf_dir):
+    """Per-source total-variation distance between the source's token
+    distribution and the REST of the corpus — the sharp, exactly-
+    computable drift statistic (TVD = half the L1 gap) complementing
+    ``ks_drift``/``psi_drift`` (which bin values) and ``mutual_info``.
+
+    Exact by cross-multiplication: with c_s(t)/n_s and c_r(t)/n_r the
+    source and rest counts, sum_t |c_s(t)*n_r - c_r(t)*n_s| is a pure
+    BIGINT (token counts < 2^31, corpus sizes < 2^31 — the product
+    stays under 2^62), and TVD does ONE double division at the end —
+    no per-term float sum whose association order could drift across
+    engines. One token explode, one (source, token) agg, one
+    broadcast-sized join on token."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    tot = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    n_s = st.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n_all = tot.agg(F.sum("c_all").alias("n_all"))
+    j = (
+        st.join(tot, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_r"),
+            F.col("c_s"),
+            (F.col("c_all") - F.col("c_s")).alias("c_r"),
+        )
+    )
+    # tokens the source never emits still contribute c_r(t) * n_s to
+    # the L1 numerator; fold them in via the complement identity
+    # sum_{t not in source} c_r(t) = n_r - sum_{t in source} c_r(t),
+    # so the explode only ever materializes (source, token) rows the
+    # source actually has.
+    per = j.groupBy("source", "n_s", "n_r").agg(
+        F.sum(
+            F.abs(F.col("c_s") * F.col("n_r") - F.col("c_r") * F.col("n_s"))
+        ).alias("num_seen"),
+        F.sum(F.col("c_r")).alias("cr_seen"),
+    )
+    return per.select(
+        "source",
+        "n_s",
+        (
+            F.col("num_seen")
+            + (F.col("n_r") - F.col("cr_seen")) * F.col("n_s")
+        ).alias("l1_num"),
+        F.round(
+            (
+                F.col("num_seen")
+                + (F.col("n_r") - F.col("cr_seen")) * F.col("n_s")
+            ).cast("double")
+            / (
+                2.0
+                * F.col("n_s").cast("double")
+                * F.col("n_r").cast("double")
+            ),
+            6,
+        ).alias("tvd"),
+    )
+
+
+SQL_TVD_DRIFT = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tk AS (
+  SELECT source, token FROM tok WHERE token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c_s
+  FROM tk GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_all
+  FROM tk GROUP BY 1
+), ns AS (
+  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY 1
+), na AS (
+  SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM tot
+), per AS (
+  SELECT st.source, ns.n_s, na.n_all - ns.n_s AS n_r,
+         CAST(sum(abs(st.c_s * (na.n_all - ns.n_s)
+                      - (tot.c_all - st.c_s) * ns.n_s)) AS BIGINT)
+           AS num_seen,
+         CAST(sum(tot.c_all - st.c_s) AS BIGINT) AS cr_seen
+  FROM st
+  JOIN tot ON st.token = tot.token
+  JOIN ns ON st.source = ns.source
+  CROSS JOIN na
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_s,
+       CAST(num_seen + (n_r - cr_seen) * n_s AS BIGINT) AS l1_num,
+       round(CAST(num_seen + (n_r - cr_seen) * n_s AS DOUBLE)
+             / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE)), 6)
+         AS tvd
+FROM per
+"""
+
+
+def q_weighted_median(spark, sf_dir):
+    """Per-event_type weighted median of ``value`` with deterministic
+    integer weights (w = user_id % 7 + 1 — a stand-in for sampling /
+    importance weights): the smallest value whose cumulative weight
+    reaches half the total, the weighted counterpart of the exact
+    percentile family.
+
+    The selection predicate is pure integers (2*cum_w >= tot_w over a
+    (value, event_id)-ordered cumulative window), so no float
+    comparison can flip the winner; the reported median is a raw
+    column value — no arithmetic at all. One sort per group, one
+    window pass, one row per group out."""
+    ev = _t(spark, sf_dir, "events")
+    wtd = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.col("user_id") % 7 + 1).cast("bigint").alias("w"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wall = Window.partitionBy("event_type")
+    cum = wtd.select(
+        "event_type",
+        "value",
+        F.sum("w")
+        .over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_w"),
+        F.sum("w").over(wall).alias("tot_w"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    ).where(F.col("cum_w") * 2 >= F.col("tot_w"))
+    wpick = Window.partitionBy("event_type").orderBy("cum_w", "value")
+    return (
+        cum.withColumn("pk", F.row_number().over(wpick))
+        .where(F.col("pk") == 1)
+        .select(
+            "event_type",
+            F.col("value").alias("median_v"),
+            "tot_w",
+            "n",
+        )
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH wtd AS (
+  SELECT event_type, value, event_id,
+         CAST(user_id % 7 + 1 AS BIGINT) AS w
+  FROM events
+), cum AS (
+  SELECT event_type, value,
+         CAST(sum(w) OVER (wc ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_w,
+         CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS tot_w,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM wtd
+  WINDOW wc AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, value AS median_v, tot_w, n
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cum_w, value) AS pk
+  FROM cum WHERE cum_w * 2 >= tot_w) t
+WHERE pk = 1
+"""
+
+
+def q_interval_union(spark, sf_dir):
+    """Per-user union length of overlapping activity intervals — the
+    classic gaps-and-islands merge (total active time, ad-break
+    coverage, crawl-window dedup): each event opens an interval of
+    ``round(value*100) * 10ms``, overlapping intervals merge, and the
+    answer is the summed length of the merged islands.
+
+    All integer microseconds end-to-end: an island break is
+    ``start > max(previous ends)`` (a cumulative window max over
+    exact BIGINTs), island ids are a cumulative sum of the break
+    indicator, and the union is sum(max_end - min_start) per island.
+    One sort per user, two window passes, one agg — no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("s"),
+        (
+            _us("ts")
+            + F.round(F.col("value") * 100, 0).cast("bigint") * 10000
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = brk.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).alias("union_us"),
+    )
+
+
+SQL_INTERVAL_UNION = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+  FROM events
+), brk AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN max(e) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+), isl AS (
+  SELECT user_id, s, e,
+         sum(brk) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM brk
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+), merged AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(me - ms) AS BIGINT) AS union_us
+FROM merged GROUP BY 1
+"""
+
+
+def q_welch_t(spark, sf_dir):
+    """Per-day Welch two-sample t statistic comparing purchase vs
+    click ``value`` — the unequal-variance A/B test behind every
+    launch decision, and the location-test companion to
+    ``best_threshold``'s distribution split.
+
+    Moments are EXACT integers (sum of cents and of cents²; cents² <
+    2^29 so a billion-row day stays under 2^63), and the t statistic
+    is one fixed expression tree over those integers — means, sample
+    variances, one sqrt (correctly rounded per IEEE-754, unlike
+    transcendentals) — evaluated identically by both engines. Days
+    with fewer than two observations on either side are excluded
+    (variance undefined)."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100, 0).cast("bigint")
+    m = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+            c.alias("c"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("is_p").cast("bigint").alias("n1"),
+            F.sum(F.col("is_p") * F.col("c")).alias("s1"),
+            F.sum(F.col("is_p") * F.col("c") * F.col("c")).alias("q1"),
+            F.sum(1 - F.col("is_p")).cast("bigint").alias("n2"),
+            F.sum((1 - F.col("is_p")) * F.col("c")).alias("s2"),
+            F.sum((1 - F.col("is_p")) * F.col("c") * F.col("c")).alias(
+                "q2"
+            ),
+        )
+        .where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    )
+    # fixed expression tree: m_i = s_i/n_i, v_i = (q_i - s_i*m_i)/(n_i-1)
+    m1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    v1 = (F.col("q1").cast("double") - F.col("s1").cast("double") * m1) / (
+        F.col("n1").cast("double") - 1.0
+    )
+    v2 = (F.col("q2").cast("double") - F.col("s2").cast("double") * m2) / (
+        F.col("n2").cast("double") - 1.0
+    )
+    t = (m1 - m2) / F.sqrt(
+        v1 / F.col("n1").cast("double") + v2 / F.col("n2").cast("double")
+    )
+    return m.select(
+        "day", "n1", "n2", F.round(t, 6).alias("welch_t")
+    )
+
+
+SQL_WELCH_T = """
+WITH m AS (
+  SELECT CAST(day(ts) AS INTEGER) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS q2
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+)
+SELECT day, n1, n2,
+       round(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              - (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+             / sqrt(((CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE)
+                        * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                     / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+                   + ((CAST(q2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE)
+                         * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                      / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)),
+             6) AS welch_t
+FROM m WHERE n1 >= 2 AND n2 >= 2
+"""
+
+
+def q_cooccur_lift(spark, sf_dir):
+    """Event-type co-occurrence lift over users (market-basket pair
+    mining at the account level): for each unordered pair of event
+    types, the number of users exhibiting both, and the lift
+    n_co * n_users / (n_a * n_b) — >1 means the behaviors attract,
+    <1 they repel.
+
+    The stream first collapses to DISTINCT (user, type) — the
+    map-side combine that makes the self-join input per-user-bounded
+    (at most |type|=5 rows per user regardless of event volume) — so
+    the pair join is tiny even at 10^12 events. Lift is exact
+    integers ratioed by one double divide."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    per = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("etype_a"),
+            F.col("b.event_type").alias("etype_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per.withColumnRenamed("n_t", "n_a")),
+            F.col("etype_a") == F.col("event_type"),
+        )
+        .drop("event_type")
+        .join(
+            F.broadcast(per.withColumnRenamed("n_t", "n_b")),
+            F.col("etype_b") == F.col("event_type"),
+        )
+        .drop("event_type")
+        .select(
+            "etype_a",
+            "etype_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_co") * F.lit(int(n_users))).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_COOCCUR_LIFT = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+  FROM ut GROUP BY 1
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+), pairs AS (
+  SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.etype_a, p.etype_b, p.n_co, pa.n_t AS n_a, pb.n_t AS n_b,
+       round(CAST(p.n_co * nu.n_users AS DOUBLE)
+             / CAST(pa.n_t * pb.n_t AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN per pa ON p.etype_a = pa.event_type
+JOIN per pb ON p.etype_b = pb.event_type
+CROSS JOIN nu
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10464,6 +11009,12 @@ REGISTRY: dict[str, tuple] = {
     "spearman_corr": (q_spearman_corr, SQL_SPEARMAN_CORR),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "best_threshold": (q_best_threshold, SQL_BEST_THRESHOLD),
+    "count_min": (q_count_min, SQL_COUNT_MIN),
+    "tvd_drift": (q_tvd_drift, SQL_TVD_DRIFT),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+    "welch_t": (q_welch_t, SQL_WELCH_T),
+    "cooccur_lift": (q_cooccur_lift, SQL_COOCCUR_LIFT),
     # -- new r3 continuation (this session): feature-eng pack #22 —
     #    SQL recursion/lateral surface, JVM simhash pairs, grouped OLS,
     #    Gini concentration, PR-AUC --
