@@ -10942,6 +10942,502 @@ CROSS JOIN nu
 """
 
 
+# -- feature-eng pack #25: rank/robust statistics + paired tests ----------
+
+_KT_K = 200  # kendall_tau per-group sample cap (bounds the pair join)
+_HL_K = 150  # hodges_lehmann per-group sample cap
+_NDCG_K = 10
+
+import math as _math  # noqa: E402  (scoped to the NDCG literal block)
+
+# NDCG discounts as INTEGER literals (1e6/log2(rank+1), rounded once on
+# the driver at import time) so neither engine evaluates a
+# transcendental: DCG/IDCG become exact BIGINT sums and the only float
+# op is the final division. _NDCG_CUM[i] = ideal DCG with i relevant.
+_NDCG_DISC = tuple(
+    round(1_000_000 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1)
+)
+_NDCG_CUM = tuple(
+    sum(_NDCG_DISC[: i + 1]) for i in range(_NDCG_K)
+)
+_NDCG_DISC_SQL = ", ".join(
+    f"({r}, {d})" for r, d in enumerate(_NDCG_DISC, 1)
+)
+_NDCG_CUM_SQL = ", ".join(
+    f"({r}, {c})" for r, c in enumerate(_NDCG_CUM, 1)
+)
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Per-source Kendall tau-b between ingestion order (doc_id rank)
+    and document length — the nonparametric length-drift trend test
+    companion to ``spearman_corr`` (which ranks both sides) and
+    ``grouped_ols`` (which fits a slope): tau counts pair inversions,
+    so it is exact in integers until the final normalization.
+
+    The pair join is bounded: each source contributes its first
+    ``_KT_K`` docs by doc_id (one row_number window), so the self-join
+    is at most K(K-1)/2 pairs PER GROUP and embarrassingly parallel
+    across sources — at 10^12 docs the cost is groups x K^2, never
+    corpus^2. The rank axis (rn by doc_id) has no ties, so every pair
+    is concordant, discordant, or a length tie, and
+    tau_b = (C - D) / sqrt((C+D+T) * (C+D)) — three BIGINT counts,
+    one sqrt at the end."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    samp = (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KT_K)
+        .select("source", "rn", "n_chars")
+    )
+    a = samp.alias("a")
+    b = samp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.when(F.col("b.n_chars") > F.col("a.n_chars"), 1)
+        .otherwise(0)
+        .alias("is_c"),
+        F.when(F.col("b.n_chars") < F.col("a.n_chars"), 1)
+        .otherwise(0)
+        .alias("is_d"),
+        F.when(F.col("b.n_chars") == F.col("a.n_chars"), 1)
+        .otherwise(0)
+        .alias("is_t"),
+    )
+    g = pairs.groupBy("source").agg(
+        F.sum("is_c").cast("bigint").alias("concordant"),
+        F.sum("is_d").cast("bigint").alias("discordant"),
+        F.sum("is_t").cast("bigint").alias("ties"),
+    )
+    cd = F.col("concordant") + F.col("discordant")
+    n0 = cd + F.col("ties")
+    tau = (
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(n0.cast("double") * cd.cast("double"))
+    )
+    return g.where(cd > 0).select(
+        "source",
+        "concordant",
+        "discordant",
+        "ties",
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+SQL_KENDALL_TAU = f"""
+WITH samp AS (
+  SELECT source, rn, n_chars FROM (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents) t
+  WHERE rn <= {_KT_K}
+), g AS (
+  SELECT a.source,
+         CAST(sum(CASE WHEN b.n_chars > a.n_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN b.n_chars < a.n_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS discordant,
+         CAST(sum(CASE WHEN b.n_chars = a.n_chars THEN 1 ELSE 0 END)
+              AS BIGINT) AS ties
+  FROM samp a JOIN samp b
+    ON a.source = b.source AND a.rn < b.rn
+  GROUP BY 1
+)
+SELECT source, concordant, discordant, ties,
+       round(CAST(concordant - discordant AS DOUBLE)
+             / sqrt(CAST(concordant + discordant + ties AS DOUBLE)
+                    * CAST(concordant + discordant AS DOUBLE)),
+             6) AS tau_b
+FROM g WHERE concordant + discordant > 0
+"""
+
+
+def q_two_prop_z(spark, sf_dir):
+    """Per-event-type two-proportion z-test of the high-value share
+    (value >= 50) against the REST of the corpus — the pooled-variance
+    conversion-rate test that complements ``welch_t`` (means) and
+    ``psi_drift``/``tvd_drift`` (distributions).
+
+    One groupBy produces per-type (x1, n1); the rest-side counts are
+    the broadcast global totals minus the type's own — no second scan,
+    no self-join. z is a fixed expression tree over four BIGINTs with
+    one sqrt; map-side combinable all the way at 10^12 rows."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("value") >= 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+    )
+    tot = per.agg(
+        F.sum("n1").alias("n_all"), F.sum("x1").alias("x_all")
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "x1",
+        "n1",
+        (F.col("x_all") - F.col("x1")).cast("bigint").alias("x2"),
+        (F.col("n_all") - F.col("n1")).cast("bigint").alias("n2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (1.0 - pp)
+        * (
+            1.0 / F.col("n1").cast("double")
+            + 1.0 / F.col("n2").cast("double")
+        )
+    )
+    return j.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type", "x1", "n1", "x2", "n2",
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+SQL_TWO_PROP_Z = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS x1
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n_all,
+         CAST(sum(x1) AS BIGINT) AS x_all
+  FROM per
+), j AS (
+  SELECT event_type, x1, n1,
+         CAST(x_all - x1 AS BIGINT) AS x2,
+         CAST(n_all - n1 AS BIGINT) AS n2
+  FROM per CROSS JOIN tot
+)
+SELECT event_type, x1, n1, x2, n2,
+       round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 - CAST(x1 + x2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / CAST(n1 AS DOUBLE)
+                       + 1.0 / CAST(n2 AS DOUBLE))),
+             6) AS z_score
+FROM j WHERE n1 > 0 AND n2 > 0
+"""
+
+
+def q_ndcg_at_k(spark, sf_dir):
+    """Per-user NDCG@10 treating the value-descending event ranking as
+    the system output and purchases as the relevant items — the graded
+    ranking metric completing the eval family (``eval_rank_stats``,
+    ``roc_auc``, ``pr_auc``).
+
+    Discounts are INTEGER literals (1e6/log2(rank+1), computed once on
+    the driver — neither engine runs a transcendental), so DCG and
+    IDCG are exact BIGINT sums joined in from two <=10-row broadcast
+    lookup tables; the only float op is the final division. Per user:
+    one ranking window, one top-10 slice, one broadcast join — group-
+    local and linear in events at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    disc = spark.createDataFrame(
+        [(r, d) for r, d in enumerate(_NDCG_DISC, 1)],
+        "rnk int, disc bigint",
+    )
+    cum = spark.createDataFrame(
+        [(r, c) for r, c in enumerate(_NDCG_CUM, 1)],
+        "nrel_cap int, idcg_s bigint",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("rel"),
+    ).withColumn("rnk", F.row_number().over(w))
+    per = (
+        ranked.where(F.col("rnk") <= _NDCG_K)
+        .join(F.broadcast(disc), "rnk")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("rel") * F.col("disc")).alias("dcg_s"))
+    )
+    nrel = ranked.groupBy("user_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel")
+    )
+    out = (
+        per.join(nrel, "user_id")
+        .where(F.col("n_rel") > 0)
+        .withColumn(
+            "nrel_cap",
+            F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int"),
+        )
+        .join(F.broadcast(cum), "nrel_cap")
+    )
+    return out.select(
+        "user_id",
+        "n_rel",
+        F.col("dcg_s").cast("bigint").alias("dcg_s"),
+        F.round(
+            F.col("dcg_s").cast("double")
+            / F.col("idcg_s").cast("double"),
+            6,
+        ).alias("ndcg10"),
+    )
+
+
+SQL_NDCG_AT_K = f"""
+WITH disc AS (
+  SELECT * FROM (VALUES {_NDCG_DISC_SQL}) AS d(rnk, disc)
+), cum AS (
+  SELECT * FROM (VALUES {_NDCG_CUM_SQL}) AS c(nrel_cap, idcg_s)
+), ranked AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+), per AS (
+  SELECT r.user_id, CAST(sum(r.rel * d.disc) AS BIGINT) AS dcg_s
+  FROM ranked r JOIN disc d ON r.rnk = d.rnk
+  WHERE r.rnk <= {_NDCG_K}
+  GROUP BY 1
+), nrel AS (
+  SELECT user_id, CAST(sum(rel) AS BIGINT) AS n_rel
+  FROM ranked GROUP BY 1
+)
+SELECT p.user_id, n.n_rel, p.dcg_s,
+       round(CAST(p.dcg_s AS DOUBLE) / CAST(c.idcg_s AS DOUBLE),
+             6) AS ndcg10
+FROM per p
+JOIN nrel n ON p.user_id = n.user_id
+JOIN cum c
+  ON c.nrel_cap = CAST(least(n.n_rel, {_NDCG_K}) AS INTEGER)
+WHERE n.n_rel > 0
+"""
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Per-event-type Hodges-Lehmann location estimator — the median
+    of all pairwise Walsh averages, the robust (breakdown 29%)
+    companion to ``weighted_median`` and ``winsorize``: outliers move
+    it far less than the mean, ties break deterministically.
+
+    Bounded like ``kendall_tau``: each group contributes its first
+    ``_HL_K`` events by event_id, so the Walsh-pair join is at most
+    K(K+1)/2 rows per group. Values become exact integer cents, a
+    Walsh pair carries the SUM (2x the average, still integer), and
+    the lower median is picked by row_number — no float enters until
+    the single final division by 200 (cents x 2 -> dollars)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    samp = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HL_K)
+        .select("event_type", "rn", "c")
+    )
+    a = samp.alias("a")
+    b = samp.alias("b")
+    walsh = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.rn") <= F.col("b.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.c") + F.col("b.c")).alias("s"),
+        F.col("a.rn").alias("i"),
+        F.col("b.rn").alias("j"),
+    )
+    wall = Window.partitionBy("event_type")
+    wpick = Window.partitionBy("event_type").orderBy("s", "i", "j")
+    picked = (
+        walsh.withColumn(
+            "m_pairs", F.count(F.lit(1)).over(wall).cast("bigint")
+        )
+        .withColumn("pk", F.row_number().over(wpick))
+        .where(
+            F.col("pk")
+            == F.expr("CAST((m_pairs + 1) DIV 2 AS BIGINT)")
+        )
+    )
+    return picked.select(
+        "event_type",
+        "m_pairs",
+        F.round(F.col("s").cast("double") / 200.0, 6).alias("hl_est"),
+    )
+
+
+SQL_HODGES_LEHMANN = f"""
+WITH samp AS (
+  SELECT event_type, rn, c FROM (
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY event_id) AS rn
+    FROM events) t
+  WHERE rn <= {_HL_K}
+), walsh AS (
+  SELECT a.event_type, a.c + b.c AS s, a.rn AS i, b.rn AS j
+  FROM samp a JOIN samp b
+    ON a.event_type = b.event_type AND a.rn <= b.rn
+), picked AS (
+  SELECT event_type, s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS m_pairs,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, i, j) AS pk
+  FROM walsh
+)
+SELECT event_type, m_pairs,
+       round(CAST(s AS DOUBLE) / 200.0, 6) AS hl_est
+FROM picked WHERE pk = (m_pairs + 1) // 2
+"""
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """Per-event-type McNemar paired test of user activity in the
+    first half of the month (day <= 15) vs the second — the paired
+    counterpart of ``two_prop_z`` (which treats the sides as
+    independent): only the discordant users (active in exactly one
+    half) carry information, chi2 = (b - c)^2 / (b + c).
+
+    One groupBy to per-(type, user) H1/H2 indicator bits, one groupBy
+    to the 2x2 discordant cells — both map-side combinable; the
+    statistic is exact integers with one final division."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.max(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0)
+        ).alias("h2"),
+    )
+    g = per.groupBy("event_type").agg(
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("n_both"),
+        F.sum(F.col("h1") * (1 - F.col("h2")))
+        .cast("bigint")
+        .alias("n_h1_only"),
+        F.sum((1 - F.col("h1")) * F.col("h2"))
+        .cast("bigint")
+        .alias("n_h2_only"),
+    )
+    bc = F.col("n_h1_only") + F.col("n_h2_only")
+    chi2 = (
+        (F.col("n_h1_only") - F.col("n_h2_only")).cast("double")
+        * (F.col("n_h1_only") - F.col("n_h2_only")).cast("double")
+        / bc.cast("double")
+    )
+    return g.where(bc > 0).select(
+        "event_type",
+        "n_both",
+        "n_h1_only",
+        "n_h2_only",
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+SQL_MCNEMAR_TEST = """
+WITH per AS (
+  SELECT event_type, user_id,
+         max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS h2
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         CAST(sum(h1 * h2) AS BIGINT) AS n_both,
+         CAST(sum(h1 * (1 - h2)) AS BIGINT) AS n_h1_only,
+         CAST(sum((1 - h1) * h2) AS BIGINT) AS n_h2_only
+  FROM per GROUP BY 1
+)
+SELECT event_type, n_both, n_h1_only, n_h2_only,
+       round(CAST(n_h1_only - n_h2_only AS DOUBLE)
+             * CAST(n_h1_only - n_h2_only AS DOUBLE)
+             / CAST(n_h1_only + n_h2_only AS DOUBLE),
+             6) AS mcnemar_chi2
+FROM g WHERE n_h1_only + n_h2_only > 0
+"""
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Per-source Chao1 vocabulary-richness estimate — how many
+    distinct tokens the source WOULD show with unbounded sampling,
+    from the singleton/doubleton counts (bias-corrected form,
+    f1(f1-1)/(2(f2+1)), defined even when f2 = 0). The
+    coverage-extrapolation companion to ``vocab_coverage`` (which
+    measures the observed curve) and ``hll_distinct`` (which
+    approximates s_obs).
+
+    One token explode, one (source, token) count, one per-source
+    agg over tiny integers — the token-frequency table is the only
+    shuffle and it is map-side combinable at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    g = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    chao1 = F.col("s_obs").cast("double") + (
+        F.col("f1").cast("double")
+        * (F.col("f1").cast("double") - 1.0)
+    ) / (2.0 * (F.col("f2").cast("double") + 1.0))
+    return g.select(
+        "source", "s_obs", "f1", "f2",
+        F.round(chao1, 6).alias("chao1"),
+    )
+
+
+SQL_CHAO1_RICHNESS = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tk AS (
+  SELECT source, token FROM tok WHERE token <> ''
+), tf AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS f
+  FROM tk GROUP BY 1, 2
+), g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS s_obs,
+         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM tf GROUP BY 1
+)
+SELECT source, s_obs, f1, f2,
+       round(CAST(s_obs AS DOUBLE)
+             + (CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0))
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)),
+             6) AS chao1
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10998,8 +11494,22 @@ REGISTRY: dict[str, tuple] = {
     # spearman_corr, cusum_changepoint, best_threshold) enters at the
     # top under the same rule; the six further-displaced keys are
     # ALL-GREEN in the committed tri-SF sweeps at the pack-#22 HEAD.
+    # Pack #24 (6 new keys: count_min, tvd_drift, weighted_median,
+    # interval_union, welch_t, cooccur_lift) and pack #25 (6 new keys:
+    # kendall_tau, two_prop_z, ndcg_at_k, hodges_lehmann, mcnemar_test,
+    # chao1_richness) enter at the top under the same rule; the twelve
+    # further-displaced keys are ALL-GREEN in the committed tri-SF
+    # sweeps at the pack-#23 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #25 —
+    #    rank/robust statistics + paired tests --
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "two_prop_z": (q_two_prop_z, SQL_TWO_PROP_Z),
+    "ndcg_at_k": (q_ndcg_at_k, SQL_NDCG_AT_K),
+    "hodges_lehmann": (q_hodges_lehmann, SQL_HODGES_LEHMANN),
+    "mcnemar_test": (q_mcnemar_test, SQL_MCNEMAR_TEST),
+    "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
     # -- new r3 continuation (this session): feature-eng pack #23 —
     #    inverted-index sparse top-k, SRP signatures, manual HLL,
     #    Spearman, CUSUM changepoint, KS best-threshold --
