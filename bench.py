@@ -188,6 +188,20 @@ HEADLINE = [
     "interval_union",
     "welch_t",
     "cooccur_lift",
+    # added r3 (continuation): pack #25 rank/robust stats + paired tests
+    "kendall_tau",
+    "two_prop_z",
+    "ndcg_at_k",
+    "hodges_lehmann",
+    "mcnemar_test",
+    "chao1_richness",
+    # added r3 (continuation): pack #26 corpus-comparison statistics
+    "bayes_shrunk_quality",
+    "source_vocab_jaccard",
+    "source_centroid_sim",
+    "token_burstiness",
+    "token_novelty",
+    "topk_overlap",
 ]
 
 

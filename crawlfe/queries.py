@@ -11438,6 +11438,479 @@ FROM g
 """
 
 
+# -- feature-eng pack #26: corpus-comparison statistics -------------------
+
+_BQ_CAP = 2000  # bayes_shrunk_quality length cap (bounds the moments)
+_BQ_K = 50  # empirical-Bayes prior strength (pseudo-doc count)
+_BURST_MIN = 50  # token_burstiness min total count (bounds output)
+_TOPK_V = 10  # topk_overlap list depth
+
+
+def q_bayes_shrunk_quality(spark, sf_dir):
+    """Per-source empirical-Bayes quality score — the raw mean of a
+    per-doc quality proxy (length capped at ``_BQ_CAP`` chars) shrunk
+    toward the corpus mean with prior strength ``_BQ_K`` pseudo-docs:
+    small sources move most, big sources barely — the standard
+    smoothing behind per-domain mixture weights (``domain_weights``)
+    when some domains have 3 docs and others 3 billion.
+
+    Sums are exact BIGINTs (capped quality <= 2000, so a 4-billion-doc
+    source stays under 2^62); the corpus mean and the shrunk mean are
+    one fixed expression tree with two divisions — map-side combinable
+    end to end."""
+    d = _t(spark, sf_dir, "documents")
+    q = F.least(F.col("n_chars"), F.lit(_BQ_CAP)).cast("bigint")
+    per = d.select("source", q.alias("q")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_all"), F.sum("sum_q").alias("s_all")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    raw = F.col("sum_q").cast("double") / F.col("n").cast("double")
+    prior = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    shrunk = (
+        F.col("sum_q").cast("double") + F.lit(float(_BQ_K)) * prior
+    ) / (F.col("n").cast("double") + F.lit(float(_BQ_K)))
+    return j.select(
+        "source",
+        "n",
+        F.round(raw, 6).alias("raw_mean"),
+        F.round(shrunk, 6).alias("shrunk_mean"),
+    )
+
+
+SQL_BAYES_SHRUNK_QUALITY = f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(least(n_chars, {_BQ_CAP})) AS BIGINT) AS sum_q
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_all,
+         CAST(sum(sum_q) AS BIGINT) AS s_all
+  FROM per
+)
+SELECT source, n,
+       round(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+       round((CAST(sum_q AS DOUBLE)
+              + {float(_BQ_K)} * (CAST(s_all AS DOUBLE)
+                                  / CAST(n_all AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + {float(_BQ_K)}),
+             6) AS shrunk_mean
+FROM per CROSS JOIN tot
+"""
+
+
+def q_source_vocab_jaccard(spark, sf_dir):
+    """Pairwise Jaccard similarity between source VOCABULARIES (token
+    sets) — which crawl sources speak the same language, the set-based
+    corpus-similarity matrix behind mixture design and leakage checks
+    (``dedup_crosscorpus`` is the doc-level analog).
+
+    The (source, token) distinct table is the only shuffle; the pair
+    intersection is a self-join keyed ON TOKEN (never all-pairs of
+    docs), and per-source set sizes join back broadcast. With S
+    sources the output is S(S-1)/2 rows — at web scale S is thousands
+    of hosts while the token tables stay vocabulary-sized, orders of
+    magnitude below the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("sz", "n_a")),
+            F.col("src_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("sz", "n_b")),
+            F.col("src_b") == F.col("source"),
+        )
+        .drop("source")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return j.select(
+        "src_a", "src_b", "n_a", "n_b", "n_inter",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+SQL_SOURCE_VOCAB_JACCARD = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT DISTINCT source, token FROM tok WHERE token <> ''
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS sz
+  FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM st a JOIN st b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+"""
+
+
+def q_source_centroid_sim(spark, sf_dir):
+    """Pairwise cosine similarity between source TF CENTROIDS — the
+    frequency-weighted companion to ``source_vocab_jaccard``: two
+    sources can share a vocabulary yet use it with very different
+    emphasis. Dot products and squared norms are exact BIGINT sums of
+    token-count products (counts < 2^20, vocab < 2^20 — the dot stays
+    under 2^62), so the only float op is the final sqrt-normalized
+    division.
+
+    Same scale shape as the Jaccard: one (source, token) count table,
+    one self-join keyed on token, broadcast norms back — never a doc-
+    level pair join."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nrm2")
+    )
+    a = tf.alias("a")
+    b = tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.sum(F.col("a.tf") * F.col("b.tf"))
+            .cast("bigint")
+            .alias("dot")
+        )
+    )
+    j = (
+        dots.join(
+            F.broadcast(norms.withColumnRenamed("nrm2", "nrm2_a")),
+            F.col("src_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(norms.withColumnRenamed("nrm2", "nrm2_b")),
+            F.col("src_b") == F.col("source"),
+        )
+        .drop("source")
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm2_a").cast("double"))
+        * F.sqrt(F.col("nrm2_b").cast("double"))
+    )
+    return j.select(
+        "src_a", "src_b", "dot",
+        F.round(cos, 6).alias("cosine"),
+    )
+
+
+SQL_SOURCE_CENTROID_SIM = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), norms AS (
+  SELECT source, CAST(sum(tf * tf) AS BIGINT) AS nrm2
+  FROM tf GROUP BY 1
+), dots AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM tf a JOIN tf b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT d.src_a, d.src_b, d.dot,
+       round(CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm2 AS DOUBLE))
+                * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.src_a = na.source
+JOIN norms nb ON d.src_b = nb.source
+"""
+
+
+def q_token_burstiness(spark, sf_dir):
+    """Per-token burstiness (Fano factor of per-doc counts, zeros
+    included): content words clump — a token appearing 100 times in 3
+    docs is a topic marker, 100 times across 100 docs is a function
+    word. Fano = var/mean over ALL N docs = (N*q - s^2) / (N*s) with
+    s = total count and q = sum of squared per-doc counts — exact
+    BIGINT numerator/denominator, one division, tokens under
+    ``_BURST_MIN`` total occurrences excluded (keeps the estimate
+    stable AND the output bounded without a float-ordered limit).
+
+    One (doc, token) count, one per-token agg, one broadcast N —
+    map-side combinable; the zeros never materialize."""
+    d = _t(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per = (
+        dt.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_present"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        )
+        .where(F.col("s") >= _BURST_MIN)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    fano = (
+        F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / (F.col("n_docs") * F.col("s")).cast("double")
+    return per.select(
+        "token", "n_present", "s",
+        F.round(fano, 6).alias("fano"),
+    )
+
+
+SQL_TOKEN_BURSTINESS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), dt AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), per AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM dt GROUP BY 1
+)
+SELECT token, n_present, s,
+       round(CAST(n_docs * q - s * s AS DOUBLE)
+             / CAST(n_docs * s AS DOUBLE), 6) AS fano
+FROM per CROSS JOIN nd
+WHERE s >= {_BURST_MIN}
+"""
+
+
+def q_token_novelty(spark, sf_dir):
+    """Per-document novelty rate — the fraction of the doc's distinct
+    tokens making their FIRST corpus appearance in this doc (by
+    doc_id order): the curriculum signal behind 'novel content first'
+    ordering (``curriculum_order``) and the incremental face of
+    ``vocab_coverage``.
+
+    First appearance is min(doc_id) per token — one agg — and the
+    per-doc rate is a distinct-token count joined against it; both
+    shuffles are vocabulary-keyed and map-side combinable. No window
+    over the whole corpus, no cumulative state."""
+    d = _t(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    first = dt.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    j = dt.join(first, "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    return j.select(
+        "doc_id",
+        "n_types",
+        "n_new",
+        F.round(
+            F.col("n_new").cast("double")
+            / F.col("n_types").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+
+
+SQL_TOKEN_NOVELTY = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''
+), first_ AS (
+  SELECT token, min(doc_id) AS first_doc FROM dt GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       round(CAST(sum(CASE WHEN f.first_doc = d.doc_id
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM dt d JOIN first_ f ON d.token = f.token
+GROUP BY 1
+"""
+
+
+def q_topk_overlap(spark, sf_dir):
+    """Per-source overlap@K of the source's top-``_TOPK_V`` tokens
+    (by count, token tie-break) against the GLOBAL top-K — a one-
+    number vocabulary-drift gauge per source: 1.0 means the source's
+    head is the corpus head, 0.0 means a private vocabulary. The
+    rank-list face of ``tvd_drift``.
+
+    Both top-K lists come from count windows with deterministic
+    tie-breaks; the global list is K rows and broadcasts into a
+    left-semi-style match counted per source. The only corpus-sized
+    shuffle is the (source, token) count."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("tf").desc(), F.col("token")
+    )
+    src_top = (
+        tf.withColumn("rk", F.row_number().over(ws))
+        .where(F.col("rk") <= _TOPK_V)
+        .select("source", "token")
+    )
+    gl = tf.groupBy("token").agg(F.sum("tf").alias("g"))
+    # TakeOrderedAndProject (per-partition heap + K-row driver merge),
+    # never a global single-partition window
+    gl_top = (
+        gl.orderBy(F.col("g").desc(), F.col("token"))
+        .limit(_TOPK_V)
+        .select(F.col("token").alias("g_token"))
+    )
+    j = src_top.join(
+        F.broadcast(gl_top),
+        F.col("token") == F.col("g_token"),
+        "left",
+    )
+    out = j.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("g_token").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_shared")
+    )
+    return out.select(
+        "source",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / float(_TOPK_V), 6
+        ).alias("overlap_at_k"),
+    )
+
+
+SQL_TOPK_OVERLAP = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), src_top AS (
+  SELECT source, token FROM (
+    SELECT source, token,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY tf DESC, token) AS rk
+    FROM tf) t
+  WHERE rk <= {_TOPK_V}
+), gl_top AS (
+  SELECT token FROM (
+    SELECT token,
+           row_number() OVER (ORDER BY sum(tf) DESC, token) AS rk
+    FROM tf GROUP BY token) t
+  WHERE rk <= {_TOPK_V}
+)
+SELECT s.source,
+       CAST(sum(CASE WHEN g.token IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN g.token IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / {float(_TOPK_V)}, 6) AS overlap_at_k
+FROM src_top s LEFT JOIN gl_top g ON s.token = g.token
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11500,6 +11973,11 @@ REGISTRY: dict[str, tuple] = {
     # chao1_richness) enter at the top under the same rule; the twelve
     # further-displaced keys are ALL-GREEN in the committed tri-SF
     # sweeps at the pack-#23 HEAD (BENCH/sweeps_r03.jsonl).
+    # Pack #26 (6 new keys: bayes_shrunk_quality, source_vocab_jaccard,
+    # source_centroid_sim, token_burstiness, token_novelty,
+    # topk_overlap) enters at the top under the same rule; the six
+    # further-displaced keys are ALL-GREEN in the committed tri-SF
+    # sweeps at the pack-#25 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #25 —
@@ -11510,6 +11988,14 @@ REGISTRY: dict[str, tuple] = {
     "hodges_lehmann": (q_hodges_lehmann, SQL_HODGES_LEHMANN),
     "mcnemar_test": (q_mcnemar_test, SQL_MCNEMAR_TEST),
     "chao1_richness": (q_chao1_richness, SQL_CHAO1_RICHNESS),
+    # -- new r3 continuation (this session): feature-eng pack #26 —
+    #    corpus-comparison statistics --
+    "bayes_shrunk_quality": (q_bayes_shrunk_quality, SQL_BAYES_SHRUNK_QUALITY),
+    "source_vocab_jaccard": (q_source_vocab_jaccard, SQL_SOURCE_VOCAB_JACCARD),
+    "source_centroid_sim": (q_source_centroid_sim, SQL_SOURCE_CENTROID_SIM),
+    "token_burstiness": (q_token_burstiness, SQL_TOKEN_BURSTINESS),
+    "token_novelty": (q_token_novelty, SQL_TOKEN_NOVELTY),
+    "topk_overlap": (q_topk_overlap, SQL_TOPK_OVERLAP),
     # -- new r3 continuation (this session): feature-eng pack #23 —
     #    inverted-index sparse top-k, SRP signatures, manual HLL,
     #    Spearman, CUSUM changepoint, KS best-threshold --
