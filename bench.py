@@ -202,6 +202,13 @@ HEADLINE = [
     "token_burstiness",
     "token_novelty",
     "topk_overlap",
+    # added r3 (continuation): pack #27 repetition-quality filters
+    "top_bigram_frac",
+    "bigram_concentration",
+    "heaps_two_point",
+    "longest_token_run",
+    "intra_doc_sim",
+    "yule_k",
 ]
 
 

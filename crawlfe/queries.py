@@ -11911,6 +11911,479 @@ GROUP BY 1
 """
 
 
+# -- feature-eng pack #27: repetition-quality filters ----------------------
+#
+# Token-level repetition signals in the Gopher / RefinedWeb family
+# (Rae+21 §A1.1, Penedo+23 §4 — public methods), beyond the dup-token
+# and dup-bigram fractions `quality_repetition` already ships. Every
+# key is an exact BIGINT aggregation tree with one final float
+# division (or a log of an exact integer ratio), so the DuckDB twin
+# hash-matches bit-for-bit — no order-dependent float sums.
+
+_BC_K = 10  # bigram_concentration head depth
+
+
+def q_top_bigram_frac(spark, sf_dir):
+    """Per-document TOP-bigram share — the count of the single most
+    frequent word 2-gram over the doc's total 2-grams (Gopher's
+    'fraction of characters in the most common n-gram' in token
+    units). `quality_repetition`'s dup_bigram_frac says HOW MUCH of
+    the doc repeats; this says whether one phrase dominates — the
+    signature of navigation boilerplate and keyword-stuffing spam.
+
+    Ties break on the lexicographically smallest bigram, so the
+    winner is deterministic. Bigrams come from a JVM higher-order
+    transform (no Python), the per-(doc, bigram) count is one hash
+    agg, and the winner is a row_number window inside the doc — at
+    100 TB both shuffles key on doc_id and AQE coalesces."""
+    d = _t(spark, sf_dir, "documents")
+    bi = (
+        d.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            (F.size("toks") - 1).cast("bigint").alias("n_bigrams"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("doc_id", "n_bigrams", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram")
+    )
+    return (
+        bi.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").alias("top_cnt"),
+            "n_bigrams",
+            F.round(
+                F.col("cnt").cast("double")
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ).alias("top_frac"),
+        )
+    )
+
+
+SQL_TOP_BIGRAM_FRAC = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram
+  FROM t WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, n_bigrams, bigram,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, bigram) AS rk
+  FROM c
+)
+SELECT doc_id, bigram AS top_bigram, cnt AS top_cnt, n_bigrams,
+       round(CAST(cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS top_frac
+FROM r WHERE rk = 1
+"""
+
+
+def q_bigram_concentration(spark, sf_dir):
+    """Per-SOURCE bigram head concentration — the mass of the
+    source's ``_BC_K`` most frequent word 2-grams over all its
+    2-grams: a template/boilerplate detector at the domain level
+    (a scraped forum whose every page repeats the same chrome has a
+    fat head; organic prose doesn't). The source-level companion of
+    ``top_bigram_frac``.
+
+    Head membership ties break lexicographically. One corpus-sized
+    (source, bigram) count shuffle, a K-row window head per source,
+    and an exact BIGINT mass ratio."""
+    d = _t(spark, sf_dir, "documents")
+    bi = (
+        d.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("bigram")
+    )
+    per = bi.withColumn("rk", F.row_number().over(w)).groupBy(
+        "source"
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("rk") <= _BC_K, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("head_mass"),
+    )
+    return per.select(
+        "source",
+        "n_total",
+        "head_mass",
+        F.round(
+            F.col("head_mass").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("concentration"),
+    )
+
+
+SQL_BIGRAM_CONCENTRATION = f"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1]))
+           AS bigram
+  FROM t WHERE len(toks) >= 2
+), c AS (
+  SELECT source, bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, bigram) AS rk
+  FROM c
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rk <= {_BC_K} THEN cnt ELSE 0 END)
+            AS BIGINT) AS head_mass,
+       round(CAST(sum(CASE WHEN rk <= {_BC_K} THEN cnt ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS concentration
+FROM r GROUP BY 1
+"""
+
+
+def q_heaps_two_point(spark, sf_dir):
+    """Per-source Heaps'-law exponent from TWO cumulative points —
+    vocabulary V grows ~ N^beta with corpus size N, so
+    beta ≈ ln(V2/V1) / ln(N2/N1) where point 1 is the source's first
+    half of documents (by doc_id) and point 2 is all of them. Low
+    beta = the source stopped contributing new vocabulary (template
+    farm); beta near 1 = open vocabulary (UGC, code). The slope face
+    of ``vocab_coverage``'s curve and ``token_novelty``'s rate.
+
+    Both points are exact BIGINT counts (token totals and distinct
+    types, with first-half membership as a max() flag per (source,
+    token)), so the only float math is one log of an exact ratio —
+    no per-doc float accumulation, engine-portable. Sources need >= 2
+    docs and a strictly larger N2 to have a defined slope."""
+    d = _t(spark, sf_dir, "documents")
+    wdoc = Window.partitionBy("source").orderBy("doc_id")
+    wsrc = Window.partitionBy("source")
+    docs = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.row_number().over(wdoc).alias("rk"),
+        F.count(F.lit(1)).over(wsrc).alias("n_docs"),
+    ).withColumn("in_half", (F.col("rk") * 2 <= F.col("n_docs")))
+    tok = docs.select(
+        "source",
+        "in_half",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias(
+            "token"
+        ),
+    ).where(F.col("token") != "")
+    per_type = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("in_half"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_half"),
+    )
+    agg = per_type.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n2_toks"),
+        F.sum("c_half").cast("bigint").alias("n1_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("v2_types"),
+        F.sum(F.when(F.col("c_half") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v1_types"),
+    ).where(
+        (F.col("n1_toks") > 0) & (F.col("n2_toks") > F.col("n1_toks"))
+    )
+    beta = F.log(
+        F.col("v2_types").cast("double") / F.col("v1_types").cast("double")
+    ) / F.log(
+        F.col("n2_toks").cast("double") / F.col("n1_toks").cast("double")
+    )
+    return agg.select(
+        "source",
+        "n1_toks",
+        "n2_toks",
+        "v1_types",
+        "v2_types",
+        F.round(beta, 6).alias("heaps_beta"),
+    )
+
+
+SQL_HEAPS_TWO_POINT = """
+WITH docs AS (
+  SELECT source, doc_id, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n_docs
+  FROM documents
+), tok AS (
+  SELECT source, (rk * 2 <= n_docs) AS in_half,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM docs
+), per_type AS (
+  SELECT source, token,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN in_half THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_half
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n2_toks,
+         CAST(sum(c_half) AS BIGINT) AS n1_toks,
+         CAST(count(*) AS BIGINT) AS v2_types,
+         CAST(sum(CASE WHEN c_half > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v1_types
+  FROM per_type GROUP BY 1
+)
+SELECT source, n1_toks, n2_toks, v1_types, v2_types,
+       round(ln(CAST(v2_types AS DOUBLE) / CAST(v1_types AS DOUBLE))
+             / ln(CAST(n2_toks AS DOUBLE) / CAST(n1_toks AS DOUBLE)),
+             6) AS heaps_beta
+FROM agg
+WHERE n1_toks > 0 AND n2_toks > n1_toks
+"""
+
+
+def q_longest_token_run(spark, sf_dir):
+    """Per-document LONGEST CONSECUTIVE RUN of one token — 'spam spam
+    spam spam' detection that the bag-of-words dup fractions miss
+    (a doc can have a low dup_token_frac overall yet contain one
+    degenerate run). Classic gaps-and-islands: island id = position
+    minus the token's per-doc occurrence rank, constant exactly
+    within a consecutive run.
+
+    Winner ties break on the lexicographically smallest token, then
+    the earliest run start. Both windows are doc_id-partitioned (the
+    natural 100 TB key); all counts exact BIGINTs, no float at all."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), "\\s+")).alias(
+            "pos", "token"
+        ),
+    ).where(F.col("token") != "")
+    wtok = Window.partitionBy("doc_id", "token").orderBy("pos")
+    runs = (
+        pos.withColumn(
+            "island", F.col("pos") - F.row_number().over(wtok)
+        )
+        .groupBy("doc_id", "token", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min("pos").cast("bigint").alias("run_start"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("run_len").desc(), F.col("token"), F.col("run_start")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("run_token"),
+            "run_len",
+            "run_start",
+        )
+    )
+
+
+SQL_LONGEST_TOKEN_RUN = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+  WHERE toks[i] <> ''
+), runs AS (
+  SELECT doc_id, token,
+         pos - row_number() OVER (PARTITION BY doc_id, token
+                                  ORDER BY pos) AS island,
+         pos
+  FROM pos
+), agg AS (
+  SELECT doc_id, token, island,
+         CAST(count(*) AS BIGINT) AS run_len,
+         CAST(min(pos) AS BIGINT) AS run_start
+  FROM runs GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY run_len DESC, token,
+                                        run_start) AS rk
+  FROM agg
+)
+SELECT doc_id, token AS run_token, run_len, run_start
+FROM r WHERE rk = 1
+"""
+
+
+def q_intra_doc_sim(spark, sf_dir):
+    """Per-document SELF-similarity — Jaccard overlap between the
+    token SETS of the doc's first and second halves (by position):
+    near 1.0 means the back half re-states the front half (page
+    chrome repeated around a sliver of content, or a doubled page —
+    the intra-doc face of ``dedup_exact``); near 0 means the doc
+    actually progresses. The first ceil(n/2) positions are the first
+    half, so every doc with >= 2 tokens has both halves non-empty.
+
+    One posexplode, one (doc, token) agg carrying two membership
+    flags, exact BIGINT set sizes, one division."""
+    d = _t(spark, sf_dir, "documents")
+    pos = (
+        d.withColumn("toks", F.split(F.trim(F.col("text")), "\\s+"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.posexplode("toks").alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+    )
+    flags = pos.groupBy("doc_id", "token").agg(
+        F.max(
+            F.when(F.col("pos") * 2 < F.col("n"), 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("pos") * 2 >= F.col("n"), 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    agg = flags.groupBy("doc_id").agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum("in_b").cast("bigint").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("bigint")
+        .alias("n_inter"),
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return agg.select(
+        "doc_id", "n_a", "n_b", "n_inter",
+        F.round(jac, 6).alias("half_jaccard"),
+    )
+
+
+SQL_INTRA_DOC_SIM = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, len(toks) AS n, i - 1 AS pos, toks[i] AS token
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+  WHERE len(toks) >= 2 AND toks[i] <> ''
+), flags AS (
+  SELECT doc_id, token,
+         max(CASE WHEN pos * 2 < n THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN pos * 2 >= n THEN 1 ELSE 0 END) AS in_b
+  FROM pos GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+  FROM flags GROUP BY 1
+)
+SELECT doc_id, n_a, n_b, n_inter,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS half_jaccard
+FROM agg
+"""
+
+
+def q_yule_k(spark, sf_dir):
+    """Per-source Yule's K lexical-repetitiveness characteristic
+    (Yule 1944, public method): K = 10^4 * (M2 - M1) / M1^2 with
+    M1 = total tokens and M2 = sum of squared type frequencies.
+    Unlike raw type-token ratio, K is (approximately) length-
+    invariant, so sources of wildly different sizes are comparable —
+    high K = few types dominate (template/spam), low K = diverse
+    vocabulary. Complements ``chao1_richness`` (how many unseen
+    types) and ``token_burstiness`` (per-token clumping).
+
+    M1 and M2 are exact BIGINT sums over the (source, token) count
+    table (tf < 2^20 keeps M2 under 2^62 per the same bound as
+    ``source_centroid_sim``); one final division."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("tf").cast("bigint").alias("m1"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("m2"),
+    )
+    k = (
+        F.lit(10000.0)
+        * (F.col("m2") - F.col("m1")).cast("double")
+        / (F.col("m1") * F.col("m1")).cast("double")
+    )
+    return agg.select(
+        "source", "n_types", "m1", "m2",
+        F.round(k, 6).alias("yule_k"),
+    )
+
+
+SQL_YULE_K = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(tf) AS BIGINT) AS m1,
+       CAST(sum(tf * tf) AS BIGINT) AS m2,
+       round(10000.0 * CAST(sum(tf * tf) - sum(tf) AS DOUBLE)
+             / CAST(sum(tf) * sum(tf) AS DOUBLE), 6) AS yule_k
+FROM tf GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11978,6 +12451,11 @@ REGISTRY: dict[str, tuple] = {
     # topk_overlap) enters at the top under the same rule; the six
     # further-displaced keys are ALL-GREEN in the committed tri-SF
     # sweeps at the pack-#25 HEAD.
+    # Pack #27 (6 new keys: top_bigram_frac, bigram_concentration,
+    # heaps_two_point, longest_token_run, intra_doc_sim, yule_k)
+    # enters at the top under the same rule; the six further-displaced
+    # keys are ALL-GREEN in the committed tri-SF sweeps at the
+    # pack-#26 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #25 —
@@ -11996,6 +12474,17 @@ REGISTRY: dict[str, tuple] = {
     "token_burstiness": (q_token_burstiness, SQL_TOKEN_BURSTINESS),
     "token_novelty": (q_token_novelty, SQL_TOKEN_NOVELTY),
     "topk_overlap": (q_topk_overlap, SQL_TOPK_OVERLAP),
+    # -- new r3 continuation (this session): feature-eng pack #27 —
+    #    repetition-quality filters --
+    "top_bigram_frac": (q_top_bigram_frac, SQL_TOP_BIGRAM_FRAC),
+    "bigram_concentration": (
+        q_bigram_concentration,
+        SQL_BIGRAM_CONCENTRATION,
+    ),
+    "heaps_two_point": (q_heaps_two_point, SQL_HEAPS_TWO_POINT),
+    "longest_token_run": (q_longest_token_run, SQL_LONGEST_TOKEN_RUN),
+    "intra_doc_sim": (q_intra_doc_sim, SQL_INTRA_DOC_SIM),
+    "yule_k": (q_yule_k, SQL_YULE_K),
     # -- new r3 continuation (this session): feature-eng pack #23 —
     #    inverted-index sparse top-k, SRP signatures, manual HLL,
     #    Spearman, CUSUM changepoint, KS best-threshold --
