@@ -209,6 +209,13 @@ HEADLINE = [
     "longest_token_run",
     "intra_doc_sim",
     "yule_k",
+    # added r3 (continuation): pack #28 behavioral-regularity features
+    "peak_rate",
+    "hourly_uniformity",
+    "rfm_scores",
+    "zipf_two_point",
+    "order_gap_cv",
+    "repeat_rate",
 ]
 
 

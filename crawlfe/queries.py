@@ -12384,6 +12384,474 @@ FROM tf GROUP BY 1
 """
 
 
+# -- feature-eng pack #28: behavioral-regularity features -------------------
+#
+# User/customer-level regularity signals over events and orders, plus
+# the Zipf companion to pack #27's Heaps slope. Same determinism
+# discipline: exact BIGINT moments (cents, day counts, squared sums),
+# one final float op per row, deterministic tie-breaks everywhere.
+
+_ZIPF_K = 10  # zipf_two_point tail rank
+_RFM_Q = 5  # rfm_scores quantile buckets
+
+
+def q_peak_rate(spark, sf_dir):
+    """Per-user PEAK activity rate — the busiest tumbling 1-hour
+    bucket (count + its share of the user's events): bots and scrape
+    storms concentrate in one bucket, organic users spread out. The
+    per-user face of the stream `tumbling_window` agg, reduced to a
+    one-row fingerprint per user for the feature store.
+
+    Tumbling (not sliding) buckets keep every count an exact
+    single-pass hash agg; the winner is a row_number over the user's
+    buckets with earliest-bucket tie-break. Both shuffles key on
+    user_id — the natural 100 TB partitioning."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("bucket")
+    )
+    tot = per.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    top = (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("bucket").alias("peak_bucket"),
+                F.col("cnt").alias("peak_cnt"))
+    )
+    j = top.join(tot, "user_id")
+    return j.select(
+        "user_id",
+        "peak_bucket",
+        "peak_cnt",
+        "n_events",
+        "n_buckets",
+        F.round(
+            F.col("peak_cnt").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("peak_share"),
+    )
+
+
+SQL_PEAK_RATE = """
+WITH per AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id,
+         CAST(sum(cnt) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM per GROUP BY 1
+), top AS (
+  SELECT user_id, bucket AS peak_bucket, cnt AS peak_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, bucket) AS rk
+        FROM per) t
+  WHERE rk = 1
+)
+SELECT t.user_id, t.peak_bucket, t.peak_cnt, o.n_events, o.n_buckets,
+       round(CAST(t.peak_cnt AS DOUBLE) / CAST(o.n_events AS DOUBLE),
+             6) AS peak_share
+FROM top t JOIN tot o ON t.user_id = o.user_id
+"""
+
+
+def q_hourly_uniformity(spark, sf_dir):
+    """Per-event-type chi-square test of HOUR-OF-DAY uniformity —
+    'does this event type happen around the clock or on a schedule?'
+    (cron jobs and bot traffic spike the statistic; human activity is
+    merely lumpy). The seasonality audit behind `calendar features`.
+
+    The usual chi2 = sum((o_h - N/24)^2 / (N/24)) is a float sum; we
+    compute the algebraically identical
+    ``sum_h (24*o_h - N)^2 / (24*N)`` where the sum INCLUDING the
+    empty hours is the exact BIGINT
+    ``sum_observed (24*o_h - N)^2 + (24 - h_obs) * N^2`` — one
+    division at the end, engine-portable bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.select("event_type", F.hour("ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    agg = per.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("h_obs"),
+    )
+    # squared deviations need n per row: two-pass via self-join on the
+    # tiny per-type table (broadcast — O(types) rows)
+    sq = (
+        per.join(F.broadcast(agg), "event_type")
+        .groupBy("event_type", "n", "h_obs")
+        .agg(
+            F.sum(
+                (F.lit(24) * F.col("o") - F.col("n"))
+                * (F.lit(24) * F.col("o") - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("ss_obs")
+        )
+    )
+    chi_num = F.col("ss_obs") + (F.lit(24) - F.col("h_obs")) * F.col(
+        "n"
+    ) * F.col("n")
+    return sq.select(
+        "event_type",
+        "n",
+        "h_obs",
+        F.round(
+            chi_num.cast("double")
+            / (F.lit(24) * F.col("n")).cast("double"),
+            6,
+        ).alias("chi2_stat"),
+    )
+
+
+SQL_HOURLY_UNIFORMITY = """
+WITH per AS (
+  SELECT event_type, extract(hour FROM ts) AS h,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS h_obs
+  FROM per GROUP BY 1
+), sq AS (
+  SELECT p.event_type, a.n, a.h_obs,
+         CAST(sum((24 * p.o - a.n) * (24 * p.o - a.n)) AS BIGINT)
+           AS ss_obs
+  FROM per p JOIN agg a ON p.event_type = a.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n, h_obs,
+       round(CAST(ss_obs + (24 - h_obs) * n * n AS DOUBLE)
+             / CAST(24 * n AS DOUBLE), 6) AS chi2_stat
+FROM sq
+"""
+
+
+def q_rfm_scores(spark, sf_dir):
+    """Classic RFM customer scoring — recency (days before the
+    corpus max order date), frequency (order count), monetary (total
+    spend in exact cents) — each ntile'd into ``_RFM_Q`` buckets with
+    a deterministic (metric, custkey) tie-break, plus the
+    concatenated RFM segment label. THE feature-store warhorse for
+    any user-level sampling/weighting decision.
+
+    Money sums in cents (BIGINT) so no float accumulation; recency is
+    an exact day diff against a broadcast one-row max-date. The three
+    quantile scores are NOT `ntile` over a global window (that moves
+    every customer to one task — the classic scale-killer): each is an
+    exact global rank from ``windows.global_row_number`` (range
+    repartition + per-partition row_number + broadcast prefix
+    offsets), converted to the IDENTICAL SQL-standard ntile bucket by
+    integer arithmetic — the oracle keeps plain ntile and the outputs
+    hash-match. Customer keys make every sort key a total order."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).cast("bigint").alias("f_cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("m_cents"),
+    )
+    mx = per.agg(F.max("last_d").alias("max_d"))
+    per = per.crossJoin(F.broadcast(mx)).withColumn(
+        "r_days", F.datediff(F.col("max_d"), F.col("last_d")).cast("bigint")
+    )
+    # low recency-days = better, so rank ascending for R; F and M
+    # rank descending so bucket 1 is always 'best'
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("__nt"))
+    ranked = W.global_row_number(
+        per, [F.col("r_days").asc(), F.col("o_custkey").asc()], "__r_rk"
+    )
+    ranked = W.global_row_number(
+        ranked, [F.col("f_cnt").desc(), F.col("o_custkey").asc()], "__f_rk"
+    )
+    ranked = W.global_row_number(
+        ranked, [F.col("m_cents").desc(), F.col("o_custkey").asc()], "__m_rk"
+    )
+    j = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("__base", F.expr(f"__nt div {_RFM_Q}"))
+        .withColumn("__extra", F.col("__nt") % _RFM_Q)
+    )
+
+    def _ntile_from_rank(rk: str):
+        # SQL-standard ntile: the first (n mod q) buckets hold one
+        # extra row. CASE evaluates lazily per row, so the div by
+        # __base in the ELSE arm never executes when __base = 0
+        # (every rank then satisfies the WHEN arm).
+        return F.expr(
+            f"CASE WHEN {rk} <= (__base + 1) * __extra"
+            f" THEN ({rk} + __base) div (__base + 1)"
+            f" ELSE __extra + ({rk} - (__base + 1) * __extra"
+            f" + __base - 1) div __base END"
+        ).cast("int")
+
+    out = j.select(
+        "o_custkey",
+        "r_days",
+        "f_cnt",
+        "m_cents",
+        _ntile_from_rank("__r_rk").alias("r_score"),
+        _ntile_from_rank("__f_rk").alias("f_score"),
+        _ntile_from_rank("__m_rk").alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+SQL_RFM_SCORES = f"""
+WITH per AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(count(*) AS BIGINT) AS f_cnt,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY 1
+), mx AS (
+  SELECT max(last_d) AS max_d FROM per
+), r AS (
+  SELECT p.*, CAST(date_diff('day', p.last_d, m.max_d) AS BIGINT)
+           AS r_days
+  FROM per p CROSS JOIN mx m
+)
+SELECT o_custkey, r_days, f_cnt, m_cents,
+       ntile({_RFM_Q}) OVER (ORDER BY r_days, o_custkey) AS r_score,
+       ntile({_RFM_Q}) OVER (ORDER BY f_cnt DESC, o_custkey)
+         AS f_score,
+       ntile({_RFM_Q}) OVER (ORDER BY m_cents DESC, o_custkey)
+         AS m_score,
+       CAST(ntile({_RFM_Q}) OVER (ORDER BY r_days, o_custkey)
+            AS VARCHAR)
+         || '-' ||
+       CAST(ntile({_RFM_Q}) OVER (ORDER BY f_cnt DESC, o_custkey)
+            AS VARCHAR)
+         || '-' ||
+       CAST(ntile({_RFM_Q}) OVER (ORDER BY m_cents DESC, o_custkey)
+            AS VARCHAR) AS rfm
+FROM r
+"""
+
+
+def q_zipf_two_point(spark, sf_dir):
+    """Per-source Zipf rank-frequency slope from TWO points — the
+    rank-1 and rank-``_ZIPF_K`` token frequencies:
+    slope ≈ ln(f1/fK) / ln(K). Natural language sits near -1 (we
+    report the positive magnitude); machine-generated/template text
+    flattens or steepens it. The rank-frequency dual of
+    ``heaps_two_point`` (the two exponents are theoretically tied),
+    and the parametric summary of what `vocab_topv` lists.
+
+    Both frequencies come from one (source, token) count and a
+    row_number window with lexicographic tie-break; the slope is a
+    log of an exact integer ratio over the constant ln K. Sources
+    with fewer than K types are excluded (no rank-K point)."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tf").desc(), F.col("token")
+    )
+    rk = tf.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk").isin(1, _ZIPF_K)
+    )
+    piv = rk.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("tf"))).alias("f1"),
+        F.max(F.when(F.col("rk") == _ZIPF_K, F.col("tf"))).alias(
+            "fk"
+        ),
+    ).where(F.col("fk").isNotNull())
+    slope = F.log(
+        F.col("f1").cast("double") / F.col("fk").cast("double")
+    ) / F.lit(_math.log(float(_ZIPF_K)))
+    return piv.select(
+        "source", "f1", "fk", F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+SQL_ZIPF_TWO_POINT = f"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), rk AS (
+  SELECT source, tf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tf DESC, token) AS rk
+  FROM tf
+), piv AS (
+  SELECT source,
+         max(CASE WHEN rk = 1 THEN tf END) AS f1,
+         max(CASE WHEN rk = {_ZIPF_K} THEN tf END) AS fk
+  FROM rk WHERE rk IN (1, {_ZIPF_K}) GROUP BY 1
+)
+SELECT source, f1, fk,
+       round(ln(CAST(f1 AS DOUBLE) / CAST(fk AS DOUBLE))
+             / {_math.log(float(_ZIPF_K))!r}, 6) AS zipf_slope
+FROM piv WHERE fk IS NOT NULL
+"""
+
+
+def q_order_gap_cv(spark, sf_dir):
+    """Per-customer inter-order regularity — the coefficient of
+    variation of day gaps between consecutive orders: CV near 0 is a
+    metronome (subscription/bot), near/above 1 is bursty-random
+    organic behavior. The order-stream twin of the event-stream
+    ``gap_detection``.
+
+    Gaps are exact integer day diffs from a lag window; CV uses the
+    population-variance identity sqrt(n*S2 - S^2) / S with S, S2
+    exact BIGINTs — one sqrt, one division. Customers need >= 3
+    orders (>= 2 gaps) and a positive gap sum (not all same-day)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = (
+        o.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d"),
+            "o_orderkey",
+        )
+        .withColumn("prev_d", F.lag("d").over(w))
+        .where(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.col("prev_d"))
+            .cast("bigint")
+            .alias("gap"),
+        )
+    )
+    agg = g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+    ).where((F.col("n_gaps") >= 2) & (F.col("s") > 0))
+    cv = F.sqrt(
+        (F.col("n_gaps") * F.col("s2") - F.col("s") * F.col("s"))
+        .cast("double")
+    ) / F.col("s").cast("double")
+    return agg.select(
+        "o_custkey", "n_gaps", "s", "s2",
+        F.round(cv, 6).alias("gap_cv"),
+    )
+
+
+SQL_ORDER_GAP_CV = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+                        lag(CAST(o_orderdate AS DATE)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY CAST(o_orderdate AS DATE),
+                                   o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+  FROM orders
+), agg AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS s,
+         CAST(sum(gap * gap) AS BIGINT) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT o_custkey, n_gaps, s, s2,
+       round(sqrt(CAST(n_gaps * s2 - s * s AS DOUBLE))
+             / CAST(s AS DOUBLE), 6) AS gap_cv
+FROM agg WHERE n_gaps >= 2 AND s > 0
+"""
+
+
+def q_repeat_rate(spark, sf_dir):
+    """Per-brand repeat-purchase rate — of the customers who ever
+    ordered the brand, the fraction whose brand orders span >= 2
+    DISTINCT orders: the loyalty/retention signal product teams cut
+    by category, and a two-level distinct-count exercise (customer
+    within brand, order within customer-brand) that stays one
+    exact-integer pipeline.
+
+    lineitem joins orders on the order key (the fact-to-fact join —
+    sort-merge at scale), part is a broadcast dim; then two hash
+    aggs: distinct orders per (brand, customer), then the >= 2 flag
+    sum per brand. One final division."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "o_custkey")
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias(
+                "n_orders"
+            )
+        )
+    )
+    agg = per_cust.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_cust",
+        "n_repeat",
+        F.round(
+            F.col("n_repeat").cast("double")
+            / F.col("n_cust").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    )
+
+
+SQL_REPEAT_RATE = """
+WITH per_cust AS (
+  SELECT p.p_brand, o.o_custkey,
+         CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS repeat_rate
+FROM per_cust GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12456,6 +12924,10 @@ REGISTRY: dict[str, tuple] = {
     # enters at the top under the same rule; the six further-displaced
     # keys are ALL-GREEN in the committed tri-SF sweeps at the
     # pack-#26 HEAD.
+    # Pack #28 (6 new keys: peak_rate, hourly_uniformity, rfm_scores,
+    # zipf_two_point, order_gap_cv, repeat_rate) enters at the top
+    # under the same rule; the six further-displaced keys are
+    # ALL-GREEN in the committed tri-SF sweeps at the pack-#27 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #25 —
@@ -12485,6 +12957,14 @@ REGISTRY: dict[str, tuple] = {
     "longest_token_run": (q_longest_token_run, SQL_LONGEST_TOKEN_RUN),
     "intra_doc_sim": (q_intra_doc_sim, SQL_INTRA_DOC_SIM),
     "yule_k": (q_yule_k, SQL_YULE_K),
+    # -- new r3 continuation (this session): feature-eng pack #28 —
+    #    behavioral-regularity features --
+    "peak_rate": (q_peak_rate, SQL_PEAK_RATE),
+    "hourly_uniformity": (q_hourly_uniformity, SQL_HOURLY_UNIFORMITY),
+    "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
+    "zipf_two_point": (q_zipf_two_point, SQL_ZIPF_TWO_POINT),
+    "order_gap_cv": (q_order_gap_cv, SQL_ORDER_GAP_CV),
+    "repeat_rate": (q_repeat_rate, SQL_REPEAT_RATE),
     # -- new r3 continuation (this session): feature-eng pack #23 —
     #    inverted-index sparse top-k, SRP signatures, manual HLL,
     #    Spearman, CUSUM changepoint, KS best-threshold --

@@ -71,6 +71,52 @@ def with_cumulative(
     return df.withColumn("cum_snapshots", F.count(F.lit(1)).over(w))
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact GLOBAL 1-based row_number WITHOUT the single-partition
+    window (`Window.orderBy(...)` with no partitionBy moves the whole
+    table to one task — the classic scale-killer). Instead:
+    range-repartition on the sort key, row_number within each
+    partition, then add each partition's broadcast prefix offset
+    (the offsets table is O(shuffle partitions) rows, and its own
+    tiny window runs over those few rows only).
+
+    REQUIREMENT: ``order_cols`` must define a TOTAL order (include a
+    unique tie-break column). Ties that straddle a range boundary
+    would otherwise get an arbitrary relative order. Both branches
+    (local ranks and partition sizes) hang off the same range
+    exchange, which Spark computes once and reuses (ReusedExchange),
+    so the partition ids agree by construction.
+    """
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    d = d.withColumn("__lrk", F.row_number().over(wloc))
+    sizes = d.groupBy("__pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            out_col, (F.col("__lrk") + F.col("__off")).cast("bigint")
+        )
+        .drop("__pid", "__lrk", "__off")
+    )
+
+
 def latest_snapshot(
     df: DataFrame, key: str = "url", ts: str = "warc_ts"
 ) -> DataFrame:
