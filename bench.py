@@ -216,6 +216,13 @@ HEADLINE = [
     "zipf_two_point",
     "order_gap_cv",
     "repeat_rate",
+    # added r3 (continuation): pack #29 survival/basket/concentration
+    "km_hazard",
+    "basket_pairs",
+    "prefix_template",
+    "supplier_hhi",
+    "weekend_lift",
+    "discount_depth",
 ]
 
 

@@ -12852,6 +12852,472 @@ FROM per_cust GROUP BY 1
 """
 
 
+def q_km_hazard(spark, sf_dir):
+    """Kaplan-Meier life table for TIME-TO-REPEAT purchase — for each
+    observed duration (days from a customer's first order to their
+    second), the number still at risk, the repeat events, the
+    right-censored exits (single-order customers censored at the
+    corpus max date), and the discrete hazard d/n. The survival-curve
+    input every churn/retention model starts from, emitted exact and
+    long-form.
+
+    Durations are exact BIGINT day diffs (first/second order via a
+    per-customer row_number with an o_orderkey tie-break; censor
+    horizon from a broadcast one-row max-date). The only global
+    window runs over the GROUPED duration table — cardinality is
+    bounded by the corpus day span (~2.4k rows however big the
+    fact table), the same bounded-window idiom as the registry's
+    offsets/histogram queries. hazard = round(d/n, 6) is the single
+    float op."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    rk = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+    ).withColumn("rk", F.row_number().over(w))
+    per = rk.where(F.col("rk") <= 2).groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("d"))).alias("first_d"),
+        F.min(F.when(F.col("rk") == 2, F.col("d"))).alias("second_d"),
+    )
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_d"))
+    dur = per.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("second_d").isNotNull(),
+            F.datediff(F.col("second_d"), F.col("first_d")),
+        )
+        .otherwise(F.datediff(F.col("max_d"), F.col("first_d")))
+        .cast("bigint")
+        .alias("duration_days"),
+        F.when(F.col("second_d").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("event"),
+    )
+    g = dur.groupBy("duration_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum("event").cast("bigint").alias("n_event"),
+    )
+    wdesc = Window.orderBy(F.col("duration_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "duration_days",
+        F.sum("n_at").over(wdesc).cast("bigint").alias("n_risk"),
+        "n_event",
+        (F.col("n_at") - F.col("n_event"))
+        .cast("bigint")
+        .alias("n_censor"),
+    ).withColumn(
+        "hazard",
+        F.round(
+            F.col("n_event").cast("double")
+            / F.col("n_risk").cast("double"),
+            6,
+        ),
+    )
+
+
+SQL_KM_HAZARD = """
+WITH rk AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE),
+                                     o_orderkey) AS rk
+  FROM orders
+), per AS (
+  SELECT o_custkey,
+         min(CASE WHEN rk = 1 THEN d END) AS first_d,
+         min(CASE WHEN rk = 2 THEN d END) AS second_d
+  FROM rk WHERE rk <= 2 GROUP BY 1
+), mx AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+), dur AS (
+  SELECT CAST(CASE WHEN p.second_d IS NOT NULL
+              THEN date_diff('day', p.first_d, p.second_d)
+              ELSE date_diff('day', p.first_d, m.max_d) END
+         AS BIGINT) AS duration_days,
+         CAST(CASE WHEN p.second_d IS NOT NULL THEN 1 ELSE 0 END
+         AS BIGINT) AS event
+  FROM per p CROSS JOIN mx m
+), g AS (
+  SELECT duration_days,
+         CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(event) AS BIGINT) AS n_event
+  FROM dur GROUP BY 1
+)
+SELECT duration_days,
+       CAST(sum(n_at) OVER (ORDER BY duration_days DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_risk,
+       n_event,
+       CAST(n_at - n_event AS BIGINT) AS n_censor,
+       round(CAST(n_event AS DOUBLE)
+             / CAST(sum(n_at) OVER (ORDER BY duration_days DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE),
+             6) AS hazard
+FROM g
+"""
+
+
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket BRAND co-occurrence — for every brand pair, the
+    number of orders whose baskets contain both, plus the pair's
+    support share of all orders. The association-rule seed
+    (frequent-itemset counting collapsed to the bounded brand
+    vocabulary) and the co-purchase twin of the documents-side
+    `cooccur_lift`.
+
+    lineitem joins the broadcast part dim for brands, dedups to
+    distinct (order, brand) — the basket set — then self-joins on the
+    order key with brand_a < brand_b. Per-order fanout is C(brands in
+    basket, 2), bounded by the ~7-line TPC-H basket, so the pair
+    stream is O(lines) and the grouped output is <= C(25,2) rows.
+    Both shuffles key on l_orderkey — the natural fact partitioning;
+    the order total arrives as a broadcast one-row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "brand_a",
+        "brand_b",
+        "pair_cnt",
+        F.round(
+            F.col("pair_cnt").cast("double")
+            / F.col("n_orders").cast("double"),
+            6,
+        ).alias("support"),
+    )
+
+
+SQL_BASKET_PAIRS = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM ob
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(count(*) AS BIGINT) AS pair_cnt,
+       round(CAST(count(*) AS DOUBLE) / CAST(max(t.n_orders) AS DOUBLE),
+             6) AS support
+FROM ob a
+JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+CROSS JOIN tot t
+GROUP BY 1, 2
+"""
+
+
+def q_prefix_template(spark, sf_dir):
+    """Per-source TEMPLATE-PREFIX share — the modal 16-char text
+    prefix of each source and the fraction of its documents that
+    start with it. Scraped template sites funnel most pages through
+    one boilerplate opening; a high modal share flags them for
+    boilerplate stripping before training. The prefix-key face of
+    `boilerplate_para`.
+
+    One narrow projection (source, 16-char prefix), one hash agg per
+    (source, prefix), a per-source row_number for the mode with a
+    deterministic prefix tie-break, and per-source totals from the
+    same grouped table — every shuffle keys on source, nothing
+    touches the full text twice."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.substring("text", 1, 16).alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("prefix")
+    )
+    modal = (
+        per.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("modal_prefix"),
+            F.col("cnt").alias("modal_cnt"),
+        )
+    )
+    return modal.join(tot, "source").select(
+        "source",
+        "modal_prefix",
+        "modal_cnt",
+        "n_docs",
+        "n_prefixes",
+        F.round(
+            F.col("modal_cnt").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("template_share"),
+    )
+
+
+SQL_PREFIX_TEMPLATE = """
+WITH per AS (
+  SELECT source, substr(text, 1, 16) AS prefix,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT source,
+         CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_prefixes
+  FROM per GROUP BY 1
+), modal AS (
+  SELECT source, prefix AS modal_prefix, cnt AS modal_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY cnt DESC, prefix) AS rk
+        FROM per) t
+  WHERE rk = 1
+)
+SELECT m.source, m.modal_prefix, m.modal_cnt, o.n_docs, o.n_prefixes,
+       round(CAST(m.modal_cnt AS DOUBLE) / CAST(o.n_docs AS DOUBLE),
+             6) AS template_share
+FROM modal m JOIN tot o ON m.source = o.source
+"""
+
+
+def q_supplier_hhi(spark, sf_dir):
+    """Per-nation Herfindahl-Hirschman index of supplier REVENUE
+    concentration — sum of squared revenue shares, the antitrust
+    statistic reused as a data-supply-concentration audit ('is one
+    supplier/domain feeding most of this slice?'). The revenue-share
+    face of `gini_skew`.
+
+    Net revenue is exact integer milli-cents (price cents x
+    (100 - discount pct)); per-supplier sums stay < 2^53 so the one
+    share division per supplier is an exact-input double op. Shares
+    are then fixed to integer ppm (round half-away-from-zero, same
+    rule both engines) so the HHI numerator sum(share_ppm^2) is an
+    exact BIGINT — association order cannot move the hash. Nation
+    totals join back via broadcast (O(nations) rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    disc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    rev = (
+        li.select(
+            "l_suppkey",
+            (cents * (F.lit(100) - disc)).alias("net"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("net").cast("bigint").alias("r"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_nationkey", "l_suppkey", "r")
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    shares = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        "n_suppliers",
+        F.expr(
+            "CAST(round(CAST(r AS DOUBLE) * 1e6"
+            " / CAST(tot AS DOUBLE)) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("s_nationkey", "n_suppliers")
+        .agg(
+            F.sum(F.col("share_ppm") * F.col("share_ppm"))
+            .cast("bigint")
+            .alias("ss_ppm")
+        )
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            F.round(F.col("ss_ppm").cast("double") / F.lit(1e12), 6)
+            .alias("hhi"),
+        )
+    )
+
+
+SQL_SUPPLIER_HHI = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+), nat AS (
+  SELECT s.s_nationkey, rev.l_suppkey, rev.r
+  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+), tot AS (
+  SELECT s_nationkey,
+         CAST(sum(r) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM nat GROUP BY 1
+), shares AS (
+  SELECT n.s_nationkey, t.n_suppliers,
+         CAST(round(CAST(n.r AS DOUBLE) * 1e6
+                    / CAST(t.tot AS DOUBLE)) AS BIGINT) AS share_ppm
+  FROM nat n JOIN tot t ON n.s_nationkey = t.s_nationkey
+)
+SELECT s_nationkey, n_suppliers,
+       round(CAST(sum(share_ppm * share_ppm) AS DOUBLE) / 1e12,
+             6) AS hhi
+FROM shares GROUP BY 1, 2
+"""
+
+
+def q_weekend_lift(spark, sf_dir):
+    """Per-event-type WEEKEND rate lift — the ratio of the weekend
+    per-day event rate to the weekday per-day rate, exact-rational
+    until one final division: lift = (wknd/2) / (wkdy/5) =
+    5*wknd / (2*wkdy). Consumer behavior lifts above 1, B2B and cron
+    traffic sinks below — the day-of-week companion to
+    `hourly_uniformity`'s hour-of-day chi-square.
+
+    One narrow projection, one hash agg with conditional BIGINT sums
+    (weekday() is a JVM date function — no UDF), one rounded
+    division. Spark's weekday() (0=Mon..6=Sun) and DuckDB's isodow
+    (1=Mon..7=Sun) agree on the weekend test used in each engine."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "event_type",
+            (F.weekday(F.col("ts")) >= F.lit(5))
+            .cast("bigint")
+            .alias("is_wknd"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_wknd").cast("bigint").alias("wknd_cnt"),
+            F.sum(F.lit(1) - F.col("is_wknd"))
+            .cast("bigint")
+            .alias("wkdy_cnt"),
+        )
+        .where(F.col("wkdy_cnt") > 0)
+    )
+    return per.select(
+        "event_type",
+        "wknd_cnt",
+        "wkdy_cnt",
+        F.round(
+            (F.lit(5) * F.col("wknd_cnt")).cast("double")
+            / (F.lit(2) * F.col("wkdy_cnt")).cast("double"),
+            6,
+        ).alias("weekend_lift"),
+    )
+
+
+SQL_WEEKEND_LIFT = """
+WITH per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END)
+              AS BIGINT) AS wknd_cnt,
+         CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END)
+              AS BIGINT) AS wkdy_cnt
+  FROM events GROUP BY 1
+)
+SELECT event_type, wknd_cnt, wkdy_cnt,
+       round(CAST(5 * wknd_cnt AS DOUBLE)
+             / CAST(2 * wkdy_cnt AS DOUBLE), 6) AS weekend_lift
+FROM per WHERE wkdy_cnt > 0
+"""
+
+
+def q_discount_depth(spark, sf_dir):
+    """Per-brand VALUE-WEIGHTED discount depth — the
+    revenue-weighted mean discount (sum(price x discount) /
+    sum(price)) next to the unweighted line mean: when the weighted
+    depth exceeds the unweighted one, the discounts concentrate on
+    the expensive lines (clearance), not the cheap ones. The
+    weighting pattern every importance-weighted corpus statistic
+    reuses, run in exact integer cents.
+
+    lineitem joins the broadcast part dim for the brand key; both
+    numerators and denominators are BIGINT sums of cents x
+    discount-pct products, so the two rounded divisions at the end
+    are the only float ops and the hash is association-proof."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    disc = F.expr("CAST(round(l_discount * 100) AS BIGINT)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            cents.alias("cents"),
+            disc.alias("disc_pct"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("cents") * F.col("disc_pct"))
+            .cast("bigint")
+            .alias("wnum"),
+            F.sum("cents").cast("bigint").alias("wden"),
+            F.sum("disc_pct").cast("bigint").alias("dsum"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        F.round(
+            F.col("wnum").cast("double")
+            / (F.lit(100) * F.col("wden")).cast("double"),
+            6,
+        ).alias("wavg_discount"),
+        F.round(
+            F.col("dsum").cast("double")
+            / (F.lit(100) * F.col("n_lines")).cast("double"),
+            6,
+        ).alias("avg_discount"),
+    )
+
+
+SQL_DISCOUNT_DEPTH = """
+WITH agg AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT))
+              AS BIGINT) AS wnum,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS wden,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+              AS BIGINT) AS dsum
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_lines,
+       round(CAST(wnum AS DOUBLE) / CAST(100 * wden AS DOUBLE),
+             6) AS wavg_discount,
+       round(CAST(dsum AS DOUBLE) / CAST(100 * n_lines AS DOUBLE),
+             6) AS avg_discount
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12928,8 +13394,20 @@ REGISTRY: dict[str, tuple] = {
     # zipf_two_point, order_gap_cv, repeat_rate) enters at the top
     # under the same rule; the six further-displaced keys are
     # ALL-GREEN in the committed tri-SF sweeps at the pack-#27 HEAD.
+    # Pack #29 (6 new keys: km_hazard, basket_pairs, prefix_template,
+    # supplier_hhi, weekend_lift, discount_depth) enters at the top
+    # under the same rule; the six further-displaced keys are
+    # ALL-GREEN in the committed tri-SF sweeps at the pack-#28 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #29 —
+    #    survival/basket/concentration features --
+    "km_hazard": (q_km_hazard, SQL_KM_HAZARD),
+    "basket_pairs": (q_basket_pairs, SQL_BASKET_PAIRS),
+    "prefix_template": (q_prefix_template, SQL_PREFIX_TEMPLATE),
+    "supplier_hhi": (q_supplier_hhi, SQL_SUPPLIER_HHI),
+    "weekend_lift": (q_weekend_lift, SQL_WEEKEND_LIFT),
+    "discount_depth": (q_discount_depth, SQL_DISCOUNT_DEPTH),
     # -- new r3 continuation (this session): feature-eng pack #25 —
     #    rank/robust statistics + paired tests --
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
