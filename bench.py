@@ -223,6 +223,13 @@ HEADLINE = [
     "supplier_hhi",
     "weekend_lift",
     "discount_depth",
+    # added r3 (continuation): pack #30 temporal/association statistics
+    "autocorr_lag1",
+    "cramers_v",
+    "activity_drawdown",
+    "max_concurrency",
+    "theil_sen",
+    "dow_seasonal",
 ]
 
 

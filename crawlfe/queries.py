@@ -13318,6 +13318,529 @@ FROM agg
 """
 
 
+def q_autocorr_lag1(spark, sf_dir):
+    """Per-user LAG-1 AUTOCORRELATION of the daily event-count
+    series — the periodicity/burstiness detector that separates
+    trending organic activity (r > 0) from alternating bot cadence
+    (r < 0) and memoryless noise (r ~ 0). The temporal
+    self-correlation companion to `grouped_corr` (which correlates
+    two columns) and `order_gap_cv` (which ignores order).
+
+    Consecutive-day pairs come from an equi self-join on
+    (user_id, day + 1) — no window, no dense grid; both sides hang
+    off the same per-(user, day) hash agg. All five moments are
+    exact BIGINTs; the Pearson numerator/denominators use the
+    n*Sxy - Sx*Sy cross-multiplication identity, and the only float
+    ops are the final sqrt (of a product of two exactly-cast
+    doubles — BIGINT^2 would overflow) and one division."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.d") == F.col("a.d") + 1),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.withColumn("denx", denx.cast("bigint"))
+        .withColumn("deny", deny.cast("bigint"))
+        .where(
+            (F.col("n") >= 2)
+            & (F.col("denx") > 0)
+            & (F.col("deny") > 0)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                num.cast("double")
+                / F.sqrt(
+                    F.col("denx").cast("double")
+                    * F.col("deny").cast("double")
+                ),
+                6,
+            ).alias("acf1"),
+        )
+    )
+
+
+SQL_AUTOCORR_LAG1 = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id, a.c AS x, b.c AS y
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND b.d = a.d + 1
+), m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT user_id, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS acf1
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association between document LANGUAGE and SOURCE —
+    'do sources specialize by language?' — the normalized chi-square
+    the corpus card reports next to `mutual_info` (V is bounded
+    [0, 1] and comparable across table shapes, MI is not).
+
+    The contingency table is one hash agg (O(langs x sources) cells);
+    margins and the grand total broadcast back. chi2 uses the
+    algebraic identity sum_all_cells (o-e)^2/e = sum N*o^2/(r*c) - N,
+    whose first term is ZERO on empty cells — so summing observed
+    cells only is exact (the naive per-cell (o-e)^2/e would silently
+    drop the empty-cell mass). Each observed cell's N*o^2/(r*c) is
+    computed in double from exactly-cast BIGINTs with a FIXED
+    multiplication order both engines share, then fixed to integer
+    ppm so the cross-cell sum is an exact BIGINT — association order
+    cannot move the hash; the -N lands in the ppm domain as an exact
+    integer subtraction."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows = cell.groupBy("lang").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    cols = cell.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("c")
+    )
+    tot = cell.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+    j = (
+        cell.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    cell_ppm = F.expr(
+        "CAST(round(1e6 * (CAST(n AS DOUBLE) * CAST(o AS DOUBLE)"
+        " * CAST(o AS DOUBLE))"
+        " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) AS BIGINT)"
+    )
+    agg = (
+        j.withColumn("cell_ppm", cell_ppm)
+        .groupBy("n", "n_langs", "n_sources")
+        .agg(
+            (
+                F.sum("cell_ppm") - F.lit(1_000_000) * F.first("n")
+            )
+            .cast("bigint")
+            .alias("chi2_ppm")
+        )
+    )
+    chi2 = F.col("chi2_ppm").cast("double") / F.lit(1e6)
+    vden = (
+        F.col("n")
+        * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+    ).cast("double")
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / vden), 6).alias("cramers_v"),
+    )
+
+
+SQL_CRAMERS_V = """
+WITH cell AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), rows_m AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1
+), cols_m AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM cell
+), j AS (
+  SELECT t.n, t.n_langs, t.n_sources, cell.o, rm.r, cm.c
+  FROM cell
+  JOIN rows_m rm ON cell.lang = rm.lang
+  JOIN cols_m cm ON cell.source = cm.source
+  CROSS JOIN tot t
+), agg AS (
+  SELECT n, n_langs, n_sources,
+         CAST(sum(CAST(round(1e6 * (CAST(n AS DOUBLE)
+                                    * CAST(o AS DOUBLE)
+                                    * CAST(o AS DOUBLE))
+                             / (CAST(r AS DOUBLE)
+                                * CAST(c AS DOUBLE))) AS BIGINT))
+              - 1000000 * n AS BIGINT) AS chi2_ppm
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT n AS n_docs, n_langs, n_sources,
+       round(CAST(chi2_ppm AS DOUBLE) / 1e6, 6) AS chi2,
+       round(sqrt((CAST(chi2_ppm AS DOUBLE) / 1e6)
+                  / CAST(n * least(n_langs - 1, n_sources - 1)
+                         AS DOUBLE)), 6) AS cramers_v
+FROM agg
+"""
+
+
+def q_activity_drawdown(spark, sf_dir):
+    """Per-user ACTIVITY DRAWDOWN — the largest peak-to-trough drop
+    in the daily event-count series (running max of counts minus the
+    current day's count, maximized): a burst-then-silence
+    fingerprint that flags scrape storms and abandoned accounts that
+    plain totals and `peak_rate` miss.
+
+    One per-(user, day) hash agg, one partition-local window chain
+    (running max over the user's ordered days — keyed on user_id,
+    the natural partitioning), one final agg. Everything is BIGINT;
+    the only float op is the rounded drawdown/peak ratio."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.withColumn(
+        "runmax", F.max("c").over(w).cast("bigint")
+    ).withColumn("dd", (F.col("runmax") - F.col("c")).cast("bigint"))
+    out = dd.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("c").cast("bigint").alias("peak_cnt"),
+        F.max("dd").cast("bigint").alias("max_drawdown"),
+    )
+    return out.select(
+        "user_id",
+        "n_days",
+        "peak_cnt",
+        "max_drawdown",
+        F.round(
+            F.col("max_drawdown").cast("double")
+            / F.col("peak_cnt").cast("double"),
+            6,
+        ).alias("drawdown_ratio"),
+    )
+
+
+SQL_ACTIVITY_DRAWDOWN = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT user_id, c,
+         CAST(max(c) OVER (PARTITION BY user_id ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS runmax
+  FROM daily
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(c) AS BIGINT) AS peak_cnt,
+       CAST(max(runmax - c) AS BIGINT) AS max_drawdown,
+       round(CAST(max(runmax - c) AS DOUBLE)
+             / CAST(max(c) AS DOUBLE), 6) AS drawdown_ratio
+FROM dd GROUP BY 1
+"""
+
+
+def q_max_concurrency(spark, sf_dir):
+    """Per-day MAXIMUM SESSION CONCURRENCY — the peak number of
+    user sessions simultaneously open on each calendar day, the
+    capacity-planning statistic behind `rolling_active_users`. A
+    classic sweep-line: sessions (30-min gap, from the engine's
+    session_bounds) emit +1/-1 boundary events whose GLOBAL running
+    sum is the live concurrency; the per-day max is one grouped agg
+    over the running values.
+
+    The global cumulative sum does NOT use a single-partition window
+    — it runs through ``windows.global_prefix_sum`` (range
+    repartition + per-partition cumsum + broadcast prefix offsets,
+    the cumsum twin of global_row_number), so it scales like a sort,
+    not like a funnel. Boundary ordering is total — (ts, starts
+    before ends, user, session) — so the running sum is
+    deterministic in both engines; sessions spanning midnight carry
+    into the next day's running value by construction."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    b = W.session_bounds(
+        ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S
+    )
+    starts = b.select(
+        _us("session_start").alias("us"),
+        F.lit(1).cast("bigint").alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    ends = b.select(
+        _us("session_end").alias("us"),
+        F.lit(-1).cast("bigint").alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    bd = starts.union(ends)
+    order = [
+        F.col("us").asc(),
+        F.col("delta").desc(),
+        F.col("user_id").asc(),
+        F.col("session_id").asc(),
+    ]
+    run = W.global_prefix_sum(bd, order, "delta", out_col="conc")
+    return (
+        run.withColumn(
+            "epoch_day", F.expr("us div 86400000000").cast("bigint")
+        )
+        .groupBy("epoch_day")
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        )
+    )
+
+
+SQL_MAX_CONCURRENCY = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_id
+  FROM flagged
+), bounds AS (
+  SELECT user_id, session_id,
+         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+  FROM sess GROUP BY 1, 2
+), bd AS (
+  SELECT s_us AS us, CAST(1 AS BIGINT) AS delta, user_id, session_id
+  FROM bounds
+  UNION ALL
+  SELECT e_us AS us, CAST(-1 AS BIGINT) AS delta, user_id, session_id
+  FROM bounds
+), run AS (
+  SELECT us,
+         CAST(sum(delta) OVER (ORDER BY us, delta DESC, user_id,
+                               session_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS conc
+  FROM bd
+)
+SELECT CAST(us // 86400000000 AS BIGINT) AS epoch_day,
+       CAST(max(conc) AS BIGINT) AS max_concurrent,
+       CAST(count(*) AS BIGINT) AS n_boundaries
+FROM run GROUP BY 1
+"""
+
+
+def q_theil_sen(spark, sf_dir):
+    """Per-customer THEIL-SEN slope of order value over time — the
+    median of all pairwise (cents/day) slopes between the customer's
+    orders: the robust spend trend one outlier order cannot move,
+    next to `grouped_ols`'s outlier-sensitive least-squares line.
+
+    The pairwise self-join keys on o_custkey and its fanout is
+    C(orders-per-customer, 2) — bounded by the per-entity order
+    count, never by table size (the same bound as `basket_pairs`).
+    Same-day pairs (dx = 0) are excluded. Each slope is one
+    deterministic double division of exact BIGINTs; the median is
+    the LOWER median — the ((n+1) div 2)-th smallest value, picked
+    by row_number over the slope order (the k-th smallest is
+    well-defined even with duplicate slopes), so nothing is ever
+    averaged in float."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    wrk = Window.partitionBy("o_custkey").orderBy("slope")
+    wcnt = Window.partitionBy("o_custkey")
+    ranked = slopes.withColumn(
+        "rk", F.row_number().over(wrk)
+    ).withColumn("n_slopes", F.count(F.lit(1)).over(wcnt))
+    med = ranked.where(
+        F.col("rk") == F.expr("(n_slopes + 1) div 2")
+    )
+    n_ord = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return med.join(n_ord, "o_custkey").select(
+        "o_custkey",
+        "n_orders",
+        F.col("n_slopes").cast("bigint").alias("n_slopes"),
+        F.round(F.col("slope"), 6).alias("ts_slope"),
+    )
+
+
+SQL_THEIL_SEN = """
+WITH pts AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), slopes AS (
+  SELECT a.o_custkey,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+           AS slope
+  FROM pts a JOIN pts b
+    ON a.o_custkey = b.o_custkey AND a.x < b.x
+), ranked AS (
+  SELECT o_custkey, slope,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY slope) AS rk,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+           AS n_slopes
+  FROM slopes
+), n_ord AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT r.o_custkey, n.n_orders, r.n_slopes,
+       round(r.slope, 6) AS ts_slope
+FROM ranked r JOIN n_ord n ON r.o_custkey = n.o_custkey
+WHERE r.rk = (r.n_slopes + 1) // 2
+"""
+
+
+def q_dow_seasonal(spark, sf_dir):
+    """Per-event-type DAY-OF-WEEK seasonal profile, long-form — each
+    weekday's event count, its share, and its seasonal index
+    (7 x share: 1.0 = flat week). The 7-point weekly profile behind
+    `weekend_lift`'s single ratio and the seasonal decomposition any
+    forecast feature set starts from.
+
+    One narrow projection (weekday() is a JVM date function), one
+    hash agg per (type, dow), per-type totals broadcast back. Both
+    ratios are exact rationals until the one rounded division
+    (7*cnt/total is computed as an integer numerator)."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.select("event_type", F.weekday(F.col("ts")).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            (F.lit(7) * F.col("cnt")).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("dow_index"),
+    )
+
+
+SQL_DOW_SEASONAL = """
+WITH per AS (
+  SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total
+  FROM per GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.cnt,
+       round(CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE),
+             6) AS share,
+       round(CAST(7 * p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE),
+             6) AS dow_index
+FROM per p JOIN tot t ON p.event_type = t.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13398,6 +13921,11 @@ REGISTRY: dict[str, tuple] = {
     # supplier_hhi, weekend_lift, discount_depth) enters at the top
     # under the same rule; the six further-displaced keys are
     # ALL-GREEN in the committed tri-SF sweeps at the pack-#28 HEAD.
+    # Pack #30 (6 new keys: autocorr_lag1, cramers_v,
+    # activity_drawdown, max_concurrency, theil_sen, dow_seasonal)
+    # enters at the top under the same rule; the six
+    # further-displaced keys are ALL-GREEN in the committed 247-key
+    # sf0.01 sweep at the pack-#29 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #29 —
@@ -13408,6 +13936,14 @@ REGISTRY: dict[str, tuple] = {
     "supplier_hhi": (q_supplier_hhi, SQL_SUPPLIER_HHI),
     "weekend_lift": (q_weekend_lift, SQL_WEEKEND_LIFT),
     "discount_depth": (q_discount_depth, SQL_DISCOUNT_DEPTH),
+    # -- new r3 continuation (this session): feature-eng pack #30 —
+    #    temporal/association statistics --
+    "autocorr_lag1": (q_autocorr_lag1, SQL_AUTOCORR_LAG1),
+    "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
+    "activity_drawdown": (q_activity_drawdown, SQL_ACTIVITY_DRAWDOWN),
+    "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
+    "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
+    "dow_seasonal": (q_dow_seasonal, SQL_DOW_SEASONAL),
     # -- new r3 continuation (this session): feature-eng pack #25 —
     #    rank/robust statistics + paired tests --
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),

@@ -117,6 +117,57 @@ def global_row_number(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str = "run_sum",
+) -> DataFrame:
+    """Exact GLOBAL running sum of ``val_col`` WITHOUT the
+    single-partition window — the cumulative-sum twin of
+    ``global_row_number`` (same two-phase shape): range-repartition
+    on the sort key, cumsum within each partition, then add each
+    partition's broadcast prefix offset (sum of all earlier
+    partitions' totals; the offsets table is O(shuffle partitions)
+    rows and its own tiny window runs over those few rows only).
+
+    REQUIREMENT: ``order_cols`` must define a TOTAL order (include a
+    unique tie-break column) — ties straddling a range boundary
+    would otherwise get an arbitrary relative order. ``val_col``
+    must be integral (BIGINT sums stay exact; doubles would make
+    the result association-order-dependent)."""
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn(
+        "__lsum", F.sum(val_col).over(wloc).cast("bigint")
+    )
+    sizes = d.groupBy("__pid").agg(
+        F.sum(val_col).cast("bigint").alias("__n")
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = sizes.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(
+            out_col, (F.col("__lsum") + F.col("__off")).cast("bigint")
+        )
+        .drop("__pid", "__lsum", "__off")
+    )
+
+
 def latest_snapshot(
     df: DataFrame, key: str = "url", ts: str = "warc_ts"
 ) -> DataFrame:
