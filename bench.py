@@ -230,6 +230,13 @@ HEADLINE = [
     "max_concurrency",
     "theil_sen",
     "dow_seasonal",
+    # added r3 (continuation): pack #31 robust/nonparametric statistics
+    "mann_kendall",
+    "l_moments",
+    "runs_test",
+    "hill_tail",
+    "dow_anova",
+    "fano_factor",
 ]
 
 

@@ -13841,6 +13841,663 @@ FROM per p JOIN tot t ON p.event_type = t.event_type
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Per-customer MANN-KENDALL trend test on order value over time
+    — S = sum of sign(later - earlier) over all chronologically
+    ordered order pairs, with the tie-corrected variance and the
+    continuity-corrected z. The nonparametric yes/no companion to
+    `theil_sen`'s slope magnitude (same pair structure, same
+    C(orders, 2) per-entity bound).
+
+    S and the tie correction are exact BIGINTs (sign sums and the
+    n(n-1)(2n+5) polynomial); the z is one fixed double expression
+    (S -/+ 1) / sqrt(var18 / 18). Chronological order ties break on
+    o_orderkey so both engines enumerate identical pairs."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (
+                (F.col("a.x") < F.col("b.x"))
+                | (
+                    (F.col("a.x") == F.col("b.x"))
+                    & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+                )
+            ),
+        )
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    # tie groups on the VALUE only (the variance correction term)
+    ties = (
+        pts.groupBy("o_custkey", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_corr"),
+            F.sum(F.col("t")).cast("bigint").alias("n"),
+        )
+    )
+    m = s.join(ties, "o_custkey").withColumn(
+        "var18",
+        (
+            F.col("n")
+            * (F.col("n") - 1)
+            * (F.lit(2) * F.col("n") + 5)
+            - F.col("tie_corr")
+        ).cast("bigint"),
+    )
+    zed = F.when(F.col("s_stat") > 0, F.col("s_stat") - 1).otherwise(
+        F.when(F.col("s_stat") < 0, F.col("s_stat") + 1).otherwise(
+            F.lit(0)
+        )
+    )
+    return m.where((F.col("n") >= 3) & (F.col("var18") > 0)).select(
+        "o_custkey",
+        "n",
+        "s_stat",
+        "var18",
+        F.round(
+            zed.cast("double")
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+            6,
+        ).alias("mk_z"),
+    )
+
+
+SQL_MANN_KENDALL = """
+WITH pts AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT a.o_custkey,
+         CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+  FROM pts a JOIN pts b
+    ON a.o_custkey = b.o_custkey
+   AND (a.x < b.x OR (a.x = b.x AND a.o_orderkey < b.o_orderkey))
+  GROUP BY 1
+), ties AS (
+  SELECT o_custkey,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM (SELECT o_custkey, y, CAST(count(*) AS BIGINT) AS t
+        FROM pts GROUP BY 1, 2) g
+  GROUP BY 1
+), m AS (
+  SELECT s.o_custkey, t.n, s.s_stat,
+         CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_corr
+              AS BIGINT) AS var18
+  FROM s JOIN ties t ON s.o_custkey = t.o_custkey
+)
+SELECT o_custkey, n, s_stat, var18,
+       round(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                       WHEN s_stat < 0 THEN s_stat + 1
+                       ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6) AS mk_z
+FROM m WHERE n >= 3 AND var18 > 0
+"""
+
+
+def q_l_moments(spark, sf_dir):
+    """Per-customer L-MOMENTS of order value — L-location, L-scale,
+    and the L-skewness ratio t3 — the order-statistics moments that
+    exist for any distribution with a finite mean and resist the
+    outliers that wreck classic skewness. Everything reduces to
+    rank-weighted integer sums: B0 = sum(x), B1 = sum((i-1) x_(i)),
+    B2 = sum((i-1)(i-2) x_(i)) over the per-customer value-sorted
+    ranks, so l2 = (2 B1 - (n-1) B0) / (n(n-1)) and
+    t3 = N3 / ((n-2) N2) with N3 = 6 B2 - 6(n-2) B1 +
+    (n-1)(n-2) B0 — exact BIGINT numerators and denominators, one
+    rounded division each. Tied values get identical weight sums
+    under any permutation, so row_number's tie order is immaterial.
+
+    One partition-local rank window keyed on o_custkey, one hash
+    agg. Per-customer cardinality bounds the window frame."""
+    o = _t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("y")
+    r = pts.withColumn(
+        "i", F.row_number().over(w).cast("bigint")
+    )
+    m = r.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("b0"),
+        F.sum((F.col("i") - 1) * F.col("y"))
+        .cast("bigint")
+        .alias("b1"),
+        F.sum((F.col("i") - 1) * (F.col("i") - 2) * F.col("y"))
+        .cast("bigint")
+        .alias("b2"),
+    )
+    n2 = (F.lit(2) * F.col("b1") - (F.col("n") - 1) * F.col("b0")).cast(
+        "bigint"
+    )
+    n3 = (
+        F.lit(6) * F.col("b2")
+        - F.lit(6) * (F.col("n") - 2) * F.col("b1")
+        + (F.col("n") - 1) * (F.col("n") - 2) * F.col("b0")
+    ).cast("bigint")
+    m = m.withColumn("n2", n2).withColumn("n3", n3)
+    return m.where((F.col("n") >= 3) & (F.col("n2") > 0)).select(
+        "o_custkey",
+        "n",
+        F.round(
+            F.col("b0").cast("double") / F.col("n").cast("double"), 6
+        ).alias("l1_cents"),
+        F.round(
+            F.col("n2").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+            6,
+        ).alias("l2_cents"),
+        F.round(
+            F.col("n3").cast("double")
+            / ((F.col("n") - 2) * F.col("n2")).cast("double"),
+            6,
+        ).alias("t3"),
+    )
+
+
+SQL_L_MOMENTS = """
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+), r AS (
+  SELECT o_custkey, y,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY y)
+              AS BIGINT) AS i
+  FROM pts
+), m AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS b0,
+         CAST(sum((i - 1) * y) AS BIGINT) AS b1,
+         CAST(sum((i - 1) * (i - 2) * y) AS BIGINT) AS b2
+  FROM r GROUP BY 1
+), k AS (
+  SELECT o_custkey, n, b0,
+         CAST(2 * b1 - (n - 1) * b0 AS BIGINT) AS n2,
+         CAST(6 * b2 - 6 * (n - 2) * b1
+              + (n - 1) * (n - 2) * b0 AS BIGINT) AS n3
+  FROM m
+)
+SELECT o_custkey, n,
+       round(CAST(b0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS l1_cents,
+       round(CAST(n2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+             6) AS l2_cents,
+       round(CAST(n3 AS DOUBLE) / CAST((n - 2) * n2 AS DOUBLE),
+             6) AS t3
+FROM k WHERE n >= 3 AND n2 > 0
+"""
+
+
+def q_runs_test(spark, sf_dir):
+    """Per-user WALD-WOLFOWITZ runs test — is the daily event-count
+    series random around its median, or does it alternate/cluster?
+    Days are dichotomized against the user's LOWER-MEDIAN count
+    (exact rank pick, no float percentile); median-equal days drop
+    per the textbook test; runs are counted with one lag window; the
+    z uses the exact integer E[R] and Var[R] formulas in one fixed
+    double expression. Clustered activity (few long runs) goes
+    negative, metronome alternation positive — the sequential
+    complement to `order_gap_cv` and `autocorr_lag1`.
+
+    All windows are partition-local on user_id; the median rank and
+    the run-boundary lag reuse the same (user, day)-grouped table."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wm = Window.partitionBy("user_id").orderBy("c", "d")
+    wn = Window.partitionBy("user_id")
+    med = (
+        daily.withColumn("rk", F.row_number().over(wm))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+        .where(F.col("rk") == F.expr("(nn + 1) div 2"))
+        .select("user_id", F.col("c").alias("med"))
+    )
+    cls = (
+        daily.join(med, "user_id")
+        .where(F.col("c") != F.col("med"))
+        .select(
+            "user_id",
+            "d",
+            (F.col("c") > F.col("med")).cast("bigint").alias("up"),
+        )
+    )
+    wseq = Window.partitionBy("user_id").orderBy("d")
+    runs = cls.withColumn(
+        "new_run",
+        F.when(
+            F.lag("up").over(wseq).isNull()
+            | (F.lag("up").over(wseq) != F.col("up")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    m = runs.groupBy("user_id").agg(
+        F.sum("up").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("up")).cast("bigint").alias("n2"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    p2 = (F.lit(2) * F.col("n1") * F.col("n2")).cast("double")
+    nd = n.cast("double")
+    e_r = F.lit(1.0) + p2 / nd
+    var_r = (
+        p2
+        * (p2 - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return (
+        m.where(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("n1") + F.col("n2") >= 3)
+        )
+        .select(
+            "user_id",
+            "n1",
+            "n2",
+            "n_runs",
+            F.round(
+                (F.col("n_runs").cast("double") - e_r)
+                / F.sqrt(var_r),
+                6,
+            ).alias("runs_z"),
+        )
+    )
+
+
+SQL_RUNS_TEST = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT user_id, c AS med
+  FROM (SELECT user_id, c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c, d) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS nn
+        FROM daily) t
+  WHERE rk = (nn + 1) // 2
+), cls AS (
+  SELECT daily.user_id, daily.d,
+         CAST(daily.c > med.med AS BIGINT) AS up
+  FROM daily JOIN med ON daily.user_id = med.user_id
+  WHERE daily.c <> med.med
+), runs AS (
+  SELECT user_id, up,
+         CASE WHEN lag(up) OVER (PARTITION BY user_id ORDER BY d)
+                   IS DISTINCT FROM up
+              THEN 1 ELSE 0 END AS new_run
+  FROM cls
+), m AS (
+  SELECT user_id,
+         CAST(sum(up) AS BIGINT) AS n1,
+         CAST(sum(1 - up) AS BIGINT) AS n2,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+)
+SELECT user_id, n1, n2, n_runs,
+       round((CAST(n_runs AS DOUBLE)
+              - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                       / CAST(n1 + n2 AS DOUBLE)))
+             / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                    * (CAST(2 * n1 * n2 AS DOUBLE)
+                       - CAST(n1 + n2 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE)
+                       * CAST(n1 + n2 AS DOUBLE)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0))),
+             6) AS runs_z
+FROM m
+WHERE n1 > 0 AND n2 > 0 AND n1 + n2 >= 3
+"""
+
+
+_HILL_K = 32
+
+
+def q_hill_tail(spark, sf_dir):
+    """Per-source HILL tail-index estimate over document lengths —
+    mean log-excess of the top-k order statistics over the (k+1)-th:
+    hill = (1/k) sum ln(x_(i) / x_(k+1)), tail alpha = 1/hill. Web
+    corpora are heavy-tailed in length; alpha ~ 1-2 means a few
+    giant documents dominate token mass (sampling and packing both
+    care). The extreme-value companion to `length_buckets`.
+
+    Top-(k+1) per source via one partition-local rank window (k is
+    a constant — the frame is bounded). Each log term is fixed to
+    integer ppm before the cross-row sum so association order can't
+    move the hash; ln's possible last-ulp libm differences sit ~10
+    orders of magnitude below the ppm grid."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("x").desc(), F.col("doc_id")
+    )
+    top = (
+        d.select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _HILL_K + 1)
+    )
+    thr = top.where(F.col("rk") == _HILL_K + 1).select(
+        "source", F.col("x").alias("x_thresh")
+    )
+    terms = (
+        top.where(F.col("rk") <= _HILL_K)
+        .join(thr, "source")
+        .where(F.col("x_thresh") > 0)
+        .select(
+            "source",
+            "x_thresh",
+            F.expr(
+                "CAST(round(1e6 * ln(CAST(x AS DOUBLE)"
+                " / CAST(x_thresh AS DOUBLE))) AS BIGINT)"
+            ).alias("term_ppm"),
+        )
+    )
+    agg = terms.groupBy("source", "x_thresh").agg(
+        F.sum("term_ppm").cast("bigint").alias("sum_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    hill = F.col("sum_ppm").cast("double") / (
+        F.col("k").cast("double") * F.lit(1e6)
+    )
+    return agg.where(
+        (F.col("k") == _HILL_K) & (F.col("sum_ppm") > 0)
+    ).select(
+        "source",
+        "k",
+        "x_thresh",
+        F.round(hill, 6).alias("hill"),
+        F.round(F.lit(1.0) / hill, 6).alias("tail_alpha"),
+    )
+
+
+SQL_HILL_TAIL = f"""
+WITH top AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+), thr AS (
+  SELECT source, x AS x_thresh FROM top WHERE rk = {_HILL_K + 1}
+), terms AS (
+  SELECT top.source, thr.x_thresh,
+         CAST(round(1e6 * ln(CAST(top.x AS DOUBLE)
+                             / CAST(thr.x_thresh AS DOUBLE)))
+              AS BIGINT) AS term_ppm
+  FROM top JOIN thr ON top.source = thr.source
+  WHERE top.rk <= {_HILL_K} AND thr.x_thresh > 0
+), agg AS (
+  SELECT source, x_thresh,
+         CAST(sum(term_ppm) AS BIGINT) AS sum_ppm,
+         CAST(count(*) AS BIGINT) AS k
+  FROM terms GROUP BY 1, 2
+)
+SELECT source, k, x_thresh,
+       round(CAST(sum_ppm AS DOUBLE) / (CAST(k AS DOUBLE) * 1e6),
+             6) AS hill,
+       round(1.0 / (CAST(sum_ppm AS DOUBLE)
+                    / (CAST(k AS DOUBLE) * 1e6)), 6) AS tail_alpha
+FROM agg WHERE k = {_HILL_K} AND sum_ppm > 0
+"""
+
+
+def q_dow_anova(spark, sf_dir):
+    """Per-event-type one-way ANOVA of daily counts BY WEEKDAY —
+    eta-squared (variance explained by day-of-week) and the F
+    statistic: the quantitative 'how seasonal is this type really'
+    behind `dow_seasonal`'s descriptive profile. eta2 near 1 =
+    schedule-driven, near 0 = weekday-free.
+
+    Observations are the per-(type, day) counts; groups are the <= 7
+    weekdays, so the group table is tiny. SSB and SST come from the
+    standard sum-of-squares identities with every S_g^2/n_g term
+    fixed to integer ppm (a sum of <= 7 such terms plus the grand
+    S^2/N term — exact BIGINT arithmetic end to end, association
+    order cannot move the hash); F is one fixed double expression
+    from the two ppm sums."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("dow", F.expr("pmod(d + 3, 7)").cast("bigint"))
+    )
+    grp = daily.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("bigint").alias("sg"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    gterm = grp.select(
+        "event_type",
+        F.expr(
+            "CAST(round(1e6 * (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))"
+            " / CAST(ng AS DOUBLE)) AS BIGINT)"
+        ).alias("g_ppm"),
+        "ng",
+    ).groupBy("event_type").agg(
+        F.sum("g_ppm").cast("bigint").alias("sum_g_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("k_dows"),
+        F.sum("ng").cast("bigint").alias("n_days"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    m = gterm.join(tot, "event_type").withColumn(
+        "grand_ppm",
+        F.expr(
+            "CAST(round(1e6 * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / CAST(n_days AS DOUBLE)) AS BIGINT)"
+        ),
+    )
+    ssb = (F.col("sum_g_ppm") - F.col("grand_ppm")).cast("bigint")
+    sst = (
+        F.lit(1_000_000) * F.col("s2") - F.col("grand_ppm")
+    ).cast("bigint")
+    m = m.withColumn("ssb_ppm", ssb).withColumn("sst_ppm", sst)
+    fstat = (
+        F.col("ssb_ppm").cast("double")
+        / (F.col("k_dows") - 1).cast("double")
+    ) / (
+        (F.col("sst_ppm") - F.col("ssb_ppm")).cast("double")
+        / (F.col("n_days") - F.col("k_dows")).cast("double")
+    )
+    return m.where(
+        (F.col("k_dows") >= 2)
+        & (F.col("sst_ppm") > F.col("ssb_ppm"))
+        & (F.col("n_days") > F.col("k_dows"))
+    ).select(
+        "event_type",
+        "n_days",
+        "k_dows",
+        F.round(
+            F.col("ssb_ppm").cast("double")
+            / F.col("sst_ppm").cast("double"),
+            6,
+        ).alias("eta2"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+SQL_DOW_ANOVA = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT event_type, c, CAST((d + 3) % 7 AS BIGINT) AS dow
+  FROM daily
+), grp AS (
+  SELECT event_type, dow,
+         CAST(sum(c) AS BIGINT) AS sg,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM dd GROUP BY 1, 2
+), gterm AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(1e6 * (CAST(sg AS DOUBLE)
+                                    * CAST(sg AS DOUBLE))
+                             / CAST(ng AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS sum_g_ppm,
+         CAST(count(*) AS BIGINT) AS k_dows,
+         CAST(sum(ng) AS BIGINT) AS n_days
+  FROM grp GROUP BY 1
+), tot AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM dd GROUP BY 1
+), m AS (
+  SELECT g.event_type, g.n_days, g.k_dows,
+         CAST(g.sum_g_ppm
+              - CAST(round(1e6 * (CAST(t.s AS DOUBLE)
+                                  * CAST(t.s AS DOUBLE))
+                           / CAST(g.n_days AS DOUBLE)) AS BIGINT)
+              AS BIGINT) AS ssb_ppm,
+         CAST(1000000 * t.s2
+              - CAST(round(1e6 * (CAST(t.s AS DOUBLE)
+                                  * CAST(t.s AS DOUBLE))
+                           / CAST(g.n_days AS DOUBLE)) AS BIGINT)
+              AS BIGINT) AS sst_ppm
+  FROM gterm g JOIN tot t ON g.event_type = t.event_type
+)
+SELECT event_type, n_days, k_dows,
+       round(CAST(ssb_ppm AS DOUBLE) / CAST(sst_ppm AS DOUBLE),
+             6) AS eta2,
+       round((CAST(ssb_ppm AS DOUBLE) / CAST(k_dows - 1 AS DOUBLE))
+             / (CAST(sst_ppm - ssb_ppm AS DOUBLE)
+                / CAST(n_days - k_dows AS DOUBLE)), 6) AS f_stat
+FROM m
+WHERE k_dows >= 2 AND sst_ppm > ssb_ppm AND n_days > k_dows
+"""
+
+
+def q_fano_factor(spark, sf_dir):
+    """Per-event-type FANO FACTOR (index of dispersion) of daily
+    counts — sample variance over mean, 1.0 for a Poisson process,
+    above 1 bursty, below 1 metronomic. The one-number overdispersion
+    summary that decides whether a Poisson rate model is usable at
+    all; companion to `hourly_uniformity` (within-day shape) and
+    `autocorr_lag1` (serial order).
+
+    Days observed per type are the observations (dormant days carry
+    no row — documented). The dispersion is the exact-integer
+    identity (N*S2 - S^2) / ((N-1)*S) — one division, everything
+    else BIGINT; mean is S/N."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return m.where(F.col("n_days") >= 2).select(
+        "event_type",
+        "n_days",
+        "s",
+        F.round(
+            F.col("s").cast("double") / F.col("n_days").cast("double"),
+            6,
+        ).alias("mean_daily"),
+        F.round(
+            (F.col("n_days") * F.col("s2") - F.col("s") * F.col("s"))
+            .cast("double")
+            / ((F.col("n_days") - 1) * F.col("s")).cast("double"),
+            6,
+        ).alias("fano"),
+    )
+
+
+SQL_FANO_FACTOR = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, s,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE),
+             6) AS mean_daily,
+       round(CAST(n_days * s2 - s * s AS DOUBLE)
+             / CAST((n_days - 1) * s AS DOUBLE), 6) AS fano
+FROM m WHERE n_days >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13926,6 +14583,10 @@ REGISTRY: dict[str, tuple] = {
     # enters at the top under the same rule; the six
     # further-displaced keys are ALL-GREEN in the committed 247-key
     # sf0.01 sweep at the pack-#29 HEAD (BENCH/sweeps_r03.jsonl).
+    # Pack #31 (6 new keys: mann_kendall, l_moments, runs_test,
+    # hill_tail, dow_anova, fano_factor) enters at the top under the
+    # same rule; the six further-displaced keys are ALL-GREEN in the
+    # committed sweeps at the pack-#29 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #29 —
@@ -13939,6 +14600,14 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #30 —
     #    temporal/association statistics --
     "autocorr_lag1": (q_autocorr_lag1, SQL_AUTOCORR_LAG1),
+    # -- new r3 continuation (this session): feature-eng pack #31 —
+    #    robust/nonparametric statistics --
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "l_moments": (q_l_moments, SQL_L_MOMENTS),
+    "runs_test": (q_runs_test, SQL_RUNS_TEST),
+    "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
+    "dow_anova": (q_dow_anova, SQL_DOW_ANOVA),
+    "fano_factor": (q_fano_factor, SQL_FANO_FACTOR),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "activity_drawdown": (q_activity_drawdown, SQL_ACTIVITY_DRAWDOWN),
     "max_concurrency": (q_max_concurrency, SQL_MAX_CONCURRENCY),
