@@ -237,6 +237,13 @@ HEADLINE = [
     "hill_tail",
     "dow_anova",
     "fano_factor",
+    # added r3 (continuation): pack #32 drift/EVT/NLP statistics
+    "jsd_drift",
+    "block_maxima",
+    "log_odds_terms",
+    "pareto_front",
+    "sax_words",
+    "transition_entropy",
 ]
 
 

@@ -14498,6 +14498,617 @@ FROM m WHERE n_days >= 2
 """
 
 
+def q_jsd_drift(spark, sf_dir):
+    """Per-source JENSEN-SHANNON divergence between the source's
+    token distribution and the REST of the corpus — the bounded
+    [0, ln 2], symmetric drift statistic next to `tvd_drift`'s L1
+    and `psi_drift`'s bins; JSD is what dedup/mixture papers
+    actually report.
+
+    Same (source, token) agg + complement identity as tvd_drift:
+    tokens the source never emits contribute exactly
+    (ln 2) * q(t) each, so their total is (ln 2)*(n_r - cr_seen)/n_r
+    in closed form and only source-seen tokens materialize. Each
+    seen token's p*ln(p/m) + q*ln(q/m) is one fixed double
+    expression fixed to integer ppb before the cross-token sum —
+    association order cannot move the hash."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    tot = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    n_s = st.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n_all = tot.agg(F.sum("c_all").alias("n_all"))
+    j = (
+        st.join(tot, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_r"),
+            "c_s",
+            (F.col("c_all") - F.col("c_s")).alias("c_r"),
+        )
+    )
+    term = F.expr(
+        "CAST(round(1e9 * ("
+        "  (CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))"
+        "  * ln((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))"
+        "       / ((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)"
+        "           + CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE)) / 2))"
+        "  + CASE WHEN c_r > 0 THEN"
+        "      (CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+        "      * ln((CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+        "           / ((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)"
+        "               + CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+        "              / 2))"
+        "    ELSE 0.0 END"
+        ")) AS BIGINT)"
+    )
+    per = (
+        j.withColumn("term_ppb", term)
+        .groupBy("source", "n_s", "n_r")
+        .agg(
+            F.sum("term_ppb").cast("bigint").alias("sum_ppb"),
+            F.sum("c_r").cast("bigint").alias("cr_seen"),
+        )
+    )
+    jsd = (
+        F.col("sum_ppb").cast("double") / F.lit(1e9)
+        + F.lit(0.6931471805599453)
+        * (F.col("n_r") - F.col("cr_seen")).cast("double")
+        / F.col("n_r").cast("double")
+    ) / F.lit(2.0)
+    return per.where(F.col("n_r") > 0).select(
+        "source", "n_s", F.round(jsd, 6).alias("jsd")
+    )
+
+
+SQL_JSD_DRIFT = """
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c_s
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_all
+  FROM tok GROUP BY 1
+), ns AS (
+  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY 1
+), na AS (
+  SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM tot
+), j AS (
+  SELECT st.source, ns.n_s, na.n_all - ns.n_s AS n_r,
+         st.c_s, tot.c_all - st.c_s AS c_r
+  FROM st
+  JOIN tot ON st.token = tot.token
+  JOIN ns ON st.source = ns.source
+  CROSS JOIN na
+), per AS (
+  SELECT source, n_s, n_r,
+         CAST(sum(CAST(round(1e9 * (
+             (CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+             * ln((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE))
+                  / ((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+                      + CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                     / 2))
+             + CASE WHEN c_r > 0 THEN
+                 (CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                 * ln((CAST(c_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                      / ((CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+                          + CAST(c_r AS DOUBLE)
+                            / CAST(n_r AS DOUBLE)) / 2))
+               ELSE 0.0 END
+           )) AS BIGINT)) AS BIGINT) AS sum_ppb,
+         CAST(sum(c_r) AS BIGINT) AS cr_seen
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT source, n_s,
+       round((CAST(sum_ppb AS DOUBLE) / 1e9
+              + 0.6931471805599453
+                * CAST(n_r - cr_seen AS DOUBLE)
+                / CAST(n_r AS DOUBLE)) / 2.0, 6) AS jsd
+FROM per WHERE n_r > 0
+"""
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def q_block_maxima(spark, sf_dir):
+    """Per-event-type GUMBEL fit of 30-day BLOCK MAXIMA of daily
+    counts — the extreme-value method-of-moments (scale =
+    sqrt(6*var)/pi, location = mean - gamma*scale) that turns 'how
+    bad was the worst day' into a return-level model. The
+    block-maxima complement to `hill_tail`'s peaks-over-threshold.
+
+    Blocks are epoch-day div 30 (identical integer arithmetic both
+    engines — no calendar edge cases); block maxima, the moment sums
+    and the variance numerator n*S2 - S^2 are exact BIGINTs; loc and
+    scale are one fixed double expression each."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    blocks = daily.withColumn(
+        "blk", F.expr("d div 30").cast("bigint")
+    ).groupBy("event_type", "blk").agg(
+        F.max("c").cast("bigint").alias("m")
+    )
+    agg = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.max("m").cast("bigint").alias("max_daily"),
+        F.sum("m").cast("bigint").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2"),
+    )
+    varn = (
+        F.col("n_blocks") * F.col("s2") - F.col("s") * F.col("s")
+    ).cast("bigint")
+    agg = agg.withColumn("varn", varn)
+    var = F.col("varn").cast("double") / (
+        F.col("n_blocks") * (F.col("n_blocks") - 1)
+    ).cast("double")
+    scale = F.sqrt(F.lit(6.0) * var) / F.lit(3.141592653589793)
+    mean = F.col("s").cast("double") / F.col("n_blocks").cast("double")
+    return agg.where(
+        (F.col("n_blocks") >= 3) & (F.col("varn") > 0)
+    ).select(
+        "event_type",
+        "n_blocks",
+        "max_daily",
+        F.round(mean - F.lit(_EULER_GAMMA) * scale, 6).alias(
+            "gumbel_loc"
+        ),
+        F.round(scale, 6).alias("gumbel_scale"),
+    )
+
+
+SQL_BLOCK_MAXIMA = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), blocks AS (
+  SELECT event_type, CAST(d // 30 AS BIGINT) AS blk,
+         CAST(max(c) AS BIGINT) AS m
+  FROM daily GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(max(m) AS BIGINT) AS max_daily,
+         CAST(sum(m) AS BIGINT) AS s,
+         CAST(sum(m * m) AS BIGINT) AS s2
+  FROM blocks GROUP BY 1
+)
+SELECT event_type, n_blocks, max_daily,
+       round(CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt(6.0 * (CAST(n_blocks * s2 - s * s AS DOUBLE)
+                              / CAST(n_blocks * (n_blocks - 1)
+                                     AS DOUBLE)))
+                  / 3.141592653589793), 6) AS gumbel_loc,
+       round(sqrt(6.0 * (CAST(n_blocks * s2 - s * s AS DOUBLE)
+                         / CAST(n_blocks * (n_blocks - 1) AS DOUBLE)))
+             / 3.141592653589793, 6) AS gumbel_scale
+FROM agg WHERE n_blocks >= 3 AND n_blocks * s2 - s * s > 0
+"""
+
+
+_LOGODDS_ALPHA = 0.5
+_LOGODDS_TOPK = 5
+
+
+def q_log_odds_terms(spark, sf_dir):
+    """Per-source TOP-5 distinguishing tokens by z-scored WEIGHTED
+    LOG-ODDS with a Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    'Fightin' Words') — the corpus-comparison term ranking that,
+    unlike `chi2_terms` and `tfidf_topk`, is variance-stabilized so
+    rare tokens can't dominate.
+
+    delta = ln-odds(source) - ln-odds(rest) with alpha = 0.5 and the
+    V*alpha prior mass in each denominator; sigma^2 = 1/(y_s+alpha)
+    + 1/(y_r+alpha); rank on the raw z (ties break on token) inside
+    a per-source window, round for output only. V (global vocab) and
+    corpus totals broadcast; only (source, token) rows materialize."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y_s")
+    )
+    tot = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    n_s = st.groupBy("source").agg(F.sum("y_s").alias("n_s"))
+    g = tot.agg(
+        F.sum("c_all").cast("bigint").alias("n_all"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    j = (
+        st.join(tot, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "token",
+            "y_s",
+            (F.col("c_all") - F.col("y_s")).alias("y_r"),
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_r"),
+            "v",
+        )
+    )
+    a = F.lit(_LOGODDS_ALPHA)
+    va = F.col("v").cast("double") * a
+    ys = F.col("y_s").cast("double") + a
+    yr = F.col("y_r").cast("double") + a
+    ds = F.col("n_s").cast("double") + va - ys
+    dr = F.col("n_r").cast("double") + va - yr
+    z = (F.log(ys / ds) - F.log(yr / dr)) / F.sqrt(
+        F.lit(1.0) / ys + F.lit(1.0) / yr
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("z").desc(), F.col("token")
+    )
+    ranked = (
+        j.withColumn("z", z)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _LOGODDS_TOPK)
+    )
+    return ranked.select(
+        "source",
+        F.col("rk").cast("bigint").alias("rk"),
+        "token",
+        "y_s",
+        F.round(F.col("z"), 6).alias("z_logodds"),
+    )
+
+
+SQL_LOG_ODDS_TERMS = f"""
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS y_s
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_all
+  FROM tok GROUP BY 1
+), ns AS (
+  SELECT source, CAST(sum(y_s) AS BIGINT) AS n_s FROM st GROUP BY 1
+), g AS (
+  SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+         CAST(count(*) AS BIGINT) AS v
+  FROM tot
+), z AS (
+  SELECT st.source, st.token, st.y_s,
+         (ln((CAST(st.y_s AS DOUBLE) + {_LOGODDS_ALPHA})
+             / (CAST(ns.n_s AS DOUBLE)
+                + CAST(g.v AS DOUBLE) * {_LOGODDS_ALPHA}
+                - (CAST(st.y_s AS DOUBLE) + {_LOGODDS_ALPHA})))
+          - ln((CAST(tot.c_all - st.y_s AS DOUBLE) + {_LOGODDS_ALPHA})
+               / (CAST(g.n_all - ns.n_s AS DOUBLE)
+                  + CAST(g.v AS DOUBLE) * {_LOGODDS_ALPHA}
+                  - (CAST(tot.c_all - st.y_s AS DOUBLE)
+                     + {_LOGODDS_ALPHA}))))
+         / sqrt(1.0 / (CAST(st.y_s AS DOUBLE) + {_LOGODDS_ALPHA})
+                + 1.0 / (CAST(tot.c_all - st.y_s AS DOUBLE)
+                         + {_LOGODDS_ALPHA})) AS zv
+  FROM st
+  JOIN tot ON st.token = tot.token
+  JOIN ns ON st.source = ns.source
+  CROSS JOIN g
+), ranked AS (
+  SELECT source, token, y_s, zv,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY zv DESC, token) AS rk
+  FROM z
+)
+SELECT source, CAST(rk AS BIGINT) AS rk, token, y_s,
+       round(zv, 6) AS z_logodds
+FROM ranked WHERE rk <= {_LOGODDS_TOPK}
+"""
+
+
+def q_pareto_front(spark, sf_dir):
+    """Per-source PARETO FRONT (skyline) of documents on
+    (n_chars, distinct-token vocabulary) — the docs no other doc in
+    the source beats on BOTH length and lexical diversity: the
+    'keep the efficient frontier' selection rule for exemplar
+    mining, and the classic skyline operator SQL lacks.
+
+    Vocabulary is a JVM higher-order expression (split -> filter ->
+    array_distinct -> size — no explode, no shuffle). The skyline
+    uses one partition-local RANGE window: a doc survives iff its
+    vocab exceeds max(vocab) over all docs with STRICTLY greater
+    n_chars (RANGE ... 1 PRECEDING under the descending order —
+    value-based, so equal-length docs never dominate each other).
+    Dominance ties on both axes keep all tied docs (weak
+    dominance)."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.col("text")), "\\s+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+    ).cast("bigint")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        vocab.alias("vocab"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sky = base.withColumn("best_longer", F.max("vocab").over(w))
+    return sky.where(
+        F.col("best_longer").isNull()
+        | (F.col("vocab") > F.col("best_longer"))
+    ).select("source", "doc_id", "n_chars", "vocab")
+
+
+SQL_PARETO_FRONT = """
+WITH base AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(length(list_distinct(list_filter(
+                string_split_regex(trim(text), '\\s+'),
+                x -> x <> ''))) AS BIGINT) AS vocab
+  FROM documents
+), sky AS (
+  SELECT source, doc_id, n_chars, vocab,
+         max(vocab) OVER (PARTITION BY source ORDER BY n_chars DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_longer
+  FROM base
+)
+SELECT source, doc_id, n_chars, vocab
+FROM sky WHERE best_longer IS NULL OR vocab > best_longer
+"""
+
+
+_SAX_DAYS = 32
+_SAX_BP = 0.6744897501960817  # N(0,1) upper-quartile breakpoint
+
+
+def q_sax_words(spark, sf_dir):
+    """Per-user SAX WORD — the Symbolic Aggregate approXimation of
+    the first 32 active days' counts: z-normalize against the
+    window's exact moments, then map each day to a quartile letter
+    (a < -0.674 < b < 0 < c < 0.674 < d). The discretized shape
+    signature used for time-series indexing/motif search; two users
+    with the same word have the same weekly rhythm regardless of
+    volume.
+
+    The day cap bounds the per-user frame; moments are exact BIGINT
+    sums so mu/sigma are single fixed double expressions, and the
+    letters come from double comparisons both engines evaluate on
+    identical values. The word assembles with an ordered string agg
+    (array_sort on (day, letter) structs — deterministic)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wseq = Window.partitionBy("user_id").orderBy("d")
+    head = daily.withColumn(
+        "rk", F.row_number().over(wseq)
+    ).where(F.col("rk") <= _SAX_DAYS)
+    m = head.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    ).withColumn(
+        "varn",
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+            "bigint"
+        ),
+    ).where((F.col("n") >= 4) & (F.col("varn") > 0))
+    j = head.join(m, "user_id")
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.col("varn").cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    z = (F.col("c").cast("double") - mu) / sd
+    letter = (
+        F.when(z < F.lit(-_SAX_BP), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(_SAX_BP), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    per = j.withColumn("letter", letter)
+    return (
+        per.groupBy("user_id", "n")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("d"), F.col("letter"))
+                        )
+                    ),
+                    lambda x: x.getField("letter"),
+                ),
+            ).alias("sax_word")
+        )
+        .select("user_id", F.col("n").alias("n_days"), "sax_word")
+    )
+
+
+SQL_SAX_WORDS = f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), head AS (
+  SELECT user_id, d, c
+  FROM (SELECT user_id, d, c,
+               row_number() OVER (PARTITION BY user_id ORDER BY d)
+                 AS rk
+        FROM daily) t
+  WHERE rk <= {_SAX_DAYS}
+), m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM head GROUP BY 1
+), mm AS (
+  SELECT user_id, n, s, s2,
+         CAST(n * s2 - s * s AS BIGINT) AS varn
+  FROM m
+  WHERE n >= 4 AND n * s2 - s * s > 0
+), lettered AS (
+  SELECT h.user_id, mm.n, h.d,
+         CASE
+           WHEN (CAST(h.c AS DOUBLE)
+                 - CAST(mm.s AS DOUBLE) / CAST(mm.n AS DOUBLE))
+                / sqrt(CAST(mm.varn AS DOUBLE)
+                       / CAST(mm.n * (mm.n - 1) AS DOUBLE))
+                < -{_SAX_BP} THEN 'a'
+           WHEN (CAST(h.c AS DOUBLE)
+                 - CAST(mm.s AS DOUBLE) / CAST(mm.n AS DOUBLE))
+                / sqrt(CAST(mm.varn AS DOUBLE)
+                       / CAST(mm.n * (mm.n - 1) AS DOUBLE))
+                < 0.0 THEN 'b'
+           WHEN (CAST(h.c AS DOUBLE)
+                 - CAST(mm.s AS DOUBLE) / CAST(mm.n AS DOUBLE))
+                / sqrt(CAST(mm.varn AS DOUBLE)
+                       / CAST(mm.n * (mm.n - 1) AS DOUBLE))
+                < {_SAX_BP} THEN 'c'
+           ELSE 'd'
+         END AS letter
+  FROM head h JOIN mm ON h.user_id = mm.user_id
+)
+SELECT user_id, n AS n_days,
+       string_agg(letter, '' ORDER BY d) AS sax_word
+FROM lettered GROUP BY 1, 2
+"""
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Per-user CONDITIONAL ENTROPY of event-type transitions —
+    H(next | prev) over the user's chronologically ordered event
+    stream: 0 for deterministic state machines (bots), high for
+    exploratory humans. The information-theoretic reduction of the
+    `event_transitions` Markov-bigram counts.
+
+    One partition-local lag window builds the bigrams; H*T =
+    sum n_pn * ln(n_p / n_pn) over the per-(prev, next) counts —
+    each term is one fixed double expression from two BIGINTs,
+    ppm-fixed before the cross-row sum (association-order-proof),
+    with the single division by T at the end."""
+    e = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bg = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(wseq))
+        .where(F.col("prev").isNotNull())
+        .groupBy("user_id", "prev", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pn"))
+    )
+    np_ = bg.groupBy("user_id", "prev").agg(
+        F.sum("n_pn").cast("bigint").alias("n_p")
+    )
+    terms = bg.join(np_, ["user_id", "prev"]).select(
+        "user_id",
+        "n_pn",
+        F.expr(
+            "CAST(round(1e6 * CAST(n_pn AS DOUBLE)"
+            " * ln(CAST(n_p AS DOUBLE) / CAST(n_pn AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("term_ppm"),
+    )
+    agg = terms.groupBy("user_id").agg(
+        F.sum("n_pn").cast("bigint").alias("n_trans"),
+        F.sum("term_ppm").cast("bigint").alias("sum_ppm"),
+    )
+    return agg.select(
+        "user_id",
+        "n_trans",
+        F.round(
+            F.col("sum_ppm").cast("double")
+            / (F.lit(1e6) * F.col("n_trans").cast("double")),
+            6,
+        ).alias("h_cond"),
+    )
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH bg AS (
+  SELECT user_id, prev, event_type AS nxt,
+         CAST(count(*) AS BIGINT) AS n_pn
+  FROM (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events) t
+  WHERE prev IS NOT NULL
+  GROUP BY 1, 2, 3
+), np AS (
+  SELECT user_id, prev, CAST(sum(n_pn) AS BIGINT) AS n_p
+  FROM bg GROUP BY 1, 2
+), terms AS (
+  SELECT bg.user_id, bg.n_pn,
+         CAST(round(1e6 * CAST(bg.n_pn AS DOUBLE)
+                    * ln(CAST(np.n_p AS DOUBLE)
+                         / CAST(bg.n_pn AS DOUBLE))) AS BIGINT)
+           AS term_ppm
+  FROM bg JOIN np
+    ON bg.user_id = np.user_id AND bg.prev = np.prev
+)
+SELECT user_id,
+       CAST(sum(n_pn) AS BIGINT) AS n_trans,
+       round(CAST(sum(term_ppm) AS DOUBLE)
+             / (1e6 * CAST(sum(n_pn) AS DOUBLE)), 6) AS h_cond
+FROM terms GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -14587,6 +15198,10 @@ REGISTRY: dict[str, tuple] = {
     # hill_tail, dow_anova, fano_factor) enters at the top under the
     # same rule; the six further-displaced keys are ALL-GREEN in the
     # committed sweeps at the pack-#29 HEAD.
+    # Pack #32 (6 new keys: jsd_drift, block_maxima, log_odds_terms,
+    # pareto_front, sax_words, transition_entropy) enters at the top
+    # under the same rule; the six further-displaced keys are
+    # ALL-GREEN in the committed sweeps at the pack-#29 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #29 —
@@ -14603,6 +15218,14 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #31 —
     #    robust/nonparametric statistics --
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    # -- new r3 continuation (this session): feature-eng pack #32 —
+    #    drift/EVT/NLP statistics --
+    "jsd_drift": (q_jsd_drift, SQL_JSD_DRIFT),
+    "block_maxima": (q_block_maxima, SQL_BLOCK_MAXIMA),
+    "log_odds_terms": (q_log_odds_terms, SQL_LOG_ODDS_TERMS),
+    "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
+    "sax_words": (q_sax_words, SQL_SAX_WORDS),
+    "transition_entropy": (q_transition_entropy, SQL_TRANSITION_ENTROPY),
     "l_moments": (q_l_moments, SQL_L_MOMENTS),
     "runs_test": (q_runs_test, SQL_RUNS_TEST),
     "hill_tail": (q_hill_tail, SQL_HILL_TAIL),
