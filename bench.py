@@ -244,6 +244,13 @@ HEADLINE = [
     "pareto_front",
     "sax_words",
     "transition_entropy",
+    # added r3 (continuation): pack #33 resample/window mechanics
+    "time_weighted_avg",
+    "ohlc_bars",
+    "win_percentile_dist",
+    "interp_linear",
+    "streak_lengths",
+    "session_paths",
 ]
 
 

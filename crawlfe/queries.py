@@ -15109,6 +15109,465 @@ FROM terms GROUP BY 1
 """
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Per-user TIME-WEIGHTED average event value — each value holds
+    until the next event, so the mean weights by holding duration
+    (the IoT/finance resampling rule; an arithmetic mean over
+    irregular timestamps is biased toward burst periods). The
+    last event has no successor and drops, per the standard
+    left-closed convention.
+
+    One partition-local lead window builds the holding intervals;
+    value cents x interval MILLISECONDS keeps every product under
+    2^62 (microseconds would overflow on multi-year spans), so
+    numerator and denominator are exact BIGINTs and the average is
+    one rounded division."""
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        e.select(
+            "user_id",
+            _us("ts").alias("us"),
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn(
+            "next_us",
+            F.lead("us").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "user_id",
+            "cents",
+            F.expr("(next_us - us) div 1000").alias("w_ms"),
+        )
+    )
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("cents") * F.col("w_ms"))
+        .cast("bigint")
+        .alias("num"),
+        F.sum("w_ms").cast("bigint").alias("den"),
+    )
+    return agg.where(F.col("den") > 0).select(
+        "user_id",
+        "n_intervals",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"),
+            6,
+        ).alias("twa_cents"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+          - epoch_us(ts)) // 1000 AS w_ms
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(cents * w_ms) AS BIGINT) AS num,
+         CAST(sum(w_ms) AS BIGINT) AS den
+  FROM iv WHERE w_ms IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_intervals,
+       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         AS twa_cents
+FROM agg WHERE den > 0
+"""
+
+
+def q_ohlc_bars(spark, sf_dir):
+    """Per-(user, day) OHLC RESAMPLING of event values — open/high/
+    low/close in exact cents plus the bar's event count: the
+    irregular-to-regular downsampling primitive every time-series
+    feature store starts from (candlesticks for markets, daily
+    activity bars here).
+
+    Open/close are conditional aggregates over a per-(user, day)
+    row_number pair (first/last by (ts, event_id) — fully
+    deterministic, no min_by/arg_min engine-semantics risk); high/
+    low are plain min/max. One window + one hash agg, both keyed on
+    (user_id, day) — the natural partitioning."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wasc = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("user_id", "d").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = base.withColumn("rka", F.row_number().over(wasc)).withColumn(
+        "rkd", F.row_number().over(wdesc)
+    )
+    return r.groupBy("user_id", "d").agg(
+        F.max(F.when(F.col("rka") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open"),
+        F.max("cents").cast("bigint").alias("high"),
+        F.min("cents").cast("bigint").alias("low"),
+        F.max(F.when(F.col("rkd") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+SQL_OHLC_BARS = """
+WITH base AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT user_id, d, cents,
+         row_number() OVER (PARTITION BY user_id, d
+                            ORDER BY ts, event_id) AS rka,
+         row_number() OVER (PARTITION BY user_id, d
+                            ORDER BY ts DESC, event_id DESC) AS rkd
+  FROM base
+)
+SELECT user_id, d,
+       CAST(max(CASE WHEN rka = 1 THEN cents END) AS BIGINT) AS open,
+       CAST(max(cents) AS BIGINT) AS high,
+       CAST(min(cents) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rkd = 1 THEN cents END) AS BIGINT) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_win_percentile_dist(spark, sf_dir):
+    """percent_rank + cume_dist distribution windows over event
+    value within each event type — the remaining two SQL-standard
+    distribution window functions (`win_ntile` covered ntile;
+    `win_rank` the ranking trio). Both are tie-aware by the SQL
+    definition, so the (value, event_id) ordering matters only for
+    row identity, not the emitted fractions.
+
+    One partition-local window keyed on event_type; rounded to 6 in
+    both engines."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    return base.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WIN_PERCENTILE_DIST = """
+SELECT event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(round(value * 100)
+                                                AS BIGINT)),
+             6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY CAST(round(value * 100)
+                                             AS BIGINT)),
+             6) AS cume
+FROM events
+"""
+
+
+def q_interp_linear(spark, sf_dir):
+    """LINEAR-interpolation gap fill of each user's daily net value
+    — the missing days between two observed days get the straight-
+    line value (prev + (next - prev) * (d - d_prev)/(d_next -
+    d_prev)): the numeric-series companion to `backfill`'s
+    forward-fill (ffill is right for states, interpolation for
+    level measurements).
+
+    Grid days come from one sequence() explode per user (bounded by
+    the corpus day span); the bracketing observed (day, value)
+    pairs come from two partition-local ignorenulls windows over
+    the same grid; daily sums are exact cents, so the interpolation
+    is one fixed double expression on BIGINT inputs. Leading/
+    trailing unobserved days have no bracket and drop (inner
+    interpolation only, like pandas interpolate(limit_area=
+    'inside'))."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"),
+    )
+    g = grid.join(daily, ["user_id", "d"], "left")
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    b = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wprev))
+        .withColumn("pd", F.last(obs_d, ignorenulls=True).over(wprev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wnext))
+        .withColumn("nd", F.first(obs_d, ignorenulls=True).over(wnext))
+    )
+    interp = F.when(
+        F.col("v").isNotNull(), F.col("v").cast("double")
+    ).otherwise(
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * (F.col("d") - F.col("pd")).cast("double")
+        / (F.col("nd") - F.col("pd")).cast("double")
+    )
+    return b.where(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    ).select(
+        "user_id",
+        "d",
+        F.round(interp, 6).alias("value_cents"),
+        F.col("v").isNotNull().alias("is_observed"),
+    )
+
+
+SQL_INTERP_LINEAR = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span
+), g AS (
+  SELECT grid.user_id, grid.d, daily.v
+  FROM grid LEFT JOIN daily
+    ON grid.user_id = daily.user_id AND grid.d = daily.d
+), b AS (
+  SELECT user_id, d, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS pd,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nd
+  FROM g
+)
+SELECT user_id, d,
+       round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                  ELSE CAST(pv AS DOUBLE)
+                       + CAST(nv - pv AS DOUBLE)
+                         * CAST(d - pd AS DOUBLE)
+                         / CAST(nd - pd AS DOUBLE)
+             END, 6) AS value_cents,
+       v IS NOT NULL AS is_observed
+FROM b WHERE pv IS NOT NULL AND nv IS NOT NULL
+"""
+
+
+def q_streak_lengths(spark, sf_dir):
+    """Per-user ACTIVITY STREAKS — longest run of consecutive active
+    days, the number of distinct streaks, and the final streak's
+    length (the 'current streak' as of the corpus horizon): the
+    gamification/engagement feature, and the canonical
+    GAPS-AND-ISLANDS identity-difference trick (d - row_number() is
+    constant exactly within a run of consecutive days).
+
+    One partition-local rank window on the per-(user, day) table,
+    one island agg, one final rollup — all keyed on user_id. No
+    self-joins, no sequences."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.max("d").cast("bigint").alias("end_d"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest"),
+        F.max_by("len", "end_d").cast("bigint").alias("last_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+SQL_STREAK_LENGTHS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d
+  FROM events
+), isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+           AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp,
+         CAST(count(*) AS BIGINT) AS len,
+         CAST(max(d) AS BIGINT) AS end_d
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest,
+       CAST(arg_max(len, end_d) AS BIGINT) AS last_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY 1
+"""
+
+
+_PATH_LEN = 4
+
+
+def q_session_paths(spark, sf_dir):
+    """TOP SESSION PATHS — the corpus-wide frequency table of each
+    session's first four event types joined with '>' (the
+    clickstream 'what do sessions look like' report; the path-shape
+    complement to `session_funnel`'s fixed-pattern matching).
+
+    Sessions come from the engine's gap sessionizer; the path
+    assembles from an array_sort over (ts, event_id, type) structs
+    (deterministic under concurrent timestamps), sliced to 4. One
+    grouped path agg + a broadcast one-row total for the share."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = W.sessionize(ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x.getField("event_type"),
+                ),
+                1,
+                _PATH_LEN,
+            ),
+        ).alias("path")
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+SQL_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_id
+  FROM flagged
+), ranked AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rk
+  FROM sess
+), per AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rk) AS path
+  FROM ranked WHERE rk <= {_PATH_LEN}
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM per
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(CAST(count(*) AS DOUBLE) / CAST(max(t.n_total) AS DOUBLE),
+             6) AS share
+FROM per CROSS JOIN tot t
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -15202,6 +15661,11 @@ REGISTRY: dict[str, tuple] = {
     # pareto_front, sax_words, transition_entropy) enters at the top
     # under the same rule; the six further-displaced keys are
     # ALL-GREEN in the committed sweeps at the pack-#29 HEAD.
+    # Pack #33 (6 new keys: time_weighted_avg, ohlc_bars,
+    # win_percentile_dist, interp_linear, streak_lengths,
+    # session_paths) enters at the top under the same rule; the six
+    # further-displaced keys are ALL-GREEN in the committed sweeps at
+    # the pack-#29 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #29 —
@@ -15221,6 +15685,17 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #32 —
     #    drift/EVT/NLP statistics --
     "jsd_drift": (q_jsd_drift, SQL_JSD_DRIFT),
+    # -- new r3 continuation (this session): feature-eng pack #33 —
+    #    resample/window mechanics --
+    "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
+    "win_percentile_dist": (
+        q_win_percentile_dist,
+        SQL_WIN_PERCENTILE_DIST,
+    ),
+    "interp_linear": (q_interp_linear, SQL_INTERP_LINEAR),
+    "streak_lengths": (q_streak_lengths, SQL_STREAK_LENGTHS),
+    "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "block_maxima": (q_block_maxima, SQL_BLOCK_MAXIMA),
     "log_odds_terms": (q_log_odds_terms, SQL_LOG_ODDS_TERMS),
     "pareto_front": (q_pareto_front, SQL_PARETO_FRONT),
