@@ -251,6 +251,13 @@ HEADLINE = [
     "interp_linear",
     "streak_lengths",
     "session_paths",
+    # added r3 (continuation): pack #34 cross-series/funnel/forecast
+    "type_corr_matrix",
+    "semi_additive",
+    "time_to_convert",
+    "abandonment",
+    "seasonal_naive_mae",
+    "gap_percentiles",
 ]
 
 

@@ -15568,6 +15568,541 @@ GROUP BY 1
 """
 
 
+def q_type_corr_matrix(spark, sf_dir):
+    """Cross-series PEARSON CORRELATION MATRIX of daily event counts
+    between every pair of event types (upper triangle, long-form) —
+    'do purchases move with clicks day-to-day?'. The multi-series
+    alignment pattern (inner-join two derived series on the day key)
+    that `grouped_corr` (two columns of one row) and `autocorr_lag1`
+    (one series vs its own lag) don't cover.
+
+    Days observed by BOTH types pair via one equi join on (day);
+    the five moment sums are exact BIGINTs and the correlation is
+    the n*Sxy - Sx*Sy identity — the only float ops are one sqrt of
+    a product of exactly-cast doubles and one division. Output is
+    C(types, 2) rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("bigint")
+    deny = (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("bigint")
+    return (
+        m.withColumn("denx", denx)
+        .withColumn("deny", deny)
+        .where(
+            (F.col("n") >= 2)
+            & (F.col("denx") > 0)
+            & (F.col("deny") > 0)
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n").alias("n_days"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(
+                    F.col("denx").cast("double")
+                    * F.col("deny").cast("double")
+                ),
+                6,
+            ).alias("corr"),
+        )
+    )
+
+
+SQL_TYPE_CORR_MATRIX = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.c AS x, b.c AS y
+  FROM daily a JOIN daily b
+    ON a.d = b.d AND a.event_type < b.event_type
+), m AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS corr
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+def q_semi_additive(spark, sf_dir):
+    """MONTH-END BALANCE rollup — the SEMI-ADDITIVE measure pattern:
+    each user's LAST event value in the month is their closing
+    balance; balances sum across users (additive over entities) but
+    never across time (a quarter's balance is the last month's, not
+    the sum). The snapshot-fact aggregation every BI layer special-
+    cases, built from one per-(user, month) last-row pick.
+
+    The closing row comes from a deterministic (ts, event_id)-desc
+    row_number per (user, month) — month key is year*100 + month
+    (identical integer arithmetic both engines). Sums are exact
+    cents."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        (
+            F.year("ts").cast("bigint") * 100
+            + F.month("ts").cast("bigint")
+        ).alias("ym"),
+        "ts",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "ym").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    closing = (
+        base.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "ym", F.col("cents").alias("balance"))
+    )
+    return closing.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("balance").cast("bigint").alias("total_balance"),
+        F.max("balance").cast("bigint").alias("max_balance"),
+    )
+
+
+SQL_SEMI_ADDITIVE = """
+WITH base AS (
+  SELECT user_id,
+         CAST(CAST(year(ts) AS BIGINT) * 100
+              + CAST(month(ts) AS BIGINT) AS BIGINT) AS ym,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), closing AS (
+  SELECT user_id, ym, cents AS balance
+  FROM (SELECT user_id, ym, cents,
+               row_number() OVER (PARTITION BY user_id, ym
+                                  ORDER BY ts DESC, event_id DESC)
+                 AS rk
+        FROM base) t
+  WHERE rk = 1
+)
+SELECT ym,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(balance) AS BIGINT) AS total_balance,
+       CAST(max(balance) AS BIGINT) AS max_balance
+FROM closing GROUP BY 1
+"""
+
+
+def q_time_to_convert(spark, sf_dir):
+    """Per-user CLICK-TO-PURCHASE latency — within each gap-session,
+    the microsecond gap from the session's first click to the first
+    purchase at-or-after it; per user, the conversion count and the
+    exact LOWER-MEDIAN gap in seconds. The time-dimension complement
+    to `session_funnel`'s pattern matching and `attribution`'s
+    credit assignment.
+
+    Everything keys on (user, session): two conditional-min
+    aggregates pick the click/purchase anchors, the median is a
+    rank pick over the user's conversion gaps (bounded by sessions
+    per user), and the only division is the exact µs → seconds
+    integer div."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = W.sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S
+    ).select(
+        "user_id",
+        "session_id",
+        _us("ts").alias("us"),
+        "event_type",
+    )
+    anchors = s.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).alias("click_us")
+    )
+    conv = (
+        s.join(anchors, ["user_id", "session_id"])
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("click_us").isNotNull()
+            & (F.col("us") >= F.col("click_us"))
+        )
+        .groupBy("user_id", "session_id", "click_us")
+        .agg(F.min("us").alias("purchase_us"))
+        .select(
+            "user_id",
+            F.expr("(purchase_us - click_us) div 1000000")
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+    wrk = Window.partitionBy("user_id").orderBy("gap_s")
+    wcnt = Window.partitionBy("user_id")
+    ranked = conv.withColumn(
+        "rk", F.row_number().over(wrk)
+    ).withColumn("n_conv", F.count(F.lit(1)).over(wcnt))
+    return ranked.where(
+        F.col("rk") == F.expr("(n_conv + 1) div 2")
+    ).select(
+        "user_id",
+        F.col("n_conv").cast("bigint").alias("n_conversions"),
+        F.col("gap_s").alias("median_gap_s"),
+    )
+
+
+SQL_TIME_TO_CONVERT = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_id
+  FROM flagged
+), anchors AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'click' THEN us END) AS click_us
+  FROM sess GROUP BY 1, 2
+), conv AS (
+  SELECT s.user_id,
+         CAST((min(s.us) - a.click_us) // 1000000 AS BIGINT) AS gap_s
+  FROM sess s
+  JOIN anchors a
+    ON s.user_id = a.user_id AND s.session_id = a.session_id
+  WHERE s.event_type = 'purchase' AND a.click_us IS NOT NULL
+    AND s.us >= a.click_us
+  GROUP BY s.user_id, s.session_id, a.click_us
+), ranked AS (
+  SELECT user_id, gap_s,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap_s)
+           AS rk,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_conv
+  FROM conv
+)
+SELECT user_id, n_conv AS n_conversions, gap_s AS median_gap_s
+FROM ranked WHERE rk = (n_conv + 1) // 2
+"""
+
+
+def q_abandonment(spark, sf_dir):
+    """Per-user SESSION ABANDONMENT — of the gap-sessions containing
+    a click, the fraction with NO purchase at-or-after the first
+    click: the conversion-funnel drop-off rate, exact-rational until
+    one rounded division. The rate summary over the same
+    (session, anchor) structure as `time_to_convert`.
+
+    One sessionize pass, one per-session conditional agg, one
+    per-user rollup — every shuffle keys on user_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s = W.sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=SESSION_GAP_S
+    ).select(
+        "user_id", "session_id", _us("ts").alias("us"), "event_type"
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).alias("click_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("last_purchase_us"),
+    )
+    flagged = per.where(F.col("click_us").isNotNull()).select(
+        "user_id",
+        (
+            F.col("last_purchase_us").isNotNull()
+            & (F.col("last_purchase_us") >= F.col("click_us"))
+        )
+        .cast("bigint")
+        .alias("converted"),
+    )
+    agg = flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("click_sessions"),
+        F.sum("converted").cast("bigint").alias("converted_sessions"),
+    )
+    return agg.select(
+        "user_id",
+        "click_sessions",
+        "converted_sessions",
+        F.round(
+            (F.col("click_sessions") - F.col("converted_sessions"))
+            .cast("double")
+            / F.col("click_sessions").cast("double"),
+            6,
+        ).alias("abandonment_rate"),
+    )
+
+
+SQL_ABANDONMENT = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - 1 AS BIGINT)
+           AS session_id
+  FROM flagged
+), per AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'click' THEN us END) AS click_us,
+         max(CASE WHEN event_type = 'purchase' THEN us END)
+           AS last_purchase_us
+  FROM sess GROUP BY 1, 2
+), fl AS (
+  SELECT user_id,
+         CAST(last_purchase_us IS NOT NULL
+              AND last_purchase_us >= click_us AS BIGINT) AS converted
+  FROM per WHERE click_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS click_sessions,
+       CAST(sum(converted) AS BIGINT) AS converted_sessions,
+       round(CAST(count(*) - sum(converted) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS abandonment_rate
+FROM fl GROUP BY 1
+"""
+
+
+def q_seasonal_naive_mae(spark, sf_dir):
+    """Per-event-type SEASONAL-NAIVE forecast error — predict each
+    day's count with the count 7 days earlier and report MAE and
+    the mean-relative MAE: the standard forecastability floor every
+    real model must beat (and a direct weekly-seasonality strength
+    read — low relative MAE means lag-7 explains the series).
+
+    The forecast alignment is one self-join of the per-(type, day)
+    table on (type, d - 7); absolute errors and day sums are exact
+    BIGINTs; two rounded divisions at the end."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") == F.col("a.d") + 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("b.c").alias("actual"),
+        F.col("a.c").alias("forecast"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("bigint")
+        .alias("abs_err"),
+        F.sum("actual").cast("bigint").alias("actual_sum"),
+    )
+    return agg.where(F.col("actual_sum") > 0).select(
+        "event_type",
+        "n_pairs",
+        F.round(
+            F.col("abs_err").cast("double")
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.col("abs_err").cast("double")
+            / F.col("actual_sum").cast("double"),
+            6,
+        ).alias("rel_mae"),
+    )
+
+
+SQL_SEASONAL_NAIVE_MAE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(ts AS DATE)) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, b.c AS actual, a.c AS forecast
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d + 7
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err,
+         CAST(sum(actual) AS BIGINT) AS actual_sum
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n_pairs,
+       round(CAST(abs_err AS DOUBLE) / CAST(n_pairs AS DOUBLE),
+             6) AS mae,
+       round(CAST(abs_err AS DOUBLE) / CAST(actual_sum AS DOUBLE),
+             6) AS rel_mae
+FROM agg WHERE actual_sum > 0
+"""
+
+
+def q_gap_percentiles(spark, sf_dir):
+    """Per-user EXACT p50/p90 of inter-event gaps (seconds) — the
+    distributional cadence summary behind `gap_detection`'s
+    threshold flags and `order_gap_cv`'s single dispersion number:
+    p50 is typical rhythm, p90 the routine long pause, and their
+    ratio a tail-heaviness read that needs no model.
+
+    Gaps come from one lag window; both percentiles are exact
+    LOWER-percentile rank picks ((n+1) div 2 and ceil(9n/10) —
+    integer arithmetic both engines) over a per-user rank window,
+    folded to one output row per user with conditional aggregates.
+    No float percentile interpolation anywhere."""
+    e = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select(
+            "user_id", _us("ts").alias("us"), "event_id"
+        )
+        .withColumn("prev_us", F.lag("us").over(wseq))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(us - prev_us) div 1000000")
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+    wrk = Window.partitionBy("user_id").orderBy("gap_s")
+    wcnt = Window.partitionBy("user_id")
+    ranked = gaps.withColumn(
+        "rk", F.row_number().over(wrk)
+    ).withColumn("n", F.count(F.lit(1)).over(wcnt))
+    return (
+        ranked.groupBy("user_id", "n")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(n + 1) div 2"),
+                    F.col("gap_s"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50_gap_s"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.expr("(9 * n + 9) div 10"),
+                    F.col("gap_s"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_gap_s"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            "p50_gap_s",
+            "p90_gap_s",
+        )
+    )
+
+
+SQL_GAP_PERCENTILES = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST((epoch_us(ts)
+               - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts),
+                                                  event_id))
+              // 1000000 AS BIGINT) AS gap_s
+  FROM events
+), ranked AS (
+  SELECT user_id, gap_s,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap_s)
+           AS rk,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM gaps WHERE gap_s IS NOT NULL
+)
+SELECT user_id, n AS n_gaps,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END)
+            AS BIGINT) AS p50_gap_s,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_s END)
+            AS BIGINT) AS p90_gap_s
+FROM ranked GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -15666,6 +16201,11 @@ REGISTRY: dict[str, tuple] = {
     # session_paths) enters at the top under the same rule; the six
     # further-displaced keys are ALL-GREEN in the committed sweeps at
     # the pack-#29 HEAD.
+    # Pack #34 (6 new keys: type_corr_matrix, semi_additive,
+    # time_to_convert, abandonment, seasonal_naive_mae,
+    # gap_percentiles) enters at the top under the same rule; the six
+    # further-displaced keys are ALL-GREEN in the committed 271-key
+    # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #29 —
@@ -15688,6 +16228,14 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #33 —
     #    resample/window mechanics --
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    # -- new r3 continuation (this session): feature-eng pack #34 —
+    #    cross-series/funnel/forecast-eval --
+    "type_corr_matrix": (q_type_corr_matrix, SQL_TYPE_CORR_MATRIX),
+    "semi_additive": (q_semi_additive, SQL_SEMI_ADDITIVE),
+    "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
+    "abandonment": (q_abandonment, SQL_ABANDONMENT),
+    "seasonal_naive_mae": (q_seasonal_naive_mae, SQL_SEASONAL_NAIVE_MAE),
+    "gap_percentiles": (q_gap_percentiles, SQL_GAP_PERCENTILES),
     "ohlc_bars": (q_ohlc_bars, SQL_OHLC_BARS),
     "win_percentile_dist": (
         q_win_percentile_dist,
