@@ -16103,6 +16103,539 @@ FROM ranked GROUP BY 1, 2
 """
 
 
+_RBO_K = 20
+_RBO_P = 0.9
+
+
+def q_rbo_overlap(spark, sf_dir):
+    """Per-source RANK-BIASED OVERLAP (Webber et al. 2010) between
+    the source's top-20 tokens and the corpus top-20 — the
+    top-weighted list-similarity measure that `topk_overlap`'s plain
+    set intersection ignores rank for: agreement at depth 1 counts
+    ~10x more than at depth 20 with p = 0.9.
+
+    RBO@K = (1-p) * sum_d p^(d-1) * |A_d ∩ B_d| / d decomposes per
+    MATCHED token into sum_{d >= max(r_A, r_B)} p^(d-1)/d, so the
+    whole statistic is one join of the two top-K lists plus a range
+    join against a 20-row depth table — every term ppb-fixed before
+    the sum. The corpus list is a global top-K (TakeOrderedAndProject
+    over the grouped vocab — no global window); the source lists are
+    one partition-local rank window."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    tot = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("c_s").desc(), F.col("token")
+    )
+    src_top = st.withColumn("rs", F.row_number().over(wsrc)).where(
+        F.col("rs") <= _RBO_K
+    )
+    cor_top = (
+        tot.orderBy(F.col("c_all").desc(), F.col("token"))
+        .limit(_RBO_K)
+        .withColumn(
+            "rc",
+            F.row_number().over(
+                Window.orderBy(F.col("c_all").desc(), F.col("token"))
+            ),
+        )
+    )
+    matches = src_top.join(F.broadcast(cor_top), "token").select(
+        "source",
+        F.greatest(F.col("rs"), F.col("rc")).alias("m"),
+    )
+    depths = spark.range(1, _RBO_K + 1).select(
+        F.col("id").cast("bigint").alias("dep")
+    )
+    terms = matches.join(
+        F.broadcast(depths), F.col("dep") >= F.col("m")
+    ).select(
+        "source",
+        F.expr(
+            f"CAST(round(1e9 * pow({_RBO_P}, dep - 1)"
+            " / CAST(dep AS DOUBLE)) AS BIGINT)"
+        ).alias("term_ppb"),
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("term_ppb").cast("bigint").alias("sum_ppb"),
+    )
+    n_match = matches.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap_k")
+    )
+    return agg.join(n_match, "source").select(
+        "source",
+        F.lit(_RBO_K).cast("bigint").alias("k"),
+        "overlap_k",
+        F.round(
+            F.lit(1.0 - _RBO_P)
+            * F.col("sum_ppb").cast("double")
+            / F.lit(1e9),
+            6,
+        ).alias("rbo"),
+    )
+
+
+SQL_RBO_OVERLAP = f"""
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c_s
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_all
+  FROM tok GROUP BY 1
+), src_top AS (
+  SELECT source, token, rs
+  FROM (SELECT source, token,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c_s DESC, token) AS rs
+        FROM st) t
+  WHERE rs <= {_RBO_K}
+), cor_top AS (
+  SELECT token, rc
+  FROM (SELECT token,
+               row_number() OVER (ORDER BY c_all DESC, token) AS rc
+        FROM tot) t
+  WHERE rc <= {_RBO_K}
+), matches AS (
+  SELECT s.source, greatest(s.rs, c.rc) AS m
+  FROM src_top s JOIN cor_top c ON s.token = c.token
+), depths AS (
+  SELECT CAST(unnest(generate_series(1, {_RBO_K})) AS BIGINT) AS dep
+), terms AS (
+  SELECT m.source,
+         CAST(round(1e9 * pow({_RBO_P}, d.dep - 1)
+                    / CAST(d.dep AS DOUBLE)) AS BIGINT) AS term_ppb
+  FROM matches m JOIN depths d ON d.dep >= m.m
+), agg AS (
+  SELECT source, CAST(sum(term_ppb) AS BIGINT) AS sum_ppb
+  FROM terms GROUP BY 1
+), nm AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS overlap_k
+  FROM matches GROUP BY 1
+)
+SELECT a.source, CAST({_RBO_K} AS BIGINT) AS k, nm.overlap_k,
+       round({1.0 - _RBO_P} * CAST(a.sum_ppb AS DOUBLE) / 1e9,
+             6) AS rbo
+FROM agg a JOIN nm ON a.source = nm.source
+"""
+
+
+def q_weighted_jaccard(spark, sf_dir):
+    """Per-source WEIGHTED JACCARD similarity between the source's
+    token distribution and the REST of the corpus — sum min(p, q) /
+    sum max(p, q), the frequency-aware overlap that plain set
+    Jaccard (`source_vocab_jaccard`) flattens to presence bits.
+
+    FULLY EXACT: with the common denominator n_s * n_r, min(p, q)
+    per token is min(c_s*n_r, c_r*n_s) — a BIGINT comparison, no
+    floats — and the never-seen corpus tokens add (n_r - cr_seen) *
+    n_s to the max side in closed form (their min side is 0), the
+    same complement identity as tvd_drift/jsd_drift. ONE double
+    division total."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_s")
+    )
+    tot = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    n_s = st.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n_all = tot.agg(F.sum("c_all").alias("n_all"))
+    j = (
+        st.join(tot, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_r"),
+            (F.col("c_s") * (F.col("n_all") - F.col("n_s"))).alias(
+                "ps"
+            ),
+            ((F.col("c_all") - F.col("c_s")) * F.col("n_s")).alias(
+                "qs"
+            ),
+            (F.col("c_all") - F.col("c_s")).alias("c_r"),
+        )
+    )
+    per = j.groupBy("source", "n_s", "n_r").agg(
+        F.sum(F.least(F.col("ps"), F.col("qs")))
+        .cast("bigint")
+        .alias("min_seen"),
+        F.sum(F.greatest(F.col("ps"), F.col("qs")))
+        .cast("bigint")
+        .alias("max_seen"),
+        F.sum("c_r").cast("bigint").alias("cr_seen"),
+    )
+    max_total = F.col("max_seen") + (
+        F.col("n_r") - F.col("cr_seen")
+    ) * F.col("n_s")
+    return per.where(F.col("n_r") > 0).select(
+        "source",
+        "n_s",
+        F.round(
+            F.col("min_seen").cast("double") / max_total.cast("double"),
+            6,
+        ).alias("weighted_jaccard"),
+    )
+
+
+SQL_WEIGHTED_JACCARD = """
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c_s
+  FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_all
+  FROM tok GROUP BY 1
+), ns AS (
+  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY 1
+), na AS (
+  SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM tot
+), j AS (
+  SELECT st.source, ns.n_s, na.n_all - ns.n_s AS n_r,
+         st.c_s * (na.n_all - ns.n_s) AS ps,
+         (tot.c_all - st.c_s) * ns.n_s AS qs,
+         tot.c_all - st.c_s AS c_r
+  FROM st
+  JOIN tot ON st.token = tot.token
+  JOIN ns ON st.source = ns.source
+  CROSS JOIN na
+), per AS (
+  SELECT source, n_s, n_r,
+         CAST(sum(least(ps, qs)) AS BIGINT) AS min_seen,
+         CAST(sum(greatest(ps, qs)) AS BIGINT) AS max_seen,
+         CAST(sum(c_r) AS BIGINT) AS cr_seen
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT source, n_s,
+       round(CAST(min_seen AS DOUBLE)
+             / CAST(max_seen + (n_r - cr_seen) * n_s AS DOUBLE),
+             6) AS weighted_jaccard
+FROM per WHERE n_r > 0
+"""
+
+
+def q_burstiness_gb(spark, sf_dir):
+    """Per-user GOH-BARABASI burstiness of inter-event gaps —
+    B = (sigma - mu)/(sigma + mu) over the gap-seconds series: -1
+    for a metronome, 0 for Poisson, toward +1 for heavy-tailed
+    bursts. The normalized one-number cadence next to
+    `gap_percentiles`' quantiles and `order_gap_cv`'s order-stream
+    CV (B is bounded, CV is not).
+
+    Gaps from one lag window; moments exact BIGINTs; sigma/mu and B
+    are one fixed double expression (sample std)."""
+    e = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.select("user_id", _us("ts").alias("us"), "event_id")
+        .withColumn("prev_us", F.lag("us").over(wseq))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(us - prev_us) div 1000000")
+            .cast("bigint")
+            .alias("g"),
+        )
+    )
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+    ).withColumn(
+        "varn",
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(
+            "bigint"
+        ),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.col("varn").cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    return m.where(
+        (F.col("n") >= 2) & (F.col("s") > 0) & (F.col("varn") >= 0)
+    ).select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )
+
+
+SQL_BURSTINESS_GB = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST((epoch_us(ts)
+               - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts),
+                                                  event_id))
+              // 1000000 AS BIGINT) AS g
+  FROM events
+), m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS s,
+         CAST(sum(g * g) AS BIGINT) AS s2
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+), k AS (
+  SELECT user_id, n, s,
+         CAST(n * s2 - s * s AS BIGINT) AS varn
+  FROM m
+)
+SELECT user_id, n AS n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+       round((sqrt(CAST(varn AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE))
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(varn AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE))
+                + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+             6) AS burstiness
+FROM k WHERE n >= 2 AND s > 0 AND varn >= 0
+"""
+
+
+def q_lorenz_curve(spark, sf_dir):
+    """LORENZ CURVE of event concentration over users, decile
+    long-form — users ranked by activity, cut into 10 exact global
+    deciles, each reporting its user count, event share, and the
+    cumulative share (the curve `gini_skew` integrates to one
+    number). The '10% of users produce X% of traffic' table.
+
+    The global ranking runs through ``windows.global_row_number``
+    (range repartition + broadcast prefix offsets — no
+    single-partition window over users); deciles are integer rank
+    arithmetic; the cumulative window runs over exactly 10 rows."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ranked = W.global_row_number(
+        per, [F.col("c").asc(), F.col("user_id").asc()], "rk"
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.expr("((rk - 1) * 10) div n_users + 1").cast("bigint"),
+        )
+        .groupBy("decile", "n_users", "n_events")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_d"),
+            F.sum("c").cast("bigint").alias("events_d"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dec.select(
+        "decile",
+        "n_users_d",
+        "events_d",
+        F.round(
+            F.col("events_d").cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.sum("events_d").over(wcum).cast("double")
+            / F.col("n_events").cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+SQL_LORENZ_CURVE = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT user_id, c,
+         CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT)
+           AS rk
+  FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS n_events
+  FROM per
+), dec AS (
+  SELECT ((rk - 1) * 10) // t.n_users + 1 AS decile,
+         t.n_users, t.n_events,
+         CAST(count(*) AS BIGINT) AS n_users_d,
+         CAST(sum(c) AS BIGINT) AS events_d
+  FROM ranked CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_users_d, events_d,
+       round(CAST(events_d AS DOUBLE) / CAST(n_events AS DOUBLE),
+             6) AS share,
+       round(CAST(sum(events_d) OVER (ORDER BY decile
+                                      ROWS BETWEEN UNBOUNDED
+                                      PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / CAST(n_events AS DOUBLE), 6) AS cum_share
+FROM dec
+"""
+
+
+_FIRSTK = 10
+
+
+def q_first_k_profile(spark, sf_dir):
+    """Per-user COLD-START profile over the FIRST 10 events — event
+    count (<= 10), distinct types, click share, total value in
+    cents, and the span in seconds: the features a ranking model has
+    at onboarding time, computed leakage-free by construction (only
+    the first K rows per user ever aggregate).
+
+    One partition-local rank window, one conditional hash agg —
+    both keyed on user_id."""
+    e = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    head = (
+        e.select(
+            "user_id",
+            _us("ts").alias("us"),
+            "event_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("rk", F.row_number().over(wseq))
+        .where(F.col("rk") <= _FIRSTK)
+    )
+    return head.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+        F.sum((F.col("event_type") == "click").cast("bigint"))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr("(max(us) - min(us)) div 1000000")
+        .cast("bigint")
+        .alias("span_s"),
+    )
+
+
+SQL_FIRST_K_PROFILE = f"""
+WITH head AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+                 AS rk
+        FROM events) t
+  WHERE rk <= {_FIRSTK}
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicks,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_s
+FROM head GROUP BY 1
+"""
+
+
+def q_dwell_share(spark, sf_dir):
+    """DWELL-TIME SHARE per event type — each event 'holds' until
+    the user's next event (the same left-closed intervals as
+    `time_weighted_avg`), and the holding time attributes to the
+    CURRENT event's type: 'where does user time actually go?',
+    which raw event counts misstate badly when types differ in
+    dwell.
+
+    One lead window per user, one global per-type agg, a broadcast
+    one-row total; all sums exact millisecond BIGINTs with one
+    rounded division per type."""
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        e.select(
+            "user_id",
+            _us("ts").alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .withColumn(
+            "next_us",
+            F.lead("us").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+        .where(F.col("next_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(next_us - us) div 1000").alias("w_ms"),
+        )
+    )
+    per = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("w_ms").cast("bigint").alias("dwell_ms"),
+    )
+    tot = per.agg(F.sum("dwell_ms").cast("bigint").alias("total_ms"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_intervals",
+        "dwell_ms",
+        F.round(
+            F.col("dwell_ms").cast("double")
+            / F.col("total_ms").cast("double"),
+            6,
+        ).alias("dwell_share"),
+    )
+
+
+SQL_DWELL_SHARE = """
+WITH iv AS (
+  SELECT event_type,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+          - epoch_us(ts)) // 1000 AS w_ms
+  FROM events
+), per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(w_ms) AS BIGINT) AS dwell_ms
+  FROM iv WHERE w_ms IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(dwell_ms) AS BIGINT) AS total_ms FROM per
+)
+SELECT event_type, n_intervals, dwell_ms,
+       round(CAST(dwell_ms AS DOUBLE) / CAST(t.total_ms AS DOUBLE),
+             6) AS dwell_share
+FROM per CROSS JOIN tot t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -16206,6 +16739,11 @@ REGISTRY: dict[str, tuple] = {
     # gap_percentiles) enters at the top under the same rule; the six
     # further-displaced keys are ALL-GREEN in the committed 271-key
     # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
+    # Pack #35 (6 new keys: rbo_overlap, weighted_jaccard,
+    # burstiness_gb, lorenz_curve, first_k_profile, dwell_share)
+    # enters at the top under the same rule; the six
+    # further-displaced keys are ALL-GREEN in the committed 271-key
+    # sweep at the pack-#33 HEAD.
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
     # -- new r3 continuation (this session): feature-eng pack #29 —
@@ -16231,6 +16769,14 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #34 —
     #    cross-series/funnel/forecast-eval --
     "type_corr_matrix": (q_type_corr_matrix, SQL_TYPE_CORR_MATRIX),
+    # -- new r3 continuation (this session): feature-eng pack #35 —
+    #    ranking/concentration/cold-start --
+    "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
+    "weighted_jaccard": (q_weighted_jaccard, SQL_WEIGHTED_JACCARD),
+    "burstiness_gb": (q_burstiness_gb, SQL_BURSTINESS_GB),
+    "lorenz_curve": (q_lorenz_curve, SQL_LORENZ_CURVE),
+    "first_k_profile": (q_first_k_profile, SQL_FIRST_K_PROFILE),
+    "dwell_share": (q_dwell_share, SQL_DWELL_SHARE),
     "semi_additive": (q_semi_additive, SQL_SEMI_ADDITIVE),
     "time_to_convert": (q_time_to_convert, SQL_TIME_TO_CONVERT),
     "abandonment": (q_abandonment, SQL_ABANDONMENT),
