@@ -16636,6 +16636,519 @@ FROM per CROSS JOIN tot t
 """
 
 
+_BH_LONG = 300  # chars: a "long" document for the per-source rate test
+
+
+def q_bh_fdr(spark, sf_dir):
+    """BENJAMINI-HOCHBERG FDR step-up over per-source two-sided
+    z-tests of the 'long document' rate (n_chars >= 300, ~ the
+    corpus median) vs the Laplace-smoothed corpus rate (long_all+1)/
+    (n_all+2), which can never be 0 or 1 so the variance term stays
+    positive on degenerate corpora — the standard multiple-testing correction a corpus
+    monitor needs when it screens MANY sources at once (20 marginal
+    tests at alpha=.10 produce ~2 false alarms; BH caps the expected
+    FALSE-DISCOVERY share instead).
+
+    The per-source z is exact integer-ratio math until one sqrt; the
+    p-value uses the logistic CDF approximation 2/(1+exp(1.702|z|))
+    (Bowling et al. 2009) so both engines evaluate one closed-form
+    expression — no erf needed. The step-up rule p_(k) <= alpha*k/m
+    is compared in EXACT integer space (p_ppb * m <= 1e8 * k, alpha
+    = 0.10) so no cross-engine float tie can flip a rejection. The
+    rank window runs on the POST-AGGREGATE table — O(#sources) rows,
+    one executor, never the raw corpus."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            (F.col("n_chars") >= _BH_LONG).cast("bigint").alias("is_long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_long").cast("bigint").alias("n_long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("n_long").cast("bigint").alias("long_all"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "z",
+        F.expr(
+            "(CAST(n_long AS DOUBLE) / n_docs"
+            " - (CAST(long_all AS DOUBLE) + 1.0) / (n_all + 2))"
+            " / sqrt((CAST(long_all AS DOUBLE) + 1.0) / (n_all + 2)"
+            " * (1.0 - (CAST(long_all AS DOUBLE) + 1.0) / (n_all + 2))"
+            " / n_docs)"
+        ),
+    ).withColumn(
+        "p_ppb",
+        F.expr(
+            "CAST(round(1e9 * 2.0 / (1.0 + exp(1.702 * abs(z))))"
+            " AS BIGINT)"
+        ),
+    )
+    w = Window.orderBy("p_ppb", "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = j.withColumn(
+        "p_rank", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "k_max",
+        F.max(
+            F.when(
+                F.col("p_ppb") * F.col("m")
+                <= F.lit(100000000) * F.col("p_rank"),
+                F.col("p_rank"),
+            )
+        ).over(wall),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "n_long",
+        F.round("z", 6).alias("z"),
+        "p_ppb",
+        "p_rank",
+        (F.col("p_rank") <= F.coalesce(F.col("k_max"), F.lit(0))).alias(
+            "reject"
+        ),
+    )
+
+
+SQL_BH_FDR = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_long
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         CAST(sum(n_long) AS BIGINT) AS long_all,
+         CAST(count(*) AS BIGINT) AS m
+  FROM per
+), z AS (
+  SELECT source, n_docs, n_long, m,
+         (CAST(n_long AS DOUBLE) / n_docs
+          - (CAST(long_all AS DOUBLE) + 1.0) / (n_all + 2))
+         / sqrt((CAST(long_all AS DOUBLE) + 1.0) / (n_all + 2)
+                * (1.0 - (CAST(long_all AS DOUBLE) + 1.0) / (n_all + 2))
+                / n_docs) AS z
+  FROM per CROSS JOIN tot
+), p AS (
+  SELECT source, n_docs, n_long, m, z,
+         CAST(round(1e9 * 2.0 / (1.0 + exp(1.702 * abs(z))))
+              AS BIGINT) AS p_ppb
+  FROM z
+), ranked AS (
+  SELECT source, n_docs, n_long, z, p_ppb, m,
+         CAST(row_number() OVER (ORDER BY p_ppb, source)
+              AS BIGINT) AS p_rank
+  FROM p
+)
+SELECT source, n_docs, n_long, round(z, 6) AS z, p_ppb, p_rank,
+       p_rank <= coalesce(
+         max(CASE WHEN p_ppb * m <= 100000000 * p_rank
+                  THEN p_rank END) OVER (), 0) AS reject
+FROM ranked
+"""
+
+
+def q_rayleigh_daily(spark, sf_dir):
+    """RAYLEIGH TEST for daily periodicity per user: treat each
+    event's hour-of-day as an angle on the 24h circle and compute
+    the mean resultant length R = |sum e^{i*theta}| / n plus the
+    Rayleigh statistic z = n*R^2 — the circular-statistics answer to
+    'does this user have a daily rhythm, and how concentrated is
+    it?'. R near 0 = activity spread around the clock; near 1 = all
+    events at one hour. This is exactly the first Fourier (Goertzel)
+    coefficient of the hour-of-day profile, i.e. a one-bin spectral
+    energy at the 24-hour period.
+
+    One map-side cos/sin projection plus one hash agg per user — no
+    window, no shuffle beyond the groupBy, no Python."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "user_id",
+            F.expr("cos(pi() * hour(ts) / 12.0)").alias("cx"),
+            F.expr("sin(pi() * hour(ts) / 12.0)").alias("sy"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cx").alias("sc"),
+            F.sum("sy").alias("ss"),
+        )
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.expr("sqrt(sc * sc + ss * ss) / n_events"), 6
+        ).alias("resultant"),
+        F.round(F.expr("(sc * sc + ss * ss) / n_events"), 6).alias(
+            "rayleigh_z"
+        ),
+    )
+
+
+SQL_RAYLEIGH_DAILY = """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(cos(pi() * hour(ts) / 12.0)) AS sc,
+         sum(sin(pi() * hour(ts) / 12.0)) AS ss
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       round(sqrt(sc * sc + ss * ss) / n_events, 6) AS resultant,
+       round((sc * sc + ss * ss) / n_events, 6) AS rayleigh_z
+FROM per
+"""
+
+
+def q_markov_surprise(spark, sf_dir):
+    """MARKOV SURPRISE per user: the mean negative log2 probability
+    of the user's event-type transitions under the CORPUS-level
+    add-one-smoothed first-order transition model — 'how atypical is
+    this user's behavioural sequence?' in bits/step. The classic
+    sequence-anomaly feature: bots and scripted traffic score far
+    from organic users because their transition distribution
+    concentrates on paths the corpus model finds unlikely (or
+    pathologically likely).
+
+    The transition model is O(|types|^2) rows — aggregated once and
+    BROADCAST to the per-user step stream; per-user steps come from
+    one lag window; the final agg is one hash shuffle. Smoothing
+    P(next|prev) = (c_pn + 1) / (c_p + V) keeps every step finite."""
+    e = _t(spark, sf_dir, "events")
+    steps = (
+        e.select("user_id", _us("ts").alias("us"), "event_id", "event_type")
+        .withColumn(
+            "prev",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ),
+        )
+        .where(F.col("prev").isNotNull())
+        .select("user_id", "prev", F.col("event_type").alias("cur"))
+    )
+    pair = steps.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_pn")
+    )
+    prevc = steps.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_p")
+    )
+    vcnt = e.agg(
+        F.countDistinct("event_type").cast("bigint").alias("v")
+    )
+    model = (
+        pair.join(prevc, "prev")
+        .crossJoin(F.broadcast(vcnt))
+        .withColumn(
+            "bits",
+            F.expr(
+                "-log2((CAST(c_pn AS DOUBLE) + 1.0)"
+                " / (CAST(c_p AS DOUBLE) + v))"
+            ),
+        )
+        .select("prev", "cur", "bits")
+    )
+    return (
+        steps.join(F.broadcast(model), ["prev", "cur"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            F.round(F.avg("bits"), 6).alias("surprise_bits"),
+        )
+    )
+
+
+SQL_MARKOV_SURPRISE = """
+WITH steps AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev,
+         event_type AS cur
+  FROM events
+), st AS (
+  SELECT * FROM steps WHERE prev IS NOT NULL
+), pair AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_pn
+  FROM st GROUP BY 1, 2
+), prevc AS (
+  SELECT prev, CAST(count(*) AS BIGINT) AS c_p FROM st GROUP BY 1
+), vc AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v FROM events
+), model AS (
+  SELECT pair.prev, pair.cur,
+         -log2((CAST(c_pn AS DOUBLE) + 1.0)
+               / (CAST(c_p AS DOUBLE) + v)) AS bits
+  FROM pair JOIN prevc ON pair.prev = prevc.prev CROSS JOIN vc
+)
+SELECT st.user_id,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       round(avg(bits), 6) AS surprise_bits
+FROM st JOIN model ON st.prev = model.prev AND st.cur = model.cur
+GROUP BY 1
+"""
+
+
+def q_readability(spark, sf_dir):
+    """FLESCH READING EASE per source with fully deterministic
+    proxies: words = whitespace tokens, sentences = runs of [.!?]
+    (min 1 per doc), syllables = vowel-group runs [aeiouy]+ in the
+    lowercased text floored at one per word. The classic text-quality
+    signal for LLM corpus curation (too-low = legalese/boilerplate,
+    too-high = fragment soup), computed without any tokenizer
+    dependency so Spark and the oracle agree byte-for-byte.
+
+    Run counting uses the replace-length trick — length after
+    collapsing each run to one char minus length after deleting the
+    runs — so the whole featurizer is regexp_replace + length, all
+    JVM codegen. Counts aggregate as exact BIGINT sums; the only
+    doubles are the three final ratios and the per-doc FRE mean."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.where(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), "\\s+"))
+            .cast("bigint")
+            .alias("words"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                (
+                    F.length(F.regexp_replace(F.col("text"), "[.!?]+", "#"))
+                    - F.length(F.regexp_replace(F.col("text"), "[.!?]+", ""))
+                ).cast("bigint"),
+            ).alias("sents"),
+            (
+                F.length(
+                    F.regexp_replace(F.lower(F.col("text")), "[aeiouy]+", "#")
+                )
+                - F.length(
+                    F.regexp_replace(F.lower(F.col("text")), "[aeiouy]+", "")
+                )
+            )
+            .cast("bigint")
+            .alias("syll0"),
+        )
+        .withColumn("syll", F.greatest(F.col("syll0"), F.col("words")))
+        .withColumn(
+            "fre",
+            F.expr(
+                "206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)"
+                " - 84.6 * (CAST(syll AS DOUBLE) / words)"
+            ),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("sum_words"),
+        F.sum("sents").cast("bigint").alias("sum_sents"),
+        F.sum("syll").cast("bigint").alias("sum_syll"),
+        F.round(
+            F.sum("words").cast("double") / F.sum("sents").cast("double"), 6
+        ).alias("words_per_sent"),
+        F.round(
+            F.sum("syll").cast("double") / F.sum("words").cast("double"), 6
+        ).alias("syll_per_word"),
+        F.round(F.avg("fre"), 6).alias("flesch"),
+    )
+
+
+SQL_READABILITY = """
+WITH per AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+'))
+              AS BIGINT) AS words,
+         greatest(CAST(1 AS BIGINT),
+           CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                AS BIGINT)) AS sents,
+         CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+              - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+              AS BIGINT) AS syll0
+  FROM documents WHERE trim(text) <> ''
+), adj AS (
+  SELECT source, words, sents,
+         greatest(syll0, words) AS syll,
+         206.835 - 1.015 * (CAST(words AS DOUBLE)
+                            / greatest(CAST(1 AS BIGINT), sents))
+                 - 84.6 * (CAST(greatest(syll0, words) AS DOUBLE)
+                           / words) AS fre
+  FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS sum_words,
+       CAST(sum(sents) AS BIGINT) AS sum_sents,
+       CAST(sum(syll) AS BIGINT) AS sum_syll,
+       round(CAST(sum(words) AS DOUBLE) / CAST(sum(sents) AS DOUBLE),
+             6) AS words_per_sent,
+       round(CAST(sum(syll) AS DOUBLE) / CAST(sum(words) AS DOUBLE),
+             6) AS syll_per_word,
+       round(avg(fre), 6) AS flesch
+FROM adj GROUP BY 1
+"""
+
+
+def q_hapax_ratio(spark, sf_dir):
+    """HAPAX LEGOMENA profile per source: the share of the source's
+    vocabulary that occurs exactly once (hapax) and exactly twice
+    (dis legomena) — the head of the frequency spectrum that drives
+    Good-Turing mass estimates and is the quickest vocabulary-growth
+    fingerprint (natural prose ~40-60% hapax; template/boilerplate
+    text collapses far below). Complements `yule_k` (a weighted
+    second moment of the same spectrum) and `heaps_two_point` (the
+    growth-curve view).
+
+    Two hash aggs — (source, token) counts then a per-source
+    spectrum roll-up — everything exact BIGINT until two final
+    rounded ratios."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum((F.col("c") == 2).cast("bigint"))
+        .cast("bigint")
+        .alias("dis_legomena"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("bigint")).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("hapax_token_share"),
+    )
+
+
+SQL_HAPAX_RATIO = """
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dis_legomena,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 6) AS hapax_token_share
+FROM st GROUP BY 1
+"""
+
+
+def q_gini_mean_diff(spark, sf_dir):
+    """GINI MEAN DIFFERENCE per event type: the mean absolute
+    difference between two random values, E|X-Y| — the robust
+    dispersion measure behind the Gini index, less outlier-dominated
+    than variance and scale-interpretable (same units as the data).
+    Computed by the order-statistics identity
+    GMD = 2/(n(n-1)) * sum_i (2i - n - 1) x_(i), i.e. ONE rank
+    window + ONE hash agg instead of the naive O(n^2) pair join;
+    sum_i (2i-n-1) x_(i) decomposes further to 2*sum(i*x_i) -
+    (n+1)*sum(x_i) so the window only needs row_number, not n.
+
+    Values quantize to exact integer CENTS first (the pack-wide
+    trick), so the rank-weighted sums are exact BIGINTs in both
+    engines and the only doubles are the two final rounded ratios.
+    Also emits the Gini INDEX = GMD / (2*mean) = S/((n-1)*sum)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = (
+        e.select(
+            "event_type",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("sic"),
+        F.sum("cents").cast("bigint").alias("sc"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (F.lit(2) * F.col("sic") - (F.col("n_events") + 1) * F.col("sc"))
+        .cast("bigint")
+        .alias("s_weighted"),
+        F.round(
+            F.expr(
+                "2.0 * (2 * sic - (n_events + 1) * sc)"
+                " / (CAST(n_events AS DOUBLE) * (n_events - 1)) / 100.0"
+            ),
+            6,
+        ).alias("gmd"),
+        F.round(
+            F.expr(
+                "CAST(2 * sic - (n_events + 1) * sc AS DOUBLE)"
+                " / (CAST(n_events - 1 AS DOUBLE) * sc)"
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_GINI_MEAN_DIFF = """
+WITH r AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY CAST(round(value * 100)
+                                               AS BIGINT), event_id)
+              AS BIGINT) AS rn
+  FROM events
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(rn * cents) AS BIGINT) AS sic,
+         CAST(sum(cents) AS BIGINT) AS sc
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_events,
+       CAST(2 * sic - (n_events + 1) * sc AS BIGINT) AS s_weighted,
+       round(2.0 * (2 * sic - (n_events + 1) * sc)
+             / (CAST(n_events AS DOUBLE) * (n_events - 1)) / 100.0,
+             6) AS gmd,
+       round(CAST(2 * sic - (n_events + 1) * sc AS DOUBLE)
+             / (CAST(n_events - 1 AS DOUBLE) * sc), 6) AS gini
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -16744,8 +17257,22 @@ REGISTRY: dict[str, tuple] = {
     # enters at the top under the same rule; the six
     # further-displaced keys are ALL-GREEN in the committed 271-key
     # sweep at the pack-#33 HEAD.
+    # Pack #36 (6 new keys: bh_fdr, rayleigh_daily, markov_surprise,
+    # readability, hapax_ratio, gini_mean_diff) enters at the top
+    # under the same rule; the six further-displaced keys (two_prop_z,
+    # ndcg_at_k, hodges_lehmann, mcnemar_test, chao1_richness,
+    # bayes_shrunk_quality) are ALL-GREEN in the committed 271-key
+    # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #36 —
+    #    multiple-testing/circular/sequence/lexical statistics --
+    "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
+    "rayleigh_daily": (q_rayleigh_daily, SQL_RAYLEIGH_DAILY),
+    "markov_surprise": (q_markov_surprise, SQL_MARKOV_SURPRISE),
+    "readability": (q_readability, SQL_READABILITY),
+    "hapax_ratio": (q_hapax_ratio, SQL_HAPAX_RATIO),
+    "gini_mean_diff": (q_gini_mean_diff, SQL_GINI_MEAN_DIFF),
     # -- new r3 continuation (this session): feature-eng pack #29 —
     #    survival/basket/concentration features --
     "km_hazard": (q_km_hazard, SQL_KM_HAZARD),
