@@ -17149,6 +17149,548 @@ FROM agg
 """
 
 
+def q_pinball_loss(spark, sf_dir):
+    """PINBALL (quantile) LOSS forecast evaluation: split the event
+    stream at the temporal midpoint, fit the q=0.9 quantile of each
+    type's value on the TRAIN half, and score it on the TEST half
+    with the pinball loss 0.9*(y-q) if y>=q else 0.1*(q-y) — the
+    proper scoring rule for quantile forecasts (what 'is our p90
+    estimate any good next week?' actually means). The constant-
+    quantile predictor is the standard baseline every fancier
+    forecaster must beat.
+
+    Values quantize to exact cents; the split point is exact integer
+    microseconds ((min+max) div 2); the only floats are the
+    interpolated train quantile and the mean test loss. Train
+    quantiles are O(#types) rows, broadcast to the test scan."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        _us("ts").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    split = base.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("cut_us")
+    )
+    b = base.crossJoin(F.broadcast(split))
+    train_q = (
+        b.where(F.col("us") < F.col("cut_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.expr("percentile(cents, 0.9)").alias("q90c"),
+        )
+    )
+    test = b.where(F.col("us") >= F.col("cut_us"))
+    scored = test.join(F.broadcast(train_q), "event_type").withColumn(
+        "loss_c",
+        F.expr(
+            "CASE WHEN cents >= q90c THEN 0.9 * (cents - q90c)"
+            " ELSE 0.1 * (q90c - cents) END"
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(F.max("q90c") / 100.0, 6).alias("q90"),
+        F.round(F.avg("loss_c") / 100.0, 6).alias("pinball"),
+        F.round(
+            F.avg((F.col("cents") >= F.col("q90c")).cast("double")), 6
+        ).alias("test_coverage"),
+    )
+
+
+SQL_PINBALL_LOSS = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), split AS (
+  SELECT (min(us) + max(us)) // 2 AS cut_us FROM base
+), train_q AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_train,
+         quantile_cont(cents, 0.9) AS q90c
+  FROM base CROSS JOIN split WHERE us < cut_us GROUP BY 1
+), scored AS (
+  SELECT b.event_type, n_train, q90c, cents,
+         CASE WHEN cents >= q90c THEN 0.9 * (cents - q90c)
+              ELSE 0.1 * (q90c - cents) END AS loss_c
+  FROM base b CROSS JOIN split
+  JOIN train_q ON b.event_type = train_q.event_type
+  WHERE us >= cut_us
+)
+SELECT event_type,
+       max(n_train) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(max(q90c) / 100.0, 6) AS q90,
+       round(avg(loss_c) / 100.0, 6) AS pinball,
+       round(avg(CASE WHEN cents >= q90c THEN 1.0 ELSE 0.0 END),
+             6) AS test_coverage
+FROM scored GROUP BY 1
+"""
+
+
+def q_hurst_vt(spark, sf_dir):
+    """HURST EXPONENT via the variance-time plot at two block sizes:
+    for a self-similar count process, Var(4-day block sums) =
+    4^(2H) * Var(1-day counts), so H = log(V4/V1) / (2*log 4) — the
+    classic two-point long-range-dependence probe (H ~ 0.5 = Poisson-
+    like, H -> 1 = strongly bursty/persistent traffic), the
+    aggregated-series cousin of `autocorr_lag1` and `fano_factor`.
+
+    Daily counts are exact BIGINTs over OBSERVED days per type;
+    4-blocks are consecutive observed days (rank window), truncated
+    to complete blocks. Both variances come from exact integer sums
+    (n*S2 - S^2) / n^2, so the only floats are two divisions and one
+    log ratio. NULL when either variance is 0 (constant series)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    blk = daily.withColumn(
+        "blk", ((F.row_number().over(w) - 1) / 4).cast("bigint")
+    )
+    v1 = blk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    b4 = (
+        blk.groupBy("event_type", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("bn"),
+            F.sum("c").cast("bigint").alias("bc"),
+        )
+        .where(F.col("bn") == 4)
+    )
+    v4 = b4.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("bc").cast("bigint").alias("t1"),
+        F.sum(F.col("bc") * F.col("bc")).cast("bigint").alias("t2"),
+    )
+    j = v1.join(v4, "event_type").withColumn(
+        "v1d",
+        F.expr(
+            "(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n_days AS DOUBLE) * n_days)"
+        ),
+    ).withColumn(
+        "v4d",
+        F.expr(
+            "(CAST(n_blocks AS DOUBLE) * t2 - CAST(t1 AS DOUBLE) * t1)"
+            " / (CAST(n_blocks AS DOUBLE) * n_blocks)"
+        ),
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        "n_blocks",
+        F.round("v1d", 6).alias("var_1d"),
+        F.round("v4d", 6).alias("var_4d"),
+        F.round(
+            F.expr(
+                "CASE WHEN v1d > 0 AND v4d > 0"
+                " THEN ln(v4d / v1d) / (2.0 * ln(4.0)) END"
+            ),
+            6,
+        ).alias("hurst"),
+    )
+
+
+SQL_HURST_VT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), blk AS (
+  SELECT event_type, c,
+         CAST((row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) - 1) // 4
+              AS BIGINT) AS blk
+  FROM daily
+), v1 AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM blk GROUP BY 1
+), b4 AS (
+  SELECT event_type, blk,
+         CAST(count(*) AS BIGINT) AS bn,
+         CAST(sum(c) AS BIGINT) AS bc
+  FROM blk GROUP BY 1, 2
+), v4 AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(bc) AS BIGINT) AS t1,
+         CAST(sum(bc * bc) AS BIGINT) AS t2
+  FROM b4 WHERE bn = 4 GROUP BY 1
+), j AS (
+  SELECT v1.event_type, n_days, n_blocks,
+         (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n_days AS DOUBLE) * n_days) AS v1d,
+         (CAST(n_blocks AS DOUBLE) * t2 - CAST(t1 AS DOUBLE) * t1)
+           / (CAST(n_blocks AS DOUBLE) * n_blocks) AS v4d
+  FROM v1 JOIN v4 USING (event_type)
+)
+SELECT event_type, n_days, n_blocks,
+       round(v1d, 6) AS var_1d,
+       round(v4d, 6) AS var_4d,
+       round(CASE WHEN v1d > 0 AND v4d > 0
+                  THEN ln(v4d / v1d) / (2.0 * ln(4.0)) END,
+             6) AS hurst
+FROM j
+"""
+
+
+def q_running_records(spark, sf_dir):
+    """RUNNING RECORDS per user: how many events set a new all-time
+    personal maximum value — for an i.i.d. sequence the expected
+    record count is the harmonic number H_n ~ ln(n), so the ratio
+    records/H_n is a scale-free trendiness signal (>1 = values drift
+    upward, <1 = early peak then stagnation). Record statistics are
+    the classic distribution-free test for trend in the EXTREMES,
+    complementing `mann_kendall` (which tests the median trend).
+
+    One running-max window (rows unbounded-preceding to -1) on exact
+    cents, one row_number for the harmonic term (H_n = sum over the
+    user's rows of 1/rank — no side table needed), one hash agg."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = (
+        e.select(
+            "user_id",
+            _us("ts").alias("us"),
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn(
+            "prev_max",
+            F.max("cents").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            (
+                F.col("prev_max").isNull()
+                | (F.col("cents") > F.col("prev_max"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_records"),
+        F.round(F.sum(F.lit(1.0) / F.col("rn")), 6).alias("h_n"),
+        F.round(
+            F.sum(
+                (
+                    F.col("prev_max").isNull()
+                    | (F.col("cents") > F.col("prev_max"))
+                ).cast("bigint")
+            ).cast("double")
+            / F.sum(F.lit(1.0) / F.col("rn")),
+            6,
+        ).alias("record_ratio"),
+    )
+
+
+SQL_RUNNING_RECORDS = """
+WITH r AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         max(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id)
+              AS BIGINT) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_max IS NULL OR cents > prev_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       round(sum(1.0 / rn), 6) AS h_n,
+       round(CAST(sum(CASE WHEN prev_max IS NULL OR cents > prev_max
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(1.0 / rn), 6) AS record_ratio
+FROM r GROUP BY 1
+"""
+
+
+def q_turning_points(spark, sf_dir):
+    """TURNING-POINTS randomness test per user: count strict local
+    peaks and valleys in the value sequence ((x_i - x_{i-1}) and
+    (x_i - x_{i+1}) share a sign; ties break neither way) and
+    standardize against the i.i.d. expectation E[T] = 2(n-2)/3,
+    Var[T] = (16n-29)/90 — the textbook nonparametric check for
+    serial structure; |z| >> 0 means the sequence oscillates (z > 0)
+    or trends/streaks (z < 0) more than chance. Complements
+    `runs_test` (signs about the median) and `autocorr_lag1`.
+
+    One lag + one lead window on exact cents, one hash agg; the
+    moments are exact rationals of n. Users with n < 3 have no
+    interior points and are excluded (documented)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = (
+        e.select(
+            "user_id",
+            _us("ts").alias("us"),
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("pv", F.lag("cents").over(w))
+        .withColumn("nx", F.lead("cents").over(w))
+        .withColumn(
+            "is_turn",
+            (
+                F.col("pv").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    (F.col("cents") - F.col("pv"))
+                    * (F.col("cents") - F.col("nx"))
+                    > 0
+                )
+            ).cast("bigint"),
+        )
+    )
+    agg = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_turn").cast("bigint").alias("t_points"),
+    ).where(F.col("n_events") >= 3)
+    return agg.select(
+        "user_id",
+        "n_events",
+        "t_points",
+        F.round(
+            F.expr("2.0 * CAST(n_events - 2 AS DOUBLE) / 3.0"), 6
+        ).alias("expected_t"),
+        F.round(
+            F.expr(
+                "(t_points - 2.0 * CAST(n_events - 2 AS DOUBLE) / 3.0)"
+                " / sqrt((16.0 * CAST(n_events AS DOUBLE) - 29.0)"
+                " / 90.0)"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_TURNING_POINTS = """
+WITH r AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lag(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS pv,
+         lead(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id) AS nx
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                        AND (cents - pv) * (cents - nx) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t_points
+  FROM r GROUP BY 1
+)
+SELECT user_id, n_events, t_points,
+       round(2.0 * CAST(n_events - 2 AS DOUBLE) / 3.0,
+             6) AS expected_t,
+       round((t_points - 2.0 * CAST(n_events - 2 AS DOUBLE) / 3.0)
+             / sqrt((16.0 * CAST(n_events AS DOUBLE) - 29.0) / 90.0),
+             6) AS z
+FROM agg WHERE n_events >= 3
+"""
+
+
+def q_char_bigram_entropy(spark, sf_dir):
+    """CHARACTER-LEVEL CONDITIONAL ENTROPY per source: H(next char |
+    prev char) from the corpus of character bigrams — the language-
+    model-free compressibility fingerprint (natural English ~3.1-3.6
+    bits; random strings -> log2|alphabet|; templated/repetitive
+    text collapses toward 0). The identity H(c2|c1) = H(bigram) -
+    H(first) means both entropies come from ONE bigram count table:
+    sum(cf*log2 cf) over first-char counts minus sum(cp*log2 cp)
+    over pair counts, all over N.
+
+    The char fan-out is sequence(1, len-1) + substring — pure JVM
+    codegen, ~len(text) rows per doc, exactly the shingle fan-out
+    shape `udtf_shingles` uses. Counts stay exact BIGINTs; the only
+    floats are the log2 terms of the final roll-up."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            "source",
+            F.lower(F.col("text")).alias("low"),
+        )
+        .where(F.length("low") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.length("low") - 1)
+            ).alias("i"),
+            "low",
+        )
+        .select(
+            "source",
+            F.expr("substring(low, i, 2)").alias("pair"),
+        )
+    )
+    cp = pairs.groupBy("source", "pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per = cp.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_bigrams"),
+        F.sum(F.expr("c * log2(CAST(c AS DOUBLE))")).alias("plg"),
+    )
+    cf = (
+        cp.groupBy("source", F.expr("substring(pair, 1, 1)").alias("f"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.expr("c * log2(CAST(c AS DOUBLE))")).alias("flg"))
+    )
+    return per.join(cf, "source").select(
+        "source",
+        "n_bigrams",
+        "vocab_bigrams",
+        F.round(
+            F.expr(
+                "log2(CAST(n_bigrams AS DOUBLE)) - plg / n_bigrams"
+            ),
+            6,
+        ).alias("h_pair"),
+        F.round(F.expr("(flg - plg) / n_bigrams"), 6).alias("h_cond"),
+    )
+
+
+SQL_CHAR_BIGRAM_ENTROPY = """
+WITH pairs AS (
+  SELECT source, substr(lower(text), i, 2) AS pair
+  FROM (
+    SELECT source, text,
+           unnest(generate_series(1, length(text) - 1)) AS i
+    FROM documents WHERE length(text) >= 2
+  )
+), cp AS (
+  SELECT source, pair, CAST(count(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2
+), per AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS vocab_bigrams,
+         sum(c * log2(CAST(c AS DOUBLE))) AS plg
+  FROM cp GROUP BY 1
+), cf AS (
+  SELECT source, sum(c * log2(CAST(c AS DOUBLE))) AS flg
+  FROM (
+    SELECT source, substr(pair, 1, 1) AS f,
+           CAST(sum(c) AS BIGINT) AS c
+    FROM cp GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT per.source, n_bigrams, vocab_bigrams,
+       round(log2(CAST(n_bigrams AS DOUBLE)) - plg / n_bigrams,
+             6) AS h_pair,
+       round((flg - plg) / n_bigrams, 6) AS h_cond
+FROM per JOIN cf ON per.source = cf.source
+"""
+
+
+def q_silhouette_lite(spark, sf_dir):
+    """CENTROID SILHOUETTE per label over the embeddings table: for
+    each vector, a = distance to its OWN label centroid, b = distance
+    to the NEAREST other centroid, silhouette = (b-a)/max(a,b) — the
+    standard cluster-quality diagnostic in its O(N*L*D) centroid
+    form (the exact silhouette's O(N^2) pair matrix is replaced by
+    L broadcast centroids, which is the only form that scales: at
+    100 TB the centroid table stays O(labels*dims) and ships with
+    the task binaries while vectors stream through one pass).
+
+    Dim explode -> per-(label,dim) mean -> broadcast join back ->
+    one hash agg per (vec, candidate label) -> min/own split. All
+    JVM; the FLOAT[] maths promotes to double at the explode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("idx", "v"),
+    ).withColumn("val", F.col("v").cast("double")).drop("v")
+    cent = ex.groupBy(F.col("label").alias("clabel"), "idx").agg(
+        F.avg("val").alias("cv")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
+            ).alias("d2")
+        )
+    )
+    per = d2.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(F.col("clabel") == F.col("label"), F.sqrt("d2"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.sqrt("d2"))
+        ).alias("b"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("a"), 6).alias("mean_intra"),
+        F.round(F.avg("b"), 6).alias("mean_nearest"),
+        F.round(
+            F.avg(
+                F.expr(
+                    "CASE WHEN greatest(a, b) > 0"
+                    " THEN (b - a) / greatest(a, b) ELSE 0.0 END"
+                )
+            ),
+            6,
+        ).alias("mean_silhouette"),
+    )
+
+
+SQL_SILHOUETTE_LITE = """
+WITH dims AS (
+  SELECT vec_id, label, i.idx - 1 AS idx,
+         CAST(embedding[i.idx] AS DOUBLE) AS val
+  FROM embeddings, range(1, 65) i(idx)
+), cent AS (
+  SELECT label AS clabel, idx, avg(val) AS cv
+  FROM dims GROUP BY 1, 2
+), d2 AS (
+  SELECT d.vec_id, d.label, cent.clabel,
+         sum((d.val - cent.cv) * (d.val - cent.cv)) AS d2
+  FROM dims d JOIN cent USING (idx) GROUP BY 1, 2, 3
+), per AS (
+  SELECT vec_id, label,
+         sum(CASE WHEN clabel = label THEN sqrt(d2) END) AS a,
+         min(CASE WHEN clabel <> label THEN sqrt(d2) END) AS b
+  FROM d2 GROUP BY 1, 2
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(a), 6) AS mean_intra,
+       round(avg(b), 6) AS mean_nearest,
+       round(avg(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b)
+                      ELSE 0.0 END), 6) AS mean_silhouette
+FROM per GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -17265,6 +17807,19 @@ REGISTRY: dict[str, tuple] = {
     # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #37 —
+    #    forecast-eval/LRD/record/cluster statistics (displaces
+    #    source_vocab_jaccard..topk_overlap past 50 — ALL-GREEN in the
+    #    committed 271-key sweep at the pack-#33 HEAD) --
+    "pinball_loss": (q_pinball_loss, SQL_PINBALL_LOSS),
+    "hurst_vt": (q_hurst_vt, SQL_HURST_VT),
+    "running_records": (q_running_records, SQL_RUNNING_RECORDS),
+    "turning_points": (q_turning_points, SQL_TURNING_POINTS),
+    "char_bigram_entropy": (
+        q_char_bigram_entropy,
+        SQL_CHAR_BIGRAM_ENTROPY,
+    ),
+    "silhouette_lite": (q_silhouette_lite, SQL_SILHOUETTE_LITE),
     # -- new r3 continuation (this session): feature-eng pack #36 —
     #    multiple-testing/circular/sequence/lexical statistics --
     "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
