@@ -17691,6 +17691,507 @@ FROM per GROUP BY 1
 """
 
 
+def q_user_mix_kl(spark, sf_dir):
+    """PER-USER KL DIVERGENCE of the event-type mix from the corpus
+    mix: KL(user ‖ corpus) = sum_t (c_ut/n_u) * ln((c_ut/n_u) /
+    (c_t/N)) in nats — the canonical 'how unusual is this user's
+    behaviour profile?' feature (0 = perfectly typical mix; the
+    per-user companion of the corpus-level `jsd_drift`). Types the
+    user never emits contribute exactly 0, so no smoothing is
+    needed and the sum runs only over the user's observed types.
+
+    The corpus mix is O(|types|) rows, BROADCAST into the per-
+    (user, type) count table; everything is exact BIGINT counts
+    until the single log term per cell."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ut")
+    )
+    un = ut.groupBy("user_id").agg(
+        F.sum("c_ut").cast("bigint").alias("n_u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    gl = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    )
+    n_all = gl.agg(F.sum("c_t").cast("bigint").alias("n_all"))
+    cell = (
+        ut.join(un, "user_id")
+        .join(F.broadcast(gl), "event_type")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "term",
+            F.expr(
+                "(CAST(c_ut AS DOUBLE) / n_u)"
+                " * ln((CAST(c_ut AS DOUBLE) / n_u)"
+                " / (CAST(c_t AS DOUBLE) / n_all))"
+            ),
+        )
+    )
+    return cell.groupBy("user_id").agg(
+        F.max("n_u").alias("n_events"),
+        F.max("n_types").alias("n_types"),
+        F.round(F.sum("term"), 6).alias("kl_nats"),
+    )
+
+
+SQL_USER_MIX_KL = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c_ut
+  FROM events GROUP BY 1, 2
+), un AS (
+  SELECT user_id, CAST(sum(c_ut) AS BIGINT) AS n_u,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM ut GROUP BY 1
+), gl AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c_t
+  FROM events GROUP BY 1
+), na AS (
+  SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM gl
+)
+SELECT ut.user_id,
+       max(n_u) AS n_events,
+       max(n_types) AS n_types,
+       round(sum((CAST(c_ut AS DOUBLE) / n_u)
+                 * ln((CAST(c_ut AS DOUBLE) / n_u)
+                      / (CAST(c_t AS DOUBLE) / n_all))), 6) AS kl_nats
+FROM ut JOIN un USING (user_id) JOIN gl USING (event_type)
+CROSS JOIN na
+GROUP BY 1
+"""
+
+
+def q_median_ci(spark, sf_dir):
+    """DISTRIBUTION-FREE 95% CONFIDENCE INTERVAL for the median via
+    order statistics: the interval [x_(l), x_(u)] with l = max(1,
+    floor((n - 1.96*sqrt(n))/2)) and u = n + 1 - l covers the true
+    median with ~95% probability for ANY distribution (binomial
+    argument — no normality, no bootstrap resampling). The honest
+    error bar to put on every median KPI; rank picks are exact, so
+    unlike a bootstrap the answer is deterministic and engine-
+    portable.
+
+    One row_number window per type on exact cents, the O(#types)
+    rank table broadcast back, and three conditional-agg rank picks
+    (lower rank, exact lower median, upper rank)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    ).withColumn("rn", F.row_number().over(w).cast("bigint"))
+    ranks = (
+        r.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .withColumn(
+            "rank_lo",
+            F.expr(
+                "greatest(CAST(1 AS BIGINT),"
+                " CAST(floor((n_events - 1.96 * sqrt(n_events)) / 2.0)"
+                " AS BIGINT))"
+            ),
+        )
+        .withColumn("rank_hi", F.expr("n_events + 1 - rank_lo"))
+        .withColumn("rank_med", F.expr("(n_events + 1) div 2"))
+    )
+    j = r.join(F.broadcast(ranks), "event_type")
+    return j.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("rank_lo").alias("rank_lo"),
+        F.max("rank_hi").alias("rank_hi"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") == F.col("rank_lo"), F.col("cents"))
+            )
+            / 100.0,
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") == F.col("rank_med"), F.col("cents"))
+            )
+            / 100.0,
+            6,
+        ).alias("median"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") == F.col("rank_hi"), F.col("cents"))
+            )
+            / 100.0,
+            6,
+        ).alias("ci_hi"),
+    )
+
+
+SQL_MEDIAN_CI = """
+WITH r AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+           AS BIGINT) AS rn
+  FROM events
+), ranks AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         greatest(CAST(1 AS BIGINT),
+           CAST(floor((count(*) - 1.96 * sqrt(count(*))) / 2.0)
+                AS BIGINT)) AS rank_lo
+  FROM r GROUP BY 1
+), rk AS (
+  SELECT event_type, n_events, rank_lo,
+         n_events + 1 - rank_lo AS rank_hi,
+         (n_events + 1) // 2 AS rank_med
+  FROM ranks
+)
+SELECT r.event_type,
+       max(n_events) AS n_events,
+       max(rank_lo) AS rank_lo,
+       max(rank_hi) AS rank_hi,
+       round(max(CASE WHEN rn = rank_lo THEN cents END) / 100.0,
+             6) AS ci_lo,
+       round(max(CASE WHEN rn = rank_med THEN cents END) / 100.0,
+             6) AS median,
+       round(max(CASE WHEN rn = rank_hi THEN cents END) / 100.0,
+             6) AS ci_hi
+FROM r JOIN rk USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_woe_iv(spark, sf_dir):
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE of the event value for
+    predicting purchases — the credit-scoring feature-screening
+    classic: bucket the value into global deciles, and per bucket
+    compute WoE = ln((share of positives)/(share of negatives)) with
+    +0.5 Laplace cell smoothing, plus the IV term (g/G - b/B)*WoE
+    whose sum screens the feature (IV < 0.02 useless, > 0.3 strong).
+
+    Decile edges come from ONE global percentile aggregate
+    (O(9) values, broadcast); bucket assignment is a 9-row broadcast
+    join counting strictly-exceeded edges — no global sort, no
+    single-partition ntile. Counts stay exact BIGINTs; WoE/IV are
+    the only floats."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("pos"),
+    )
+    edges = base.agg(
+        F.expr(
+            "percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        ).alias("arr")
+    ).select(F.posexplode("arr").alias("k", "edge")).select("edge")
+    bucketed = (
+        base.groupBy("cents", "pos")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .crossJoin(F.broadcast(edges))
+        .groupBy("cents", "pos", "m")
+        .agg(
+            F.sum((F.col("cents") > F.col("edge")).cast("bigint"))
+            .cast("bigint")
+            .alias("k")
+        )
+        .withColumn("bucket", (F.col("k") + 1).cast("bigint"))
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("pos") == 1, F.col("m")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("pos") == 0, F.col("m")).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("bigint").alias("g"),
+        F.sum("n_neg").cast("bigint").alias("b"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "woe",
+        F.expr(
+            "ln(((CAST(n_pos AS DOUBLE) + 0.5) / g)"
+            " / ((CAST(n_neg AS DOUBLE) + 0.5) / b))"
+        ),
+    )
+    return j.select(
+        "bucket",
+        (F.col("n_pos") + F.col("n_neg")).cast("bigint").alias("n"),
+        "n_pos",
+        "n_neg",
+        F.round("woe", 6).alias("woe"),
+        F.round(
+            F.expr(
+                "(CAST(n_pos AS DOUBLE) / g - CAST(n_neg AS DOUBLE) / b)"
+                " * woe"
+            ),
+            6,
+        ).alias("iv_term"),
+    )
+
+
+SQL_WOE_IV = """
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), ed0 AS (
+  SELECT [
+    quantile_cont(cents, 0.1), quantile_cont(cents, 0.2),
+    quantile_cont(cents, 0.3), quantile_cont(cents, 0.4),
+    quantile_cont(cents, 0.5), quantile_cont(cents, 0.6),
+    quantile_cont(cents, 0.7), quantile_cont(cents, 0.8),
+    quantile_cont(cents, 0.9)] AS arr
+  FROM base
+), ed AS (
+  SELECT unnest(arr) AS edge FROM ed0
+), dm AS (
+  SELECT cents, pos, CAST(count(*) AS BIGINT) AS m
+  FROM base GROUP BY 1, 2
+), bucketed AS (
+  SELECT cents, pos, m,
+         CAST(sum(CASE WHEN cents > edge THEN 1 ELSE 0 END)
+              AS BIGINT) + 1 AS bucket
+  FROM dm CROSS JOIN ed GROUP BY 1, 2, 3
+), per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN pos = 1 THEN m ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN pos = 0 THEN m ELSE 0 END)
+              AS BIGINT) AS n_neg
+  FROM bucketed GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS g,
+         CAST(sum(n_neg) AS BIGINT) AS b
+  FROM per
+)
+SELECT bucket,
+       CAST(n_pos + n_neg AS BIGINT) AS n, n_pos, n_neg,
+       round(ln(((CAST(n_pos AS DOUBLE) + 0.5) / g)
+                / ((CAST(n_neg AS DOUBLE) + 0.5) / b)),
+             6) AS woe,
+       round((CAST(n_pos AS DOUBLE) / g - CAST(n_neg AS DOUBLE) / b)
+             * ln(((CAST(n_pos AS DOUBLE) + 0.5) / g)
+                  / ((CAST(n_neg AS DOUBLE) + 0.5) / b)),
+             6) AS iv_term
+FROM per CROSS JOIN tot
+"""
+
+
+def q_half_activity_day(spark, sf_dir):
+    """ACTIVITY HALF-LIFE per user: the day (counted from the user's
+    first event) by which HALF of their lifetime events had
+    occurred, plus that point as a fraction of the active span — a
+    front-loading fingerprint (0.0 = burned bright then quit, ~0.5 =
+    steady, near 1.0 = late bloomer) that churn models read
+    directly. The exact integer twin of a cumulative-activity
+    quantile.
+
+    Daily counts -> one cumulative window per user -> the first day
+    where 2*cum >= total picked by a min over a conditional — all
+    exact BIGINT day arithmetic; the only float is the final span
+    fraction (NULL for single-day users, documented)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    cum = daily.withColumn(
+        "cumc", F.sum("c").over(w).cast("bigint")
+    ).withColumn(
+        "tot",
+        F.sum("c").over(Window.partitionBy("user_id")).cast("bigint"),
+    )
+    return (
+        cum.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("c").cast("bigint").alias("total_events"),
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("cumc") >= F.col("tot"),
+                    F.col("day"),
+                )
+            ).alias("dh"),
+        )
+        .select(
+            "user_id",
+            "n_days",
+            "total_events",
+            F.datediff("dh", "d0").cast("bigint").alias("days_to_half"),
+            F.datediff("d1", "d0").cast("bigint").alias("span_days"),
+            F.round(
+                F.expr(
+                    "CASE WHEN datediff(d1, d0) > 0 THEN"
+                    " CAST(datediff(dh, d0) AS DOUBLE) / datediff(d1, d0)"
+                    " END"
+                ),
+                6,
+            ).alias("half_frac"),
+        )
+    )
+
+
+SQL_HALF_ACTIVITY_DAY = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT user_id, day, c,
+         CAST(sum(c) OVER (PARTITION BY user_id ORDER BY day)
+              AS BIGINT) AS cumc,
+         CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+  FROM daily
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(c) AS BIGINT) AS total_events,
+       CAST(date_diff('day', min(day),
+            min(CASE WHEN 2 * cumc >= tot THEN day END))
+            AS BIGINT) AS days_to_half,
+       CAST(date_diff('day', min(day), max(day))
+            AS BIGINT) AS span_days,
+       round(CASE WHEN date_diff('day', min(day), max(day)) > 0 THEN
+         CAST(date_diff('day', min(day),
+              min(CASE WHEN 2 * cumc >= tot THEN day END)) AS DOUBLE)
+         / date_diff('day', min(day), max(day)) END,
+         6) AS half_frac
+FROM cum GROUP BY 1
+"""
+
+
+def q_negbin_fit(spark, sf_dir):
+    """NEGATIVE-BINOMIAL method-of-moments fit of daily event counts
+    per type: r = mu^2/(V - mu), p = mu/V — the standard
+    overdispersed-count model behind traffic simulation and anomaly
+    thresholds (Poisson is the V = mu edge; the smaller r, the
+    burstier). The parametric companion to `fano_factor` (which
+    reports V/mu and stops): these are the numbers you plug back in
+    to SAMPLE synthetic traffic. NULL fit when V <= mu (under/equi-
+    dispersed — NB undefined), documented.
+
+    Moments come from exact BIGINT count sums (n*S2 - S1^2)/n^2; the
+    only floats are the two final parameter ratios."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    j = agg.withColumn(
+        "mu", F.expr("CAST(s1 AS DOUBLE) / n_days")
+    ).withColumn(
+        "vv",
+        F.expr(
+            "(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n_days AS DOUBLE) * n_days)"
+        ),
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mean_daily"),
+        F.round("vv", 6).alias("var_daily"),
+        F.round(
+            F.expr("CASE WHEN vv > mu THEN mu * mu / (vv - mu) END"), 6
+        ).alias("nb_r"),
+        F.round(
+            F.expr("CASE WHEN vv > mu THEN mu / vv END"), 6
+        ).alias("nb_p"),
+    )
+
+
+SQL_NEGBIN_FIT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+), j AS (
+  SELECT event_type, n_days,
+         CAST(s1 AS DOUBLE) / n_days AS mu,
+         (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n_days AS DOUBLE) * n_days) AS vv
+  FROM agg
+)
+SELECT event_type, n_days,
+       round(mu, 6) AS mean_daily,
+       round(vv, 6) AS var_daily,
+       round(CASE WHEN vv > mu THEN mu * mu / (vv - mu) END,
+             6) AS nb_r,
+       round(CASE WHEN vv > mu THEN mu / vv END, 6) AS nb_p
+FROM j
+"""
+
+
+def q_recency_score(spark, sf_dir):
+    """EXPONENTIAL-DECAY RECENCY SCORE per user at the corpus
+    snapshot (max timestamp): sum over the user's events of
+    0.5^(age_days/7) — a 7-day-half-life activity mass, the
+    recency-weighted engagement feature every ranking/churn model
+    starts from (RFM's R and F fused into one decayed count).
+    Integer day ages make the pow() argument exact, so both engines
+    evaluate the same finite set of pow(0.5, k/7) values.
+
+    The snapshot is a one-row broadcast; ages are exact integer-
+    microsecond day quotients; one hash agg per user."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select("user_id", _us("ts").alias("us"))
+    snap = base.agg(F.max("us").alias("snap_us"))
+    return (
+        base.crossJoin(F.broadcast(snap))
+        .withColumn(
+            "age_days",
+            F.expr("(snap_us - us) div 86400000000").cast("bigint"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("age_days").cast("bigint").alias("last_age_days"),
+            F.round(
+                F.sum(
+                    F.expr("pow(0.5, CAST(age_days AS DOUBLE) / 7.0)")
+                ),
+                6,
+            ).alias("recency_score"),
+        )
+    )
+
+
+SQL_RECENCY_SCORE = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), snap AS (
+  SELECT max(us) AS snap_us FROM base
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min((snap_us - us) // 86400000000) AS BIGINT)
+         AS last_age_days,
+       round(sum(pow(0.5,
+             CAST((snap_us - us) // 86400000000 AS DOUBLE) / 7.0)),
+             6) AS recency_score
+FROM base CROSS JOIN snap GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -17807,6 +18308,16 @@ REGISTRY: dict[str, tuple] = {
     # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #38 —
+    #    divergence/CI/scoring/lifecycle statistics (displaces
+    #    top_bigram_frac..intra_doc_sim past 50 — ALL-GREEN in the
+    #    committed 295-key sweep at the pack-#37 HEAD) --
+    "user_mix_kl": (q_user_mix_kl, SQL_USER_MIX_KL),
+    "median_ci": (q_median_ci, SQL_MEDIAN_CI),
+    "woe_iv": (q_woe_iv, SQL_WOE_IV),
+    "half_activity_day": (q_half_activity_day, SQL_HALF_ACTIVITY_DAY),
+    "negbin_fit": (q_negbin_fit, SQL_NEGBIN_FIT),
+    "recency_score": (q_recency_score, SQL_RECENCY_SCORE),
     # -- new r3 continuation (this session): feature-eng pack #37 —
     #    forecast-eval/LRD/record/cluster statistics (displaces
     #    source_vocab_jaccard..topk_overlap past 50 — ALL-GREEN in the
