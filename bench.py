@@ -258,6 +258,33 @@ HEADLINE = [
     "abandonment",
     "seasonal_naive_mae",
     "gap_percentiles",
+    # added r3 continuation: packs #35-#38 (ranking/concentration,
+    # multiple-testing/circular/lexical, forecast-eval/LRD/cluster,
+    # divergence/CI/scoring/lifecycle)
+    "rbo_overlap",
+    "weighted_jaccard",
+    "burstiness_gb",
+    "lorenz_curve",
+    "first_k_profile",
+    "dwell_share",
+    "bh_fdr",
+    "rayleigh_daily",
+    "markov_surprise",
+    "readability",
+    "hapax_ratio",
+    "gini_mean_diff",
+    "pinball_loss",
+    "hurst_vt",
+    "running_records",
+    "turning_points",
+    "char_bigram_entropy",
+    "silhouette_lite",
+    "user_mix_kl",
+    "median_ci",
+    "woe_iv",
+    "half_activity_day",
+    "negbin_fit",
+    "recency_score",
 ]
 
 
