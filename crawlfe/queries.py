@@ -18192,6 +18192,499 @@ FROM base CROSS JOIN snap GROUP BY 1
 """
 
 
+def q_wilson_lcb(spark, sf_dir):
+    """WILSON LOWER CONFIDENCE BOUND ranking of sources by long-doc
+    rate — the sample-size-aware way to rank proportions (the
+    'sort by lower bound, not by raw rate' rule): a source that is
+    3/3 long ranks BELOW one that is 80/100, because the 95% Wilson
+    interval for n=3 reaches far lower. The ranking twin of
+    `bh_fdr`'s testing view over the same 2-proportion table.
+
+    LCB = (p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n) with
+    z = 1.96, all evaluated in one expression on the O(#sources)
+    post-aggregate; the rank window runs on that tiny table."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            (F.col("n_chars") >= _BH_LONG).cast("bigint").alias("is_long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_long").cast("bigint").alias("n_long"),
+        )
+        .withColumn("p_hat", F.expr("CAST(n_long AS DOUBLE) / n_docs"))
+        .withColumn(
+            "lcb",
+            F.expr(
+                "(p_hat + 1.96 * 1.96 / (2.0 * n_docs)"
+                " - 1.96 * sqrt(p_hat * (1.0 - p_hat) / n_docs"
+                " + 1.96 * 1.96 / (4.0 * CAST(n_docs AS DOUBLE)"
+                " * n_docs)))"
+                " / (1.0 + 1.96 * 1.96 / n_docs)"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("lcb").desc(), F.col("source"))
+    return per.select(
+        "source",
+        "n_docs",
+        "n_long",
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round("lcb", 6).alias("wilson_lcb"),
+        F.row_number().over(w).cast("bigint").alias("lcb_rank"),
+    )
+
+
+SQL_WILSON_LCB = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_long
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT source, n_docs, n_long,
+         CAST(n_long AS DOUBLE) / n_docs AS p_hat
+  FROM per
+), l AS (
+  SELECT source, n_docs, n_long, p_hat,
+         (p_hat + 1.96 * 1.96 / (2.0 * n_docs)
+          - 1.96 * sqrt(p_hat * (1.0 - p_hat) / n_docs
+                        + 1.96 * 1.96
+                          / (4.0 * CAST(n_docs AS DOUBLE) * n_docs)))
+         / (1.0 + 1.96 * 1.96 / n_docs) AS lcb
+  FROM p
+)
+SELECT source, n_docs, n_long,
+       round(p_hat, 6) AS p_hat,
+       round(lcb, 6) AS wilson_lcb,
+       CAST(row_number() OVER (ORDER BY lcb DESC, source)
+            AS BIGINT) AS lcb_rank
+FROM l
+"""
+
+
+def q_odds_ratio(spark, sf_dir):
+    """ODDS RATIO of long-doc prevalence per source vs the REST of
+    the corpus, with the Woolf logit 95% CI and Haldane–Anscombe
+    +0.5 continuity correction in every cell — the epidemiology
+    2x2-table statistic (how much MORE likely is a long doc from
+    this source?), multiplicative where `bh_fdr`'s z is additive,
+    and CI-equipped where `wilson_lcb` is one-sided.
+
+    The 2x2 cells (a,b) per source and (c,d) as corpus complements
+    come from one aggregate plus one broadcast total row; OR, ln OR
+    and the CI are closed-form doubles on the O(#sources) table."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            (F.col("n_chars") >= _BH_LONG).cast("bigint").alias("is_long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_long").cast("bigint").alias("a"),
+        )
+        .withColumn("b", F.expr("n_docs - a"))
+    )
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+    )
+    j = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("c", F.expr("ta - a"))
+        .withColumn("d", F.expr("tb - b"))
+        .withColumn(
+            "lor",
+            F.expr(
+                "ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE)"
+                " + 0.5)) / ((CAST(b AS DOUBLE) + 0.5)"
+                " * (CAST(c AS DOUBLE) + 0.5)))"
+            ),
+        )
+        .withColumn(
+            "se",
+            F.expr(
+                "sqrt(1.0 / (CAST(a AS DOUBLE) + 0.5)"
+                " + 1.0 / (CAST(b AS DOUBLE) + 0.5)"
+                " + 1.0 / (CAST(c AS DOUBLE) + 0.5)"
+                " + 1.0 / (CAST(d AS DOUBLE) + 0.5))"
+            ),
+        )
+    )
+    return j.select(
+        "source",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.expr("exp(lor)"), 6).alias("odds_ratio"),
+        F.round(F.expr("exp(lor - 1.96 * se)"), 6).alias("or_ci_lo"),
+        F.round(F.expr("exp(lor + 1.96 * se)"), 6).alias("or_ci_hi"),
+    )
+
+
+SQL_ODDS_RATIO = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a
+  FROM documents GROUP BY 1
+), pb AS (
+  SELECT source, a, n_docs - a AS b FROM per
+), tot AS (
+  SELECT CAST(sum(a) AS BIGINT) AS ta,
+         CAST(sum(b) AS BIGINT) AS tb
+  FROM pb
+), j AS (
+  SELECT source, a, b, ta - a AS c, tb - b AS d,
+         ln(((CAST(a AS DOUBLE) + 0.5) * (CAST(tb - b AS DOUBLE)
+             + 0.5)) / ((CAST(b AS DOUBLE) + 0.5)
+            * (CAST(ta - a AS DOUBLE) + 0.5))) AS lor,
+         sqrt(1.0 / (CAST(a AS DOUBLE) + 0.5)
+              + 1.0 / (CAST(b AS DOUBLE) + 0.5)
+              + 1.0 / (CAST(ta - a AS DOUBLE) + 0.5)
+              + 1.0 / (CAST(tb - b AS DOUBLE) + 0.5)) AS se
+  FROM pb CROSS JOIN tot
+)
+SELECT source, a, b, c, d,
+       round(exp(lor), 6) AS odds_ratio,
+       round(exp(lor - 1.96 * se), 6) AS or_ci_lo,
+       round(exp(lor + 1.96 * se), 6) AS or_ci_hi
+FROM j
+"""
+
+
+def q_value_mode(spark, sf_dir):
+    """EXACT MODE of the value distribution per event type — the
+    most frequent cent-exact value, its count, and its share of the
+    type's traffic. The mode is the one classic location statistic
+    SQL has no aggregate for at scale (a global sort won't do it);
+    here it is one (type, cents) count table plus a row_number pick
+    with a deterministic count-desc/value-asc tie-break.
+
+    All exact BIGINTs until the final share ratio."""
+    e = _t(spark, sf_dir, "events")
+    vc = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("cents")
+    )
+    tot = vc.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    top = vc.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return top.join(tot, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_distinct",
+        F.round(F.col("cents") / 100.0, 6).alias("mode_value"),
+        F.col("c").alias("mode_count"),
+        F.round(
+            F.col("c").cast("double") / F.col("n_events").cast("double"),
+            6,
+        ).alias("mode_share"),
+    )
+
+
+SQL_VALUE_MODE = """
+WITH vc AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM vc GROUP BY 1
+), top AS (
+  SELECT event_type, cents, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, cents) AS rn
+  FROM vc
+)
+SELECT top.event_type, n_events, n_distinct,
+       round(cents / 100.0, 6) AS mode_value,
+       c AS mode_count,
+       round(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE),
+             6) AS mode_share
+FROM top JOIN tot ON top.event_type = tot.event_type
+WHERE rn = 1
+"""
+
+
+def q_bowley_moors(spark, sf_dir):
+    """BOWLEY SKEWNESS + MOORS KURTOSIS per event type — the
+    quantile-based shape statistics: Bowley = (E6 + E2 − 2·E4) /
+    (E6 − E2) on quartiles, Moors = ((E7−E5) + (E3−E1)) / (E6−E2)
+    on octiles. Robust where `gini_skew`'s moment cousins explode on
+    heavy tails (every term is an order statistic, so one wild
+    outlier moves nothing). Moors ≈ 1.233 for a normal; higher =
+    fatter tails.
+
+    One percentile-array aggregate per type (octiles E1..E7 in a
+    single pass over exact cents), shape ratios NULL-guarded when
+    the IQR is zero."""
+    e = _t(spark, sf_dir, "events")
+    agg = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr(
+                "percentile(cents, array(0.125, 0.25, 0.375, 0.5,"
+                " 0.625, 0.75, 0.875))"
+            ).alias("e"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.expr("e[0]").alias("e1"),
+            F.expr("e[1]").alias("e2"),
+            F.expr("e[2]").alias("e3"),
+            F.expr("e[3]").alias("e4"),
+            F.expr("e[4]").alias("e5"),
+            F.expr("e[5]").alias("e6"),
+            F.expr("e[6]").alias("e7"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.expr("e2 / 100.0"), 6).alias("q1"),
+        F.round(F.expr("e4 / 100.0"), 6).alias("median"),
+        F.round(F.expr("e6 / 100.0"), 6).alias("q3"),
+        F.round(
+            F.expr(
+                "CASE WHEN e6 - e2 > 0"
+                " THEN (e6 + e2 - 2.0 * e4) / (e6 - e2) END"
+            ),
+            6,
+        ).alias("bowley_skew"),
+        F.round(
+            F.expr(
+                "CASE WHEN e6 - e2 > 0"
+                " THEN ((e7 - e5) + (e3 - e1)) / (e6 - e2) END"
+            ),
+            6,
+        ).alias("moors_kurt"),
+    )
+
+
+SQL_BOWLEY_MOORS = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.125) AS e1,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.25) AS e2,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.375) AS e3,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.5) AS e4,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.625) AS e5,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.75) AS e6,
+         quantile_cont(CAST(round(value * 100) AS BIGINT),
+                       0.875) AS e7
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_events,
+       round(e2 / 100.0, 6) AS q1,
+       round(e4 / 100.0, 6) AS median,
+       round(e6 / 100.0, 6) AS q3,
+       round(CASE WHEN e6 - e2 > 0
+                  THEN (e6 + e2 - 2.0 * e4) / (e6 - e2) END,
+             6) AS bowley_skew,
+       round(CASE WHEN e6 - e2 > 0
+                  THEN ((e7 - e5) + (e3 - e1)) / (e6 - e2) END,
+             6) AS moors_kurt
+FROM agg
+"""
+
+
+_TPP_K = 20
+
+
+def q_term_position_profile(spark, sf_dir):
+    """TERM POSITION PROFILE: for each of the corpus top-20 tokens,
+    the mean RELATIVE position of its occurrences within documents
+    (1/len = first word, 1.0 = last word) — discourse-structure
+    mining: function words sit uniformly (~0.5), intro markers skew
+    early, conclusion markers late. A positional signal no bag-of-
+    words count captures.
+
+    One positional explode (the `explode_tokens` fan-out with
+    posexplode), one broadcast top-K join (top-K via the grouped
+    vocab count, count-desc/token-asc deterministic), exact
+    occurrence counts + one rational mean per token."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    ex = (
+        d.select(
+            "doc_id",
+            F.posexplode(toks).alias("pos0", "token"),
+            F.size(toks).cast("bigint").alias("len"),
+        )
+        .where(F.col("token") != "")
+    )
+    top = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total_count"))
+        .orderBy(F.col("total_count").desc(), F.col("token"))
+        .limit(_TPP_K)
+    )
+    j = ex.join(F.broadcast(top), "token")
+    return j.groupBy("token").agg(
+        F.max("total_count").alias("total_count"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.round(
+            F.avg(
+                F.expr("CAST(pos0 + 1 AS DOUBLE) / len")
+            ),
+            6,
+        ).alias("mean_rel_pos"),
+    )
+
+
+SQL_TERM_POSITION_PROFILE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, t[i] AS token, i AS pos1,
+         CAST(len(t) AS BIGINT) AS len
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+    FROM toks
+  )
+  WHERE t[i] <> ''
+), top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS total_count
+  FROM ex GROUP BY 1
+  ORDER BY total_count DESC, token LIMIT 20
+)
+SELECT ex.token,
+       max(total_count) AS total_count,
+       CAST(count(DISTINCT ex.doc_id) AS BIGINT) AS n_docs,
+       round(avg(CAST(pos1 AS DOUBLE) / len), 6) AS mean_rel_pos
+FROM ex JOIN top ON ex.token = top.token
+GROUP BY 1
+"""
+
+
+def q_longest_event_run(spark, sf_dir):
+    """LONGEST SAME-TYPE RUN per user: the maximal streak of
+    consecutive events of one type (plus which type and how many
+    runs total) — the user-sequence repetition fingerprint
+    (click-click-click-... bursts; retry storms show up as long
+    'error' runs). The event-sequence cousin of the gaps-and-islands
+    `streak_lengths` (days) and token-level `longest_token_run`.
+
+    Classic two-window plan: a lag change-flag, a running sum that
+    numbers the runs, then run-length counts and one deterministic
+    (len desc, first-run asc) row_number pick per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    r = (
+        e.select(
+            "user_id", _us("ts").alias("us"), "event_id", "event_type"
+        )
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    runs = r.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), F.col("run_id")
+    )
+    stats = runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+    best = runs.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") == 1
+    )
+    return best.join(stats, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_runs",
+        F.col("run_len").alias("max_run_len"),
+        F.col("event_type").alias("max_run_type"),
+    )
+
+
+SQL_LONGEST_EVENT_RUN = """
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id)
+), rid AS (
+  SELECT user_id, event_type,
+         CAST(sum(chg) OVER (PARTITION BY user_id
+              ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_id
+  FROM r
+), runs AS (
+  SELECT user_id, run_id, event_type,
+         CAST(count(*) AS BIGINT) AS run_len
+  FROM rid GROUP BY 1, 2, 3
+), stats AS (
+  SELECT user_id, CAST(sum(run_len) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_runs
+  FROM runs GROUP BY 1
+), best AS (
+  SELECT user_id, event_type, run_len,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, run_id) AS rn
+  FROM runs
+)
+SELECT best.user_id, n_events, n_runs,
+       run_len AS max_run_len,
+       event_type AS max_run_type
+FROM best JOIN stats ON best.user_id = stats.user_id
+WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -18308,6 +18801,19 @@ REGISTRY: dict[str, tuple] = {
     # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #39 —
+    #    ranking-bound/2x2/shape/positional statistics (displaces six
+    #    more r3 keys past 50 — ALL-GREEN in the committed 295-key
+    #    sweep at the pack-#37 HEAD) --
+    "wilson_lcb": (q_wilson_lcb, SQL_WILSON_LCB),
+    "odds_ratio": (q_odds_ratio, SQL_ODDS_RATIO),
+    "value_mode": (q_value_mode, SQL_VALUE_MODE),
+    "bowley_moors": (q_bowley_moors, SQL_BOWLEY_MOORS),
+    "term_position_profile": (
+        q_term_position_profile,
+        SQL_TERM_POSITION_PROFILE,
+    ),
+    "longest_event_run": (q_longest_event_run, SQL_LONGEST_EVENT_RUN),
     # -- new r3 continuation (this session): feature-eng pack #38 —
     #    divergence/CI/scoring/lifecycle statistics (displaces
     #    top_bigram_frac..intra_doc_sim past 50 — ALL-GREEN in the
