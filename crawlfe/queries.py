@@ -18686,6 +18686,681 @@ WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #40: nonparametric ANOVA, robust location, inequality
+# decomposition, gains/lift table, Brier decomposition, permutation entropy
+# --------------------------------------------------------------------------
+
+def q_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H test across the five event types on
+    ``value`` — the nonparametric one-way ANOVA (rank-based twin of
+    `dow_anova`'s parametric F). At 100 TB the raw stream never gets
+    globally ranked: values collapse to a (cents, type) count
+    histogram (one map-side-combinable hash agg), mid-ranks come from
+    a prefix sum over DISTINCT cents, and the doubled mid-rank
+    ``2*cum_below + ct + 1`` keeps every rank INTEGER (no .5 floats).
+
+    Rank sums stay exact bigints; the single float division happens
+    on the O(#types) table. Ties get the standard correction
+    ``C = 1 - sum(t^3 - t)/(N^3 - N)``; the p-value uses the df=4
+    closed-form chi-square survival ``exp(-h/2) * (1 + h/2)``."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    vc = base.groupBy("cents", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ct = vc.groupBy("cents").agg(F.sum("c").cast("bigint").alias("ct"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = ct.select(
+        "cents",
+        "ct",
+        (
+            2 * (F.sum("ct").over(w) - F.col("ct"))
+            + F.col("ct")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    per = (
+        vc.join(ranked, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("r2")).cast("bigint").alias("r2sum"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.pow(F.col("ct").cast("double"), 3) - F.col("ct")
+        ).alias("tie3")
+    )
+    glob = (
+        per.crossJoin(F.broadcast(ties))
+        .agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum(
+                F.pow(F.col("r2sum").cast("double"), 2)
+                / F.col("n").cast("double")
+            ).alias("s"),
+            F.max("tie3").alias("tie3"),
+        )
+        .withColumn(
+            "h",
+            F.expr(
+                "3.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * s"
+                " - 3.0 * (nn + 1)"
+            ),
+        )
+        .withColumn(
+            "h_adj",
+            F.expr(
+                "h / (1.0 - tie3 / (pow(CAST(nn AS DOUBLE), 3) - nn))"
+            ),
+        )
+        .select(
+            "nn",
+            F.round("h_adj", 6).alias("h_adj"),
+            F.round(
+                F.expr("exp(-h_adj / 2.0) * (1.0 + h_adj / 2.0)"), 6
+            ).alias("p_chi2_df4"),
+        )
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n",
+        F.col("r2sum").alias("rank_sum2"),
+        F.round(
+            F.col("r2sum").cast("double") / (2.0 * F.col("n")), 6
+        ).alias("mean_rank"),
+        "h_adj",
+        "p_chi2_df4",
+    )
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), vc AS (
+  SELECT cents, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+), ct AS (
+  SELECT cents, CAST(sum(c) AS BIGINT) AS ct FROM vc GROUP BY 1
+), ranked AS (
+  SELECT cents, ct,
+         CAST(2 * (sum(ct) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - ct) + ct + 1 AS BIGINT) AS r2
+  FROM ct
+), per AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * r2) AS BIGINT) AS r2sum
+  FROM vc JOIN ranked USING (cents) GROUP BY 1
+), ties AS (
+  SELECT sum(pow(CAST(ct AS DOUBLE), 3) - ct) AS tie3 FROM ranked
+), gl AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         sum(pow(CAST(r2sum AS DOUBLE), 2) / CAST(n AS DOUBLE)) AS s,
+         max(tie3) AS tie3
+  FROM per CROSS JOIN ties
+), h AS (
+  SELECT nn,
+         (3.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * s - 3.0 * (nn + 1))
+         / (1.0 - tie3 / (pow(CAST(nn AS DOUBLE), 3) - nn)) AS h_adj
+  FROM gl
+)
+SELECT event_type, n, r2sum AS rank_sum2,
+       round(CAST(r2sum AS DOUBLE) / (2.0 * n), 6) AS mean_rank,
+       round(h_adj, 6) AS h_adj,
+       round(exp(-h_adj / 2.0) * (1.0 + h_adj / 2.0), 6)
+         AS p_chi2_df4
+FROM per CROSS JOIN h
+"""
+
+
+def q_trimmed_stats(spark, sf_dir):
+    """ROBUST LOCATION family per event type: 10%-two-sided TRIMMED
+    mean, WINSORIZED mean (tails clamped to the cut values, not
+    dropped), and the MIDHINGE (average of the two order-statistic
+    hinges) — the location estimators a quality pipeline swaps in
+    when `value` has heavy tails (`hodges_lehmann` is the pairwise
+    cousin; this is the order-statistic family).
+
+    Ranks are deterministic row_numbers over exact cents with
+    event_id tie-break; every estimator is a conditional aggregate
+    over integer rank boundaries (k = n div 10, hinges at
+    (n+3) div 4 and (3n+1) div 4), so both engines pick the SAME
+    physical rows. All sums exact bigints; cents->value division is
+    the only float op."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    agg = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k"))
+                & (F.col("rn") <= F.col("n") - F.col("k")),
+                F.col("cents"),
+            )
+        )
+        .cast("bigint")
+        .alias("s_mid"),
+        F.max(
+            F.when(F.col("rn") == F.col("k") + 1, F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("cents"))
+        ).alias("hi"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents")
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 1) div 4"),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("s_mid").cast("double")
+            / (100.0 * (F.col("n") - 2 * F.col("k"))),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("s_mid")
+                + F.col("k") * F.col("lo")
+                + F.col("k") * F.col("hi")
+            ).cast("double")
+            / (100.0 * F.col("n")),
+            6,
+        ).alias("winsor_mean"),
+        F.round(
+            (F.col("q1") + F.col("q3")).cast("double") / 200.0, 6
+        ).alias("midhinge"),
+    )
+
+
+SQL_TRIMMED_STATS = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cents, event_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type)
+              AS BIGINT) AS n
+  FROM base
+), k AS (
+  SELECT *, n // 10 AS k FROM r
+), agg AS (
+  SELECT event_type, max(n) AS n, max(k) AS k,
+         CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                       THEN cents END) AS BIGINT) AS s_mid,
+         max(CASE WHEN rn = k + 1 THEN cents END) AS lo,
+         max(CASE WHEN rn = n - k THEN cents END) AS hi,
+         max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+         max(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END) AS q3
+  FROM k GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(s_mid AS DOUBLE) / (100.0 * (n - 2 * k)), 6)
+         AS trimmed_mean,
+       round(CAST(s_mid + k * lo + k * hi AS DOUBLE) / (100.0 * n), 6)
+         AS winsor_mean,
+       round(CAST(q1 + q3 AS DOUBLE) / 200.0, 6) AS midhinge
+FROM agg
+"""
+
+
+def q_theil_index(spark, sf_dir):
+    """THEIL T inequality decomposition of document length over
+    sources — the additively-decomposable inequality index
+    (`gini_skew`/`lorenz_curve` measure concentration; Theil is the
+    one that splits EXACTLY into within-group + between-group terms:
+    T_total = sum_i share_i * T_i + sum_i share_i * ln(mu_i / mu)).
+
+    Per source the within index folds to one scan aggregate:
+    T_i = sum(x*ln x)/sum(x) - ln(mean_i) — per-row ln stays inside
+    whole-stage codegen, one hash agg per source, and the O(#sources)
+    post-table gets the share/between columns from a broadcast
+    totals row."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.where(F.col("n_chars") > 0)
+        .select(
+            "source",
+            F.col("n_chars").cast("bigint").alias("x"),
+            F.expr(
+                "CAST(n_chars AS DOUBLE)"
+                " * ln(CAST(n_chars AS DOUBLE))"
+            ).alias("xlx"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum("xlx").alias("sxl"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("tn"),
+        F.sum("s").cast("bigint").alias("ts"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("s").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_chars"
+        ),
+        F.round(
+            F.col("sxl") / F.col("s")
+            - F.expr("ln(CAST(s AS DOUBLE) / n_docs)"),
+            6,
+        ).alias("theil_within"),
+        F.round(F.col("s").cast("double") / F.col("ts"), 6).alias(
+            "value_share"
+        ),
+        F.round(
+            F.col("s").cast("double")
+            / F.col("ts")
+            * F.expr(
+                "ln((CAST(s AS DOUBLE) / n_docs)"
+                " / (CAST(ts AS DOUBLE) / tn))"
+            ),
+            6,
+        ).alias("between_term"),
+    )
+
+
+SQL_THEIL_INDEX = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         sum(CAST(n_chars AS DOUBLE)
+             * ln(CAST(n_chars AS DOUBLE))) AS sxl
+  FROM documents WHERE n_chars > 0 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+         CAST(sum(s) AS BIGINT) AS ts
+  FROM per
+)
+SELECT source, n_docs,
+       round(CAST(s AS DOUBLE) / n_docs, 6) AS mean_chars,
+       round(sxl / s - ln(CAST(s AS DOUBLE) / n_docs), 6)
+         AS theil_within,
+       round(CAST(s AS DOUBLE) / ts, 6) AS value_share,
+       round(CAST(s AS DOUBLE) / ts
+             * ln((CAST(s AS DOUBLE) / n_docs)
+                  / (CAST(ts AS DOUBLE) / tn)), 6) AS between_term
+FROM per CROSS JOIN tot
+"""
+
+
+def q_decile_lift(spark, sf_dir):
+    """DECILE LIFT / GAINS table for `value` as a purchase-vs-click
+    score — the campaign-targeting view of the SAME separation
+    `roc_auc` summarizes to one number: bucket the scored population
+    into 10 equal-count bins best-first and report each bin's
+    positive rate, cumulative capture share, and lift over base rate.
+
+    Deciles come from deterministic integer arithmetic on a
+    row_number (``(rn-1)*10 div n + 1``, value-desc with event_id
+    tie-break) — NOT engine ntile — so both engines bucket the same
+    physical rows. Counters stay bigint; three ratios per decile at
+    the end."""
+    e = _t(spark, sf_dir, "events")
+    base = e.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pos"),
+    )
+    wo = Window.orderBy(F.col("cents").desc(), "event_id")
+    wn = Window.partitionBy()
+    dec = base.select(
+        "pos",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    ).select(
+        F.expr("(rn - 1) * 10 div n + 1").cast("bigint").alias("decile"),
+        "pos",
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("n_pos").cast("bigint").alias("tp"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_pos", F.sum("n_pos").over(wcum).cast("bigint")
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n"), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.col("cum_pos").cast("double") / F.col("tp"), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("tp").cast("double") / F.col("tn")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS pos
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT pos,
+         CAST(row_number() OVER (ORDER BY cents DESC, event_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM base
+), dec AS (
+  SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile, pos
+  FROM r
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM dec GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn,
+         CAST(sum(n_pos) AS BIGINT) AS tp
+  FROM per
+), cum AS (
+  SELECT decile, n, n_pos,
+         CAST(sum(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+  FROM per
+)
+SELECT decile, n, n_pos,
+       round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+       round(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
+       round((CAST(n_pos AS DOUBLE) / n)
+             / (CAST(tp AS DOUBLE) / tn), 6) AS lift
+FROM cum CROSS JOIN tot
+"""
+
+
+def q_brier_decomp(spark, sf_dir):
+    """BRIER SCORE with the Murphy reliability / resolution /
+    uncertainty decomposition over 10 equal-width probability bins —
+    the CALIBRATION view of the purchase-vs-click score (`roc_auc`
+    grades discrimination, which is calibration-blind; a score can
+    have AUC 0.9 and still be badly mis-calibrated).
+
+    The deterministic probability model is a fixed logistic
+    ``p = 1/(1+exp(-(value-35)/20))``. Everything folds to one
+    10-row per-bin table (n, sum_p, sum_p2, sum_p on positives,
+    n_pos) via a single hash agg; the exact Brier sum expands to
+    ``sum_p2 - 2*sum_p_pos + n_pos`` so no per-row squared residual
+    survives the map side. REL/RES/UNC are closed forms on the
+    10-row table against a broadcast global rate."""
+    e = _t(spark, sf_dir, "events")
+    base = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr(
+                "1.0 / (1.0 + exp(-(value - 35.0) / 20.0))"
+            ).alias("p"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("o"),
+        )
+        .withColumn(
+            "bin",
+            F.expr(
+                "CAST(least(floor(p * 10), 9) AS BIGINT)"
+            ),
+        )
+    )
+    per = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").alias("sum_p"),
+        F.sum(F.col("p") * F.col("p")).alias("sum_p2"),
+        F.sum(F.col("p") * F.col("o")).alias("sum_p_pos"),
+        F.sum("o").cast("bigint").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("n_pos").cast("bigint").alias("tpos"),
+        F.sum(
+            F.col("sum_p2")
+            - 2.0 * F.col("sum_p_pos")
+            + F.col("n_pos")
+        ).alias("brier_sum"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).withColumn(
+        "obar", F.expr("CAST(tpos AS DOUBLE) / tn")
+    )
+    glob = j.agg(
+        F.max("tn").alias("tn"),
+        F.max("brier_sum").alias("brier_sum"),
+        F.max("obar").alias("obar"),
+        F.sum(
+            F.expr(
+                "n * pow(sum_p / n - CAST(n_pos AS DOUBLE) / n, 2)"
+            )
+        ).alias("rel_sum"),
+        F.sum(
+            F.expr("n * pow(CAST(n_pos AS DOUBLE) / n - obar, 2)")
+        ).alias("res_sum"),
+    )
+    gsel = glob.select(
+        F.round(F.expr("brier_sum / tn"), 6).alias("brier"),
+        F.round(F.expr("rel_sum / tn"), 6).alias("reliability"),
+        F.round(F.expr("res_sum / tn"), 6).alias("resolution"),
+        F.round(F.expr("obar * (1.0 - obar)"), 6).alias("uncertainty"),
+    )
+    return per.crossJoin(F.broadcast(gsel)).select(
+        "bin",
+        "n",
+        F.round(F.expr("sum_p / n"), 6).alias("mean_pred"),
+        F.round(F.expr("CAST(n_pos AS DOUBLE) / n"), 6).alias(
+            "obs_rate"
+        ),
+        "brier",
+        "reliability",
+        "resolution",
+        "uncertainty",
+    )
+
+
+SQL_BRIER_DECOMP = """
+WITH base AS (
+  SELECT 1.0 / (1.0 + exp(-(value - 35.0) / 20.0)) AS p,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS o
+  FROM events WHERE event_type IN ('purchase', 'click')
+), binned AS (
+  SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, o
+  FROM base
+), per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(p) AS sum_p,
+         sum(p * p) AS sum_p2, sum(p * o) AS sum_p_pos,
+         CAST(sum(o) AS BIGINT) AS n_pos
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn,
+         CAST(sum(n_pos) AS BIGINT) AS tpos,
+         sum(sum_p2 - 2.0 * sum_p_pos + n_pos) AS brier_sum
+  FROM per
+), j AS (
+  SELECT per.*, tn, brier_sum,
+         CAST(tpos AS DOUBLE) / tn AS obar
+  FROM per CROSS JOIN tot
+), gl AS (
+  SELECT max(tn) AS tn, max(brier_sum) AS brier_sum,
+         max(obar) AS obar,
+         sum(n * pow(sum_p / n - CAST(n_pos AS DOUBLE) / n, 2))
+           AS rel_sum,
+         sum(n * pow(CAST(n_pos AS DOUBLE) / n - obar, 2)) AS res_sum
+  FROM j
+), g AS (
+  SELECT round(brier_sum / tn, 6) AS brier,
+         round(rel_sum / tn, 6) AS reliability,
+         round(res_sum / tn, 6) AS resolution,
+         round(obar * (1.0 - obar), 6) AS uncertainty
+  FROM gl
+)
+SELECT bin, n,
+       round(sum_p / n, 6) AS mean_pred,
+       round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+       brier, reliability, resolution, uncertainty
+FROM per CROSS JOIN g
+"""
+
+
+def q_perm_entropy(spark, sf_dir):
+    """ORDER-3 PERMUTATION ENTROPY (Bandt-Pompe) of each user's
+    value sequence, pooled corpus-wide — the ordinal-dynamics
+    complexity measure (`transition_entropy` is over symbol states;
+    this is over the SHAPE of consecutive numeric triples, invariant
+    to monotone transforms). A pure up-trend corpus scores 0; i.i.d.
+    noise scores ln(6).
+
+    Each per-user triple (two leads inside the user window) maps to
+    one of 6 ordinal patterns via exact integer cent comparisons
+    with the standard earlier-index-is-smaller tie rule, so the
+    pattern id is engine-exact. One 6-row histogram; entropy is a
+    closed form on it, normalized by ln 6."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(_us("ts"), "event_id")
+    t3 = (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("a"),
+        )
+        .withColumn("b", F.lead("a", 1).over(wo))
+        .withColumn("c", F.lead("a", 2).over(wo))
+        .where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    )
+    # strict total order: value, then position (earlier index smaller)
+    pat = t3.select(
+        F.concat(
+            (
+                (F.col("a") > F.col("b")).cast("int")
+                + (F.col("a") > F.col("c")).cast("int")
+            ).cast("string"),
+            (
+                (F.col("b") >= F.col("a")).cast("int")
+                + (F.col("b") > F.col("c")).cast("int")
+            ).cast("string"),
+            (
+                (F.col("c") >= F.col("a")).cast("int")
+                + (F.col("c") >= F.col("b")).cast("int")
+            ).cast("string"),
+        ).alias("pattern")
+    )
+    per = pat.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples")
+    )
+    tot = per.agg(F.sum("n_triples").cast("bigint").alias("tt"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.expr("CAST(n_triples AS DOUBLE) / tt")
+    )
+    ent = shared.agg(
+        F.round(
+            F.sum(F.expr("-share * ln(share)")) / _math.log(6.0), 6
+        ).alias("perm_entropy_norm")
+    )
+    return shared.crossJoin(F.broadcast(ent)).select(
+        "pattern",
+        "n_triples",
+        F.round("share", 6).alias("share"),
+        "perm_entropy_norm",
+    )
+
+
+SQL_PERM_ENTROPY = """
+WITH t3 AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS a,
+         lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS b,
+         lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), pat AS (
+  SELECT concat(
+           CAST((CASE WHEN a > b THEN 1 ELSE 0 END
+                 + CASE WHEN a > c THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST((CASE WHEN b >= a THEN 1 ELSE 0 END
+                 + CASE WHEN b > c THEN 1 ELSE 0 END) AS VARCHAR),
+           CAST((CASE WHEN c >= a THEN 1 ELSE 0 END
+                 + CASE WHEN c >= b THEN 1 ELSE 0 END) AS VARCHAR)
+         ) AS pattern
+  FROM t3 WHERE b IS NOT NULL AND c IS NOT NULL
+), per AS (
+  SELECT pattern, CAST(count(*) AS BIGINT) AS n_triples
+  FROM pat GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_triples) AS BIGINT) AS tt FROM per
+), shared AS (
+  SELECT pattern, n_triples,
+         CAST(n_triples AS DOUBLE) / tt AS share
+  FROM per CROSS JOIN tot
+), ent AS (
+  SELECT round(sum(-share * ln(share)) / ln(6.0), 6)
+           AS perm_entropy_norm
+  FROM shared
+)
+SELECT pattern, n_triples, round(share, 6) AS share,
+       perm_entropy_norm
+FROM shared CROSS JOIN ent
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -18801,6 +19476,17 @@ REGISTRY: dict[str, tuple] = {
     # sf0.01 sweep at the pack-#33 HEAD (BENCH/sweeps_r03.jsonl).
     # -- r2's lone driver FAIL, reshaped to long-form this round --
     "agg_vector": (q_agg_vector, SQL_AGG_VECTOR),
+    # -- new r3 continuation (this session): feature-eng pack #40 —
+    #    nonparametric ANOVA / robust location / inequality
+    #    decomposition / gains table / calibration / ordinal dynamics
+    #    (displaces six more r3 keys past 50 — ALL-GREEN in the
+    #    committed 295-key sweep at the pack-#37 HEAD) --
+    "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
+    "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
+    "theil_index": (q_theil_index, SQL_THEIL_INDEX),
+    "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
+    "brier_decomp": (q_brier_decomp, SQL_BRIER_DECOMP),
+    "perm_entropy": (q_perm_entropy, SQL_PERM_ENTROPY),
     # -- new r3 continuation (this session): feature-eng pack #39 —
     #    ranking-bound/2x2/shape/positional statistics (displaces six
     #    more r3 keys past 50 — ALL-GREEN in the committed 295-key
