@@ -19361,6 +19361,676 @@ FROM shared CROSS JOIN ent
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #41: reliability (Cronbach), clustering strength (ICC /
+# design effect), arrival-process QQ, Weibull median-rank fit, Good-Turing
+# smoothing, CUPED variance reduction
+# --------------------------------------------------------------------------
+
+def q_cronbach_alpha(spark, sf_dir):
+    """CRONBACH'S ALPHA internal-consistency of the five event-type
+    spend "items" over users — the psychometric reliability
+    coefficient (do per-type spends co-vary enough to be read as one
+    latent engagement scale?). alpha = k/(k-1) * (1 - sum(var_i) /
+    var(total)), population variances, absent user-item cells = 0.
+
+    The users x items matrix is never materialized: per-item
+    moments come from one (type,user) hash agg (absent cells add 0
+    to both sums so present-only sums are already the full-N sums),
+    row-total moments from a per-user roll-up. Item sums stay exact
+    cents; squares go double before summing."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    nu = base.agg(
+        F.countDistinct("user_id").cast("bigint").alias("nu"),
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+    )
+    ui = base.groupBy("event_type", "user_id").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    item = (
+        ui.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users_present"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(F.pow(F.col("x").cast("double") / 100.0, 2)).alias(
+                "s2"
+            ),
+        )
+        .crossJoin(F.broadcast(nu))
+        .withColumn(
+            "var_item",
+            F.expr(
+                "s2 / nu - pow(CAST(s1 AS DOUBLE) / 100.0 / nu, 2)"
+            ),
+        )
+    )
+    tota = (
+        ui.groupBy("user_id")
+        .agg(F.sum("x").cast("bigint").alias("t"))
+        .agg(
+            F.sum("t").cast("bigint").alias("ts1"),
+            F.sum(F.pow(F.col("t").cast("double") / 100.0, 2)).alias(
+                "ts2"
+            ),
+        )
+    )
+    glob = (
+        item.agg(F.sum("var_item").alias("sum_var"))
+        .crossJoin(F.broadcast(tota))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.round(
+                F.expr(
+                    "CAST(k AS DOUBLE) / (k - 1) * (1.0 - sum_var"
+                    " / (ts2 / nu"
+                    " - pow(CAST(ts1 AS DOUBLE) / 100.0 / nu, 2)))"
+                ),
+                6,
+            ).alias("alpha"),
+            F.col("k"),
+            F.col("nu").alias("n_users"),
+        )
+    )
+    return (
+        item.select("event_type", "n_users_present", "var_item")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_users_present",
+            F.round("var_item", 6).alias("var_item"),
+            "k",
+            "n_users",
+            "alpha",
+        )
+    )
+
+
+SQL_CRONBACH_ALPHA = """
+WITH base AS (
+  SELECT event_type, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM base
+), ui AS (
+  SELECT event_type, user_id, CAST(sum(cents) AS BIGINT) AS x
+  FROM base GROUP BY 1, 2
+), item AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_users_present,
+         CAST(sum(x) AS BIGINT) AS s1,
+         sum(pow(CAST(x AS DOUBLE) / 100.0, 2)) AS s2
+  FROM ui GROUP BY 1
+), itemv AS (
+  SELECT event_type, n_users_present,
+         s2 / nu - pow(CAST(s1 AS DOUBLE) / 100.0 / nu, 2)
+           AS var_item
+  FROM item CROSS JOIN nu
+), tota AS (
+  SELECT CAST(sum(t) AS BIGINT) AS ts1,
+         sum(pow(CAST(t AS DOUBLE) / 100.0, 2)) AS ts2
+  FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t
+        FROM ui GROUP BY 1)
+), gl AS (
+  SELECT round(CAST(k AS DOUBLE) / (k - 1)
+               * (1.0 - (SELECT sum(var_item) FROM itemv)
+                  / (ts2 / nu
+                     - pow(CAST(ts1 AS DOUBLE) / 100.0 / nu, 2))),
+               6) AS alpha,
+         k, nu AS n_users
+  FROM tota CROSS JOIN nu
+)
+SELECT event_type, n_users_present,
+       round(var_item, 6) AS var_item,
+       k, n_users, alpha
+FROM itemv CROSS JOIN gl
+"""
+
+
+def q_icc_design_effect(spark, sf_dir):
+    """INTRACLASS CORRELATION ICC(1) of ``value`` clustered by user,
+    per event type, with the survey-sampling DESIGN EFFECT
+    ``1 + (k0 - 1) * ICC`` — how much user-level clustering inflates
+    the variance of a naive mean (deff 2 means you need twice the
+    sample). One-way random-effects ANOVA with the standard
+    unbalanced-group size ``k0 = (N - sum(n_u^2)/N) / (G - 1)``.
+
+    Per-(type,user) moments in one hash agg, per-type roll-up in a
+    second — the classic two-level pattern that never shuffles raw
+    rows twice. Sums exact cents; squares in value units as
+    doubles."""
+    e = _t(spark, sf_dir, "events")
+    pu = (
+        e.select(
+            "event_type",
+            "user_id",
+            F.expr("value").alias("v"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_u"),
+            F.sum("v").alias("s_u"),
+            F.sum(F.col("v") * F.col("v")).alias("ss_u"),
+        )
+    )
+    per = pu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("n_u").cast("bigint").alias("n"),
+        F.sum("s_u").alias("s"),
+        F.sum("ss_u").alias("ss"),
+        F.sum(F.col("s_u") * F.col("s_u") / F.col("n_u")).alias("sb"),
+        F.sum(F.col("n_u") * F.col("n_u")).cast("bigint").alias("sn2"),
+    )
+    return per.select(
+        "event_type",
+        F.col("g").alias("n_users"),
+        F.col("n").alias("n_events"),
+        F.round(
+            F.expr("(sb - s * s / n) / (g - 1)"), 6
+        ).alias("msb"),
+        F.round(F.expr("(ss - sb) / (n - g)"), 6).alias("msw"),
+        F.round(
+            F.expr(
+                "((sb - s * s / n) / (g - 1) - (ss - sb) / (n - g))"
+                " / ((sb - s * s / n) / (g - 1)"
+                "    + ((n - CAST(sn2 AS DOUBLE) / n) / (g - 1) - 1)"
+                "      * ((ss - sb) / (n - g)))"
+            ),
+            6,
+        ).alias("icc"),
+        F.round(
+            F.expr(
+                "1.0 + ((n - CAST(sn2 AS DOUBLE) / n) / (g - 1) - 1)"
+                " * (((sb - s * s / n) / (g - 1) - (ss - sb) / (n - g))"
+                " / ((sb - s * s / n) / (g - 1)"
+                "    + ((n - CAST(sn2 AS DOUBLE) / n) / (g - 1) - 1)"
+                "      * ((ss - sb) / (n - g))))"
+            ),
+            6,
+        ).alias("deff"),
+    )
+
+
+SQL_ICC_DESIGN_EFFECT = """
+WITH pu AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u,
+         sum(value) AS s_u, sum(value * value) AS ss_u
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(n_u) AS BIGINT) AS n,
+         sum(s_u) AS s, sum(ss_u) AS ss,
+         sum(s_u * s_u / n_u) AS sb,
+         CAST(sum(n_u * n_u) AS BIGINT) AS sn2
+  FROM pu GROUP BY 1
+), m AS (
+  SELECT event_type, g, n,
+         (sb - s * s / n) / (g - 1) AS msb,
+         (ss - sb) / (n - g) AS msw,
+         (n - CAST(sn2 AS DOUBLE) / n) / (g - 1) AS k0
+  FROM per
+)
+SELECT event_type, g AS n_users, n AS n_events,
+       round(msb, 6) AS msb,
+       round(msw, 6) AS msw,
+       round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc,
+       round(1.0 + (k0 - 1)
+             * ((msb - msw) / (msb + (k0 - 1) * msw)), 6) AS deff
+FROM m
+"""
+
+
+def q_qq_exponential(spark, sf_dir):
+    """Q-Q PROBE of inter-arrival gaps against the EXPONENTIAL
+    distribution, per event type: 19 ventile order statistics vs the
+    closed-form exponential quantile ``-ln(1-p) * mean_gap`` — the
+    is-this-a-Poisson-process check (`fano_factor` tests count
+    dispersion; this tests the whole gap SHAPE, ventile by ventile;
+    heavy-tailed/bursty arrivals bow the ratio above 1 in the upper
+    tail).
+
+    Empirical ventiles are exact order statistics picked by integer
+    rank ``ceil(j*n/20)`` (deterministic gap,event_id ordering) — no
+    engine percentile interpolation. The 19-row ventile table joins
+    broadcast; gaps never leave their per-type partition."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        e.select("event_type", "event_id", _us("ts").alias("us"))
+        .withColumn("gap_us", F.col("us") - F.lag("us", 1).over(wo))
+        .where(F.col("gap_us").isNotNull())
+    )
+    wg = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wg).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    mean_gap = gaps.groupBy("event_type").agg(
+        F.avg(F.col("gap_us").cast("double")).alias("mean_gap_us")
+    )
+    vent = spark.range(1, 20).select(F.col("id").cast("bigint").alias("j"))
+    picked = ranked.join(
+        F.broadcast(vent),
+        F.col("rn") == F.expr("(j * n + 19) div 20"),
+    )
+    return (
+        picked.join(F.broadcast(mean_gap), "event_type")
+        .select(
+            "event_type",
+            "j",
+            F.round(F.col("j") / 20.0, 6).alias("p"),
+            F.round(F.col("gap_us") / 1e6, 6).alias("emp_q_sec"),
+            F.round(
+                F.expr("-ln(1.0 - j / 20.0) * mean_gap_us / 1e6"), 6
+            ).alias("theo_q_sec"),
+            F.round(
+                F.expr(
+                    "(gap_us / 1e6)"
+                    " / (-ln(1.0 - j / 20.0) * mean_gap_us / 1e6)"
+                ),
+                6,
+            ).alias("qq_ratio"),
+        )
+    )
+
+
+SQL_QQ_EXPONENTIAL = """
+WITH gaps AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY event_type
+            ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+), g2 AS (
+  SELECT event_type, gap_us, event_id FROM gaps
+  WHERE gap_us IS NOT NULL
+), ranked AS (
+  SELECT event_type, gap_us,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY gap_us, event_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type)
+              AS BIGINT) AS n
+  FROM g2
+), mg AS (
+  SELECT event_type, avg(CAST(gap_us AS DOUBLE)) AS mean_gap_us
+  FROM g2 GROUP BY 1
+), vent AS (
+  SELECT CAST(j AS BIGINT) AS j FROM generate_series(1, 19) t(j)
+)
+SELECT event_type, j,
+       round(j / 20.0, 6) AS p,
+       round(gap_us / 1e6, 6) AS emp_q_sec,
+       round(-ln(1.0 - j / 20.0) * mean_gap_us / 1e6, 6)
+         AS theo_q_sec,
+       round((gap_us / 1e6)
+             / (-ln(1.0 - j / 20.0) * mean_gap_us / 1e6), 6)
+         AS qq_ratio
+FROM ranked JOIN vent ON rn = (j * n + 19) // 20
+JOIN mg USING (event_type)
+"""
+
+
+def q_weibull_fit(spark, sf_dir):
+    """WEIBULL MEDIAN-RANK REGRESSION on inter-arrival gaps per
+    event type — the reliability-engineering fit: order the gaps,
+    assign Benard median ranks F_i = (i-0.3)/(n+0.4), and OLS
+    ``ln(-ln(1-F_i))`` on ``ln(gap)``; the slope IS the Weibull
+    shape k (k<1 bursty/clustered arrivals, k=1 memoryless Poisson,
+    k>1 regular/pacemaker) and scale = exp(intercept / -k)... the
+    standard plotting-position estimator, closed-form, no iteration.
+
+    Ranks are deterministic (gap,event_id) row_numbers inside the
+    per-type partition; the OLS folds to five running sums in one
+    hash agg. Zero gaps (same-microsecond events) are excluded from
+    the log fit and reported in n_zero."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        e.select("event_type", "event_id", _us("ts").alias("us"))
+        .withColumn("gap_us", F.col("us") - F.lag("us", 1).over(wo))
+        .where(F.col("gap_us").isNotNull())
+    )
+    nz = gaps.groupBy("event_type").agg(
+        F.sum((F.col("gap_us") == 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_zero")
+    )
+    pos = gaps.where(F.col("gap_us") > 0)
+    wg = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("event_type")
+    xy = pos.select(
+        "event_type",
+        F.row_number().over(wg).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.expr("ln(gap_us / 1e6)").alias("x"),
+    ).withColumn(
+        "y",
+        F.expr(
+            "ln(-ln(1.0 - (rn - 0.3) / (n + 0.4)))"
+        ),
+    )
+    fit = xy.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return fit.join(nz, "event_type").select(
+        "event_type",
+        "n_gaps",
+        "n_zero",
+        F.round(
+            F.expr("(n_gaps * sxy - sx * sy) / (n_gaps * sxx - sx * sx)"),
+            6,
+        ).alias("shape_k"),
+        F.round(
+            F.expr(
+                "exp(-((sy - (n_gaps * sxy - sx * sy)"
+                " / (n_gaps * sxx - sx * sx) * sx) / n_gaps)"
+                " / ((n_gaps * sxy - sx * sy)"
+                "    / (n_gaps * sxx - sx * sx)))"
+            ),
+            6,
+        ).alias("scale_sec"),
+        F.round(
+            F.expr(
+                "pow(n_gaps * sxy - sx * sy, 2)"
+                " / ((n_gaps * sxx - sx * sx)"
+                "    * (n_gaps * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+SQL_WEIBULL_FIT = """
+WITH gaps AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY event_type
+            ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+), g2 AS (
+  SELECT event_type, event_id, gap_us FROM gaps
+  WHERE gap_us IS NOT NULL
+), nz AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN gap_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero
+  FROM g2 GROUP BY 1
+), xy AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY gap_us, event_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type)
+              AS BIGINT) AS n,
+         ln(gap_us / 1e6) AS x
+  FROM g2 WHERE gap_us > 0
+), xy2 AS (
+  SELECT event_type, x,
+         ln(-ln(1.0 - (rn - 0.3) / (n + 0.4))) AS y
+  FROM xy
+), fit AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy2 GROUP BY 1
+)
+SELECT fit.event_type, n_gaps, n_zero,
+       round((n_gaps * sxy - sx * sy)
+             / (n_gaps * sxx - sx * sx), 6) AS shape_k,
+       round(exp(-((sy - (n_gaps * sxy - sx * sy)
+                    / (n_gaps * sxx - sx * sx) * sx) / n_gaps)
+                 / ((n_gaps * sxy - sx * sy)
+                    / (n_gaps * sxx - sx * sx))), 6) AS scale_sec,
+       round(pow(n_gaps * sxy - sx * sy, 2)
+             / ((n_gaps * sxx - sx * sx)
+                * (n_gaps * syy - sy * sy)), 6) AS r2
+FROM fit JOIN nz ON fit.event_type = nz.event_type
+"""
+
+
+def q_good_turing(spark, sf_dir):
+    """SIMPLE GOOD-TURING head of the frequency spectrum per source:
+    the unseen-mass estimate ``p0 = N1 / N_tokens`` and the
+    discounted counts ``r* = (r+1) * N_{r+1} / N_r`` for r = 1..5 —
+    the language-modeling smoothing view of the spectrum whose first
+    two cells `hapax_ratio` reports raw. r* < r everywhere is the
+    classic sanity signature of natural text.
+
+    Three hash aggs — (source,token) counts, the
+    frequency-of-frequencies spectrum, then a self-join on r+1
+    (5-row broadcast side per source). Everything exact BIGINT until
+    the two rounded ratios."""
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.col("text")), "\\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    spec = st.groupBy("source", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    tot = st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    head = spec.where(F.col("c") <= 5)
+    nxt = spec.select(
+        "source",
+        (F.col("c") - 1).alias("c"),
+        F.col("n_r").alias("n_r_next"),
+    ).where(F.col("c") >= 1)
+    return (
+        head.join(nxt, ["source", "c"], "left")
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("c").alias("r"),
+            "n_r",
+            F.coalesce("n_r_next", F.lit(0))
+            .cast("bigint")
+            .alias("n_r_next"),
+            F.round(
+                (F.col("c") + 1)
+                * F.coalesce("n_r_next", F.lit(0)).cast("double")
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p0_unseen"),
+        )
+    )
+
+
+SQL_GOOD_TURING = """
+WITH tok AS (
+  SELECT source, t.token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+         AS t(token)
+  WHERE t.token <> ''
+), st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+), spec AS (
+  SELECT source, c, CAST(count(*) AS BIGINT) AS n_r
+  FROM st GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM st GROUP BY 1
+), head AS (
+  SELECT * FROM spec WHERE c <= 5
+), nxt AS (
+  SELECT source, c - 1 AS c, n_r AS n_r_next
+  FROM spec WHERE c >= 2
+)
+SELECT head.source, head.c AS r, head.n_r,
+       CAST(coalesce(n_r_next, 0) AS BIGINT) AS n_r_next,
+       round((head.c + 1) * CAST(coalesce(n_r_next, 0) AS DOUBLE)
+             / head.n_r, 6) AS r_star,
+       round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p0_unseen
+FROM head
+LEFT JOIN nxt ON head.source = nxt.source AND head.c = nxt.c
+JOIN tot ON head.source = tot.source
+"""
+
+
+def q_cuped_adjust(spark, sf_dir):
+    """CUPED VARIANCE REDUCTION for the experimentation pipeline:
+    split each user's history at the corpus-median timestamp, treat
+    first-half spend as the pre-period covariate X and second-half
+    spend as the metric Y, and report theta = cov(Y,X)/var(X), the
+    adjusted variance ``var(Y) - cov^2/var(X)``, and the reduction
+    ratio rho^2 — how much a pre-experiment covariate shrinks the
+    A/B test's error bars (Deng et al. 2013, public).
+
+    The split point is an exact order statistic (rank (n+1) div 2 of
+    event time); per-user pre/post sums are conditional aggregates
+    in ONE hash agg over users; the five covariance sums reduce on
+    the O(#users) table. Sums exact cents; cross-products double."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        _us("ts").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wall = Window.orderBy("us", "event_id")
+    med = (
+        base.select(
+            "us",
+            F.row_number().over(wall).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("us").alias("med_us"))
+    )
+    pp = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("us") <= F.col("med_us"), F.col("cents"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("pre_c"),
+            F.sum(
+                F.when(F.col("us") > F.col("med_us"), F.col("cents"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("post_c"),
+        )
+        .select(
+            (F.col("pre_c").cast("double") / 100.0).alias("x"),
+            (F.col("post_c").cast("double") / 100.0).alias("y"),
+        )
+    )
+    agg = pp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.select(
+        "n_users",
+        F.round(
+            F.expr(
+                "(sxy / n_users - sx / n_users * sy / n_users)"
+                " / (sxx / n_users - pow(sx / n_users, 2))"
+            ),
+            6,
+        ).alias("theta"),
+        F.round(
+            F.expr("syy / n_users - pow(sy / n_users, 2)"), 6
+        ).alias("var_post"),
+        F.round(
+            F.expr(
+                "(syy / n_users - pow(sy / n_users, 2))"
+                " - pow(sxy / n_users - sx / n_users * sy / n_users, 2)"
+                "   / (sxx / n_users - pow(sx / n_users, 2))"
+            ),
+            6,
+        ).alias("var_adj"),
+        F.round(
+            F.expr(
+                "pow(sxy / n_users - sx / n_users * sy / n_users, 2)"
+                " / ((sxx / n_users - pow(sx / n_users, 2))"
+                "    * (syy / n_users - pow(sy / n_users, 2)))"
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+SQL_CUPED_ADJUST = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT us AS med_us FROM (
+    SELECT us,
+           row_number() OVER (ORDER BY us, event_id) AS rn,
+           count(*) OVER () AS n
+    FROM base
+  ) WHERE rn = (n + 1) // 2
+), pp AS (
+  SELECT CAST(sum(CASE WHEN us <= med_us THEN cents ELSE 0 END)
+              AS DOUBLE) / 100.0 AS x,
+         CAST(sum(CASE WHEN us > med_us THEN cents ELSE 0 END)
+              AS DOUBLE) / 100.0 AS y
+  FROM base CROSS JOIN med GROUP BY user_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pp
+)
+SELECT n_users,
+       round((sxy / n_users - sx / n_users * sy / n_users)
+             / (sxx / n_users - pow(sx / n_users, 2)), 6) AS theta,
+       round(syy / n_users - pow(sy / n_users, 2), 6) AS var_post,
+       round((syy / n_users - pow(sy / n_users, 2))
+             - pow(sxy / n_users - sx / n_users * sy / n_users, 2)
+               / (sxx / n_users - pow(sx / n_users, 2)), 6)
+         AS var_adj,
+       round(pow(sxy / n_users - sx / n_users * sy / n_users, 2)
+             / ((sxx / n_users - pow(sx / n_users, 2))
+                * (syy / n_users - pow(sy / n_users, 2))), 6)
+         AS var_reduction
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -19481,6 +20151,16 @@ REGISTRY: dict[str, tuple] = {
     #    decomposition / gains table / calibration / ordinal dynamics
     #    (displaces six more r3 keys past 50 — ALL-GREEN in the
     #    committed 295-key sweep at the pack-#37 HEAD) --
+    # -- new r3 continuation (this session): feature-eng pack #41 —
+    #    reliability/clustering-strength/arrival-QQ/Weibull/
+    #    Good-Turing/CUPED (displaces six more r3 keys past 50 —
+    #    ALL-GREEN in the committed 295-key sweep) --
+    "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
+    "icc_design_effect": (q_icc_design_effect, SQL_ICC_DESIGN_EFFECT),
+    "qq_exponential": (q_qq_exponential, SQL_QQ_EXPONENTIAL),
+    "weibull_fit": (q_weibull_fit, SQL_WEIBULL_FIT),
+    "good_turing": (q_good_turing, SQL_GOOD_TURING),
+    "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
     "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
     "theil_index": (q_theil_index, SQL_THEIL_INDEX),
