@@ -20031,6 +20031,1638 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #42: optimal transport, wavelet energy, survival
+# comparison, blocked nonparametrics, normality, delta-method ratio CI
+# --------------------------------------------------------------------------
+
+def q_wasserstein_1d(spark, sf_dir):
+    """1-D WASSERSTEIN (earth-mover) distance between the purchase
+    and click value distributions, per day — the optimal-transport
+    drift metric that, unlike `ks_drift`'s sup-norm or `tvd_drift`'s
+    overlap, weighs HOW FAR mass must move, in value units.
+
+    W1 = integral of |F_pur - F_clk| dx, computed EXACTLY on the
+    merged cent grid: one (day, cents) histogram, two cumulative
+    windows inside the day partition, |cum-share gap| times the lead
+    cent step. Counters stay bigint; the two CDF shares are the only
+    floats under the integral."""
+    e = _t(spark, sf_dir, "events")
+    h = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("day", "cents")
+        .agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("c").cast("bigint").alias("nc"),
+        )
+    )
+    wd = Window.partitionBy("day")
+    wc = (
+        Window.partitionBy("day")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("day").orderBy("cents")
+    grid = h.select(
+        "day",
+        "cents",
+        F.sum("np").over(wc).cast("bigint").alias("cum_p"),
+        F.sum("nc").over(wc).cast("bigint").alias("cum_c"),
+        F.sum("np").over(wd).cast("bigint").alias("tot_p"),
+        F.sum("nc").over(wd).cast("bigint").alias("tot_c"),
+        (F.lead("cents", 1).over(wl) - F.col("cents")).alias("dx"),
+    ).where(F.col("dx").isNotNull())
+    return (
+        grid.groupBy("day")
+        .agg(
+            F.max("tot_p").alias("n_purchase"),
+            F.max("tot_c").alias("n_click"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        "abs(CAST(cum_p AS DOUBLE) / tot_p"
+                        " - CAST(cum_c AS DOUBLE) / tot_c)"
+                        " * dx / 100.0"
+                    )
+                ),
+                6,
+            ).alias("w1_value"),
+        )
+        .where(
+            (F.col("n_purchase") > 0) & (F.col("n_click") > 0)
+        )
+    )
+
+
+SQL_WASSERSTEIN_1D = """
+WITH h AS (
+  SELECT CAST(day(ts) AS INTEGER) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2
+), grid AS (
+  SELECT day, cents,
+         CAST(sum(np) OVER (PARTITION BY day ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_p,
+         CAST(sum(nc) OVER (PARTITION BY day ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_c,
+         CAST(sum(np) OVER (PARTITION BY day) AS BIGINT) AS tot_p,
+         CAST(sum(nc) OVER (PARTITION BY day) AS BIGINT) AS tot_c,
+         lead(cents) OVER (PARTITION BY day ORDER BY cents) - cents
+           AS dx
+  FROM h
+)
+SELECT day, max(tot_p) AS n_purchase, max(tot_c) AS n_click,
+       round(sum(abs(CAST(cum_p AS DOUBLE) / tot_p
+                     - CAST(cum_c AS DOUBLE) / tot_c)
+                 * dx / 100.0), 6) AS w1_value
+FROM grid WHERE dx IS NOT NULL
+GROUP BY day
+HAVING max(tot_p) > 0 AND max(tot_c) > 0
+"""
+
+
+def q_haar_energy(spark, sf_dir):
+    """HAAR WAVELET ENERGY decomposition of each event type's
+    activity series — bin the corpus span into 32 equal intervals,
+    then peel 5 dyadic levels of detail energy (level 1 = fastest,
+    bin-to-bin; level 5 = slowest, half-vs-half) — the multi-scale
+    answer to WHERE the temporal variance lives that single-scale
+    probes (`fano_factor`, `autocorr_lag1`) can't give. Parseval
+    closes the books: sum(level energies) + mean-energy =
+    sum(count^2), which the pytest replica asserts exactly.
+
+    Detail coefficients are INTEGER block-sum differences
+    (d = s_left - s_right at every level), so the whole pyramid is
+    engine-exact; energy_l = sum(d^2)/2^l. The pyramid runs on a
+    32-row-per-type table — five chained tiny aggregates, zero
+    raw-row reshuffles."""
+    e = _t(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(_us("ts")).alias("lo"), F.max(_us("ts")).alias("hi")
+    )
+    binned = (
+        e.select("event_type", _us("ts").alias("us"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(least((us - lo) * 32 div (hi - lo + 1), 31)"
+                " AS BIGINT)"
+            ).alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    types = binned.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            spark.range(0, 32).select(
+                F.col("id").cast("bigint").alias("b")
+            )
+        )
+    )
+    dense = grid.join(binned, ["event_type", "b"], "left").select(
+        "event_type",
+        "b",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("s"),
+    )
+    lvl = dense
+    outs = []
+    for level in range(1, 6):
+        pair = lvl.groupBy(
+            "event_type", F.expr("b div 2").cast("bigint").alias("b")
+        ).agg(
+            F.sum("s").cast("bigint").alias("s"),
+            (F.max(F.when(F.col("b") % 2 == 0, F.col("s"))) -
+             F.max(F.when(F.col("b") % 2 == 1, F.col("s"))))
+            .cast("bigint")
+            .alias("d"),
+        )
+        outs.append(
+            pair.groupBy("event_type").agg(
+                F.lit(level).cast("bigint").alias("level"),
+                (
+                    F.sum(F.col("d") * F.col("d")).cast("double")
+                    / float(2**level)
+                ).alias("energy"),
+            )
+        )
+        lvl = pair.select("event_type", "b", "s")
+    allv = outs[0]
+    for o in outs[1:]:
+        allv = allv.unionByName(o)
+    tot = allv.groupBy("event_type").agg(
+        F.sum("energy").alias("tot_detail")
+    )
+    return allv.join(tot, "event_type").select(
+        "event_type",
+        "level",
+        F.round("energy", 6).alias("energy"),
+        F.round(F.expr("energy / tot_detail"), 6).alias("energy_share"),
+    )
+
+
+SQL_HAAR_ENERGY = """
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), binned AS (
+  SELECT event_type,
+         CAST(least((epoch_us(ts) - lo) * 32 // (hi - lo + 1), 31)
+              AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events CROSS JOIN span GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, CAST(g.b AS BIGINT) AS b
+  FROM (SELECT DISTINCT event_type FROM binned) t
+  CROSS JOIN generate_series(0, 31) g(b)
+), dense AS (
+  SELECT grid.event_type, grid.b,
+         CAST(coalesce(c, 0) AS BIGINT) AS s
+  FROM grid LEFT JOIN binned
+    ON grid.event_type = binned.event_type AND grid.b = binned.b
+), l1p AS (
+  SELECT event_type, b // 2 AS b, CAST(sum(s) AS BIGINT) AS s,
+         CAST(max(CASE WHEN b % 2 = 0 THEN s END)
+              - max(CASE WHEN b % 2 = 1 THEN s END) AS BIGINT) AS d
+  FROM dense GROUP BY 1, 2
+), l2p AS (
+  SELECT event_type, b // 2 AS b, CAST(sum(s) AS BIGINT) AS s,
+         CAST(max(CASE WHEN b % 2 = 0 THEN s END)
+              - max(CASE WHEN b % 2 = 1 THEN s END) AS BIGINT) AS d
+  FROM l1p GROUP BY 1, 2
+), l3p AS (
+  SELECT event_type, b // 2 AS b, CAST(sum(s) AS BIGINT) AS s,
+         CAST(max(CASE WHEN b % 2 = 0 THEN s END)
+              - max(CASE WHEN b % 2 = 1 THEN s END) AS BIGINT) AS d
+  FROM l2p GROUP BY 1, 2
+), l4p AS (
+  SELECT event_type, b // 2 AS b, CAST(sum(s) AS BIGINT) AS s,
+         CAST(max(CASE WHEN b % 2 = 0 THEN s END)
+              - max(CASE WHEN b % 2 = 1 THEN s END) AS BIGINT) AS d
+  FROM l3p GROUP BY 1, 2
+), l5p AS (
+  SELECT event_type, b // 2 AS b, CAST(sum(s) AS BIGINT) AS s,
+         CAST(max(CASE WHEN b % 2 = 0 THEN s END)
+              - max(CASE WHEN b % 2 = 1 THEN s END) AS BIGINT) AS d
+  FROM l4p GROUP BY 1, 2
+), allv AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS level,
+         CAST(sum(d * d) AS DOUBLE) / 2 AS energy
+  FROM l1p GROUP BY 1
+  UNION ALL
+  SELECT event_type, 2, CAST(sum(d * d) AS DOUBLE) / 4
+  FROM l2p GROUP BY 1
+  UNION ALL
+  SELECT event_type, 3, CAST(sum(d * d) AS DOUBLE) / 8
+  FROM l3p GROUP BY 1
+  UNION ALL
+  SELECT event_type, 4, CAST(sum(d * d) AS DOUBLE) / 16
+  FROM l4p GROUP BY 1
+  UNION ALL
+  SELECT event_type, 5, CAST(sum(d * d) AS DOUBLE) / 32
+  FROM l5p GROUP BY 1
+), tot AS (
+  SELECT event_type, sum(energy) AS tot_detail FROM allv GROUP BY 1
+)
+SELECT allv.event_type, level,
+       round(energy, 6) AS energy,
+       round(energy / tot_detail, 6) AS energy_share
+FROM allv JOIN tot ON allv.event_type = tot.event_type
+"""
+
+
+def q_logrank_test(spark, sf_dir):
+    """LOG-RANK TEST comparing time-to-first-purchase between two
+    deterministic user arms (even vs odd user_id — the A/A-style
+    split an experimentation pipeline validates its survival
+    machinery on) — the standard-of-care censored two-sample
+    comparison (`km_hazard` draws each curve; this tests whether
+    they differ). Users who never purchase are right-censored at
+    their last event.
+
+    The O(#users) duration table collapses to per-distinct-time
+    (deaths, exits) counts per arm; at-risk counts are ONE
+    descending prefix sum each (everyone with T >= t), and the
+    hypergeometric mean/variance contributions fold in a single
+    final aggregate. Exact bigint counts all the way; z and chi2 are
+    the only floats."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _us("ts").alias("us"),
+    ).withColumn("rn", F.row_number().over(wo))
+    first = marked.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("us").alias("t0"),
+        (F.col("user_id") % 2).cast("bigint").alias("g"),
+    )
+    firstbuy = (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    lastev = marked.groupBy("user_id").agg(F.max("us").alias("t_last"))
+    dur = (
+        first.join(lastev, "user_id")
+        .join(firstbuy, "user_id", "left")
+        .select(
+            "g",
+            F.coalesce(
+                F.col("t_buy") - F.col("t0"),
+                F.col("t_last") - F.col("t0"),
+            ).alias("t"),
+            F.when(F.col("t_buy").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("ev"),
+        )
+    )
+    bytime = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    risk = bytime.select(
+        "t",
+        "d1",
+        "d",
+        (
+            F.sum("x1").over(wall)
+            - F.sum("x1").over(wt)
+            + F.col("x1")
+        )
+        .cast("bigint")
+        .alias("n1"),
+        (
+            F.sum("x").over(wall)
+            - F.sum("x").over(wt)
+            + F.col("x")
+        )
+        .cast("bigint")
+        .alias("n"),
+    ).where((F.col("d") > 0) & (F.col("n") > 1))
+    agg = risk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_times"),
+        F.sum("d1").cast("bigint").alias("obs1"),
+        F.sum(
+            F.expr("CAST(d AS DOUBLE) * n1 / n")
+        ).alias("exp1"),
+        F.sum(
+            F.expr(
+                "CAST(d AS DOUBLE) * n1 / n * (1.0 - CAST(n1 AS"
+                " DOUBLE) / n) * (n - d) / (n - 1)"
+            )
+        ).alias("var1"),
+    )
+    return agg.select(
+        "n_times",
+        "obs1",
+        F.round("exp1", 6).alias("exp1"),
+        F.round("var1", 6).alias("var1"),
+        F.round(
+            F.expr("(obs1 - exp1) / sqrt(var1)"), 6
+        ).alias("z"),
+        F.round(
+            F.expr("pow(obs1 - exp1, 2) / var1"), 6
+        ).alias("chi2"),
+    )
+
+
+SQL_LOGRANK_TEST = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), first AS (
+  SELECT user_id, us AS t0,
+         CAST(user_id % 2 AS BIGINT) AS g
+  FROM marked WHERE rn = 1
+), firstbuy AS (
+  SELECT user_id, min(us) AS t_buy
+  FROM marked WHERE event_type = 'purchase' GROUP BY 1
+), lastev AS (
+  SELECT user_id, max(us) AS t_last FROM marked GROUP BY 1
+), dur AS (
+  SELECT g,
+         coalesce(t_buy - t0, t_last - t0) AS t,
+         CAST(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS ev
+  FROM first
+  JOIN lastev USING (user_id)
+  LEFT JOIN firstbuy USING (user_id)
+), bytime AS (
+  SELECT t,
+         CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT)
+           AS d1,
+         CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS x1,
+         CAST(count(*) AS BIGINT) AS x
+  FROM dur GROUP BY 1
+), risk AS (
+  SELECT t, d1, d,
+         CAST(sum(x1) OVER () - sum(x1) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + x1 AS BIGINT) AS n1,
+         CAST(sum(x) OVER () - sum(x) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + x AS BIGINT) AS n
+  FROM bytime
+), contrib AS (
+  SELECT * FROM risk WHERE d > 0 AND n > 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_times,
+         CAST(sum(d1) AS BIGINT) AS obs1,
+         sum(CAST(d AS DOUBLE) * n1 / n) AS exp1,
+         sum(CAST(d AS DOUBLE) * n1 / n
+             * (1.0 - CAST(n1 AS DOUBLE) / n)
+             * (n - d) / (n - 1)) AS var1
+  FROM contrib
+)
+SELECT n_times, obs1,
+       round(exp1, 6) AS exp1,
+       round(var1, 6) AS var1,
+       round((obs1 - exp1) / sqrt(var1), 6) AS z,
+       round(pow(obs1 - exp1, 2) / var1, 6) AS chi2
+FROM agg
+"""
+
+
+def q_friedman_test(spark, sf_dir):
+    """FRIEDMAN TEST over complete blocks: users who touched ALL
+    five event types rank the types by mean spend WITHIN their own
+    history; the test asks whether any type systematically ranks
+    high across users — the blocked twin of `kruskal_wallis`
+    (which pools all rows and loses the per-user pairing).
+
+    Within-block ranks use exact cross-multiplied rational
+    comparisons (s_i * n_j vs s_j * n_i — no float means) and
+    doubled average ranks to stay INTEGER under ties; the 5x5
+    per-user comparison join runs on the tiny (user,type) aggregate,
+    never on raw rows. Chi-square df=4 p-value in closed form."""
+    e = _t(spark, sf_dir, "events")
+    ut = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("cents").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    kkdf = ut.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_all")
+    )
+    complete = (
+        ut.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .crossJoin(F.broadcast(kkdf))
+        .where(F.col("n_types") == F.col("n_all"))
+        .select("user_id")
+    )
+    utc = ut.join(complete, "user_id")
+    pairs = utc.alias("a").join(
+        utc.alias("b"), F.expr("a.user_id = b.user_id")
+    )
+    r2 = pairs.groupBy(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("event_type"),
+    ).agg(
+        (
+            F.lit(2)
+            + 2
+            * F.sum(
+                F.expr(
+                    "CASE WHEN b.s * a.n < a.s * b.n THEN 1 ELSE 0 END"
+                )
+            )
+            + F.sum(
+                F.expr(
+                    "CASE WHEN b.s * a.n = a.s * b.n"
+                    " AND b.event_type <> a.event_type"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("r2")
+    )
+    per = r2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("r2").cast("bigint").alias("rank_sum2"),
+    )
+    glob = per.agg(
+        F.max("n_blocks").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.pow(F.col("rank_sum2").cast("double"), 2)).alias("sr2"),
+    ).select(
+        "nb",
+        "k",
+        F.round(
+            F.expr(
+                "3.0 / (nb * k * (k + 1)) * sr2 - 3.0 * nb * (k + 1)"
+            ),
+            6,
+        ).alias("q_stat"),
+        F.round(
+            F.expr(
+                "exp(-(3.0 / (nb * k * (k + 1)) * sr2"
+                " - 3.0 * nb * (k + 1)) / 2.0)"
+                " * (1.0 + (3.0 / (nb * k * (k + 1)) * sr2"
+                " - 3.0 * nb * (k + 1)) / 2.0)"
+            ),
+            6,
+        ).alias("p_chi2_df4"),
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "n_blocks",
+        "rank_sum2",
+        F.round(
+            F.col("rank_sum2").cast("double") / (2.0 * F.col("n_blocks")),
+            6,
+        ).alias("mean_rank"),
+        "q_stat",
+        "p_chi2_df4",
+    )
+
+
+SQL_FRIEDMAN_TEST = """
+WITH ut AS (
+  SELECT user_id, event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), kk AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM ut
+), complete AS (
+  SELECT user_id FROM ut GROUP BY 1
+  HAVING count(*) = (SELECT k FROM kk)
+), utc AS (
+  SELECT ut.* FROM ut JOIN complete USING (user_id)
+), r2 AS (
+  SELECT a.user_id, a.event_type,
+         CAST(2 + 2 * sum(CASE WHEN b.s * a.n < a.s * b.n
+                               THEN 1 ELSE 0 END)
+                + sum(CASE WHEN b.s * a.n = a.s * b.n
+                           AND b.event_type <> a.event_type
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r2
+  FROM utc a JOIN utc b ON a.user_id = b.user_id
+  GROUP BY 1, 2
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(r2) AS BIGINT) AS rank_sum2
+  FROM r2 GROUP BY 1
+), gl AS (
+  SELECT max(n_blocks) AS nb, CAST(count(*) AS BIGINT) AS k,
+         sum(pow(CAST(rank_sum2 AS DOUBLE), 2)) AS sr2
+  FROM per
+), qs AS (
+  SELECT nb, k,
+         3.0 / (nb * k * (k + 1)) * sr2 - 3.0 * nb * (k + 1) AS q
+  FROM gl
+)
+SELECT event_type, n_blocks, rank_sum2,
+       round(CAST(rank_sum2 AS DOUBLE) / (2.0 * n_blocks), 6)
+         AS mean_rank,
+       round(q, 6) AS q_stat,
+       round(exp(-q / 2.0) * (1.0 + q / 2.0), 6) AS p_chi2_df4
+FROM per CROSS JOIN qs
+"""
+
+
+def q_jarque_bera(spark, sf_dir):
+    """JARQUE-BERA normality test of ``value`` per event type — the
+    moment-based normality screen (skewness and excess kurtosis
+    jointly), whose chi-square df=2 p-value is EXACTLY exp(-JB/2),
+    no special functions needed. The parametric complement of
+    `bowley_moors` (quantile shape) and `qq_exponential`
+    (distribution-specific Q-Q).
+
+    TWO-PASS and ENGINE-EXACT end to end: the mean comes from the
+    EXACT integer cent sum (identical in both engines), then the
+    deviations are QUANTIZED to integers (floor(d*1e4+0.5), pure
+    IEEE on bit-identical doubles) and the central power sums run in
+    exact wide-integer arithmetic — DECIMAL(38) here, HUGEINT in the
+    DuckDB twin. |d| <= ~1e3 values -> |dq| <= ~1e7, dq^4 <= 1e28,
+    so the sums fit 38 digits past 10^10 rows per group. Float
+    enters only at the final per-group division, on identical
+    integers, so skew/kurtosis are bit-identical across engines and
+    JB's n-fold amplification has nothing to amplify. The mean table
+    is a broadcast; both passes are single hash aggs."""
+    e = _t(spark, sf_dir, "events")
+    mu = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sc"),
+    ).withColumn("mu", F.expr("CAST(sc AS DOUBLE) / (100.0 * n)"))
+    c = (
+        e.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.expr(
+                "CAST(floor((value - mu) * 1e4 + 0.5) AS DECIMAL(38,0))"
+            ).alias("d"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.expr("d * d")).alias("c2"),
+            F.sum(F.expr("d * d * d")).alias("c3"),
+            F.sum(F.expr("d * d * d * d")).alias("c4"),
+        )
+        .withColumn("m2", F.expr("CAST(c2 AS DOUBLE) / n / 1e8"))
+        # round S and K FIRST (explicit HALF_UP floor recipe — engine
+        # round() disagrees on binary ties), then build JB from the
+        # rounded values; sqrt(m2)*m2 instead of pow(m2,1.5) because
+        # IEEE sqrt is correctly rounded while libm pow is not
+        .withColumn(
+            "skew",
+            F.expr(
+                "floor((CAST(c3 AS DOUBLE) / n / 1e12)"
+                " / (m2 * sqrt(m2)) * 1e6 + 0.5) / 1e6"
+            ),
+        )
+        .withColumn(
+            "exk",
+            F.expr(
+                "floor(((CAST(c4 AS DOUBLE) / n / 1e16)"
+                " / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6"
+            ),
+        )
+        .withColumn(
+            "jb",
+            # CAST(n AS DOUBLE) is load-bearing: Spark parses 6.0 as
+            # DECIMAL(2,1), so bigint/6.0 is a DECIMAL division
+            # truncated at scale 6 — a 1e-9 relative error that the
+            # *1e6 rounding then exposes. Double-cast first so both
+            # engines do the same IEEE divide.
+            F.expr(
+                "CAST(n AS DOUBLE) / 6.0"
+                " * (skew * skew + exk * exk / 4.0)"
+            ),
+        )
+    )
+    # jb derives from exact-6dp inputs, so true decimal TIES at the
+    # 7th digit happen (hit at sf0.001): use the explicit-HALF_UP
+    # floor(x*1e6+0.5) recipe, pure IEEE in both engines, instead of
+    # engine round() (Spark BigDecimal-of-shortest-repr vs DuckDB
+    # binary disagree exactly on ties — the backfill lesson)
+    return c.select(
+        "event_type",
+        "n",
+        F.col("skew").alias("skewness"),
+        F.col("exk").alias("excess_kurtosis"),
+        F.expr("floor(jb * 1e6 + 0.5) / 1e6").alias("jb_stat"),
+        F.expr("floor(exp(-jb / 2.0) * 1e6 + 0.5) / 1e6").alias(
+            "p_chi2_df2"
+        ),
+    )
+
+
+SQL_JARQUE_BERA = """
+WITH mu AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * count(*)) AS mu
+  FROM events GROUP BY 1
+), dd AS (
+  SELECT e.event_type, n,
+         CAST(floor((value - mu) * 1e4 + 0.5) AS HUGEINT) AS d
+  FROM events e JOIN mu ON e.event_type = mu.event_type
+), c AS (
+  SELECT event_type, max(n) AS n,
+         sum(d * d) AS c2,
+         sum(d * d * d) AS c3,
+         sum(d * d * d * d) AS c4
+  FROM dd GROUP BY 1
+), st AS (
+  SELECT event_type, n,
+         CAST(c2 AS DOUBLE) / n / 1e8 AS m2,
+         floor((CAST(c3 AS DOUBLE) / n / 1e12)
+               / ((CAST(c2 AS DOUBLE) / n / 1e8)
+                  * sqrt(CAST(c2 AS DOUBLE) / n / 1e8))
+               * 1e6 + 0.5) / 1e6 AS skew,
+         floor(((CAST(c4 AS DOUBLE) / n / 1e16)
+                / ((CAST(c2 AS DOUBLE) / n / 1e8)
+                   * (CAST(c2 AS DOUBLE) / n / 1e8)) - 3.0)
+               * 1e6 + 0.5) / 1e6 AS exk
+  FROM c
+)
+SELECT event_type, n,
+       skew AS skewness,
+       exk AS excess_kurtosis,
+       floor((CAST(n AS DOUBLE) / 6.0
+              * (skew * skew + exk * exk / 4.0)) * 1e6 + 0.5)
+         / 1e6 AS jb_stat,
+       floor(exp(-(CAST(n AS DOUBLE) / 6.0
+                   * (skew * skew + exk * exk / 4.0)) / 2.0)
+             * 1e6 + 0.5) / 1e6 AS p_chi2_df2
+FROM st
+"""
+
+
+def q_ratio_delta_ci(spark, sf_dir):
+    """DELTA-METHOD confidence interval for the RATIO metric
+    "purchase revenue per event" — sum(purchase value)/sum(events)
+    over USERS, the denominator-is-random case where a naive
+    per-event SE is simply wrong (users, not events, are the i.i.d.
+    unit; `cuped_adjust` shrinks this same class of metric's
+    variance, this one gets its CI right).
+
+    var(R) ~ (var_y - 2 R cov + R^2 var_n) / (n_users * mean_n^2)
+    with all five moments from ONE per-user hash agg + one global
+    fold. Per-user sums exact cents; cross-products double."""
+    e = _t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(round(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).cast("double")
+            / 100.0
+        ).alias("y"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    )
+    agg = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu"),
+        F.sum("y").alias("sy"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("y") * F.col("m")).alias("sym"),
+    )
+    c = (
+        agg.withColumn("r", F.expr("sy / sm"))
+        .withColumn("my", F.expr("sy / nu"))
+        .withColumn("mm", F.expr("sm / nu"))
+        .withColumn("vy", F.expr("syy / nu - my * my"))
+        .withColumn("vm", F.expr("smm / nu - mm * mm"))
+        .withColumn("cym", F.expr("sym / nu - my * mm"))
+        .withColumn(
+            "se",
+            F.expr(
+                "sqrt((vy - 2 * r * cym + r * r * vm)"
+                " / (nu * mm * mm))"
+            ),
+        )
+    )
+    return c.select(
+        F.col("nu").alias("n_users"),
+        F.round("r", 6).alias("ratio"),
+        F.round("se", 6).alias("se_delta"),
+        F.round(F.expr("r - 1.96 * se"), 6).alias("ci_lo"),
+        F.round(F.expr("r + 1.96 * se"), 6).alias("ci_hi"),
+    )
+
+
+SQL_RATIO_DELTA_CI = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) / 100.0 AS y,
+         CAST(count(*) AS DOUBLE) AS m
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu,
+         sum(y) AS sy, sum(m) AS sm, sum(y * y) AS syy,
+         sum(m * m) AS smm, sum(y * m) AS sym
+  FROM pu
+), c AS (
+  SELECT nu, sy / sm AS r,
+         syy / nu - (sy / nu) * (sy / nu) AS vy,
+         smm / nu - (sm / nu) * (sm / nu) AS vm,
+         sym / nu - (sy / nu) * (sm / nu) AS cym,
+         sm / nu AS mm
+  FROM agg
+), se AS (
+  SELECT nu, r,
+         sqrt((vy - 2 * r * cym + r * r * vm) / (nu * mm * mm)) AS se
+  FROM c
+)
+SELECT nu AS n_users,
+       round(r, 6) AS ratio,
+       round(se, 6) AS se_delta,
+       round(r - 1.96 * se, 6) AS ci_lo,
+       round(r + 1.96 * se, 6) AS ci_hi
+FROM se
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature-eng pack #43: two-sample nonparametrics (Mann-Whitney U,
+# Cliff's delta), variance homogeneity (Brown-Forsythe), time-series
+# diagnostics (Durbin-Levinson PACF, Ljung-Box), Chatterjee's xi
+# --------------------------------------------------------------------------
+
+def q_mann_whitney(spark, sf_dir):
+    """MANN-WHITNEY U (Wilcoxon rank-sum) comparing purchase vs
+    click ``value`` — the two-sample specialization that
+    `kruskal_wallis` generalizes, with the U statistic and its
+    common-language AUC effect size (P(purchase > click) + .5
+    P(tie)) that the k-sample H can't give.
+
+    Same scale discipline as kruskal_wallis: values collapse to a
+    (cents -> n_purchase, n_click) histogram, DOUBLED mid-ranks
+    ``2*cum_below + t + 1`` keep every rank integer, and the doubled
+    rank sum / U stay exact bigints; the normal-approximation z uses
+    the standard tie-corrected variance. Floats only on the final
+    one-row fold."""
+    e = _t(spark, sf_dir, "events")
+    vc = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("c").cast("bigint").alias("nc"),
+        )
+        .withColumn("t", F.expr("np + nc"))
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vc.select(
+        "np",
+        "nc",
+        "t",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + F.lit(1))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("np").cast("bigint").alias("n1"),
+        F.sum("nc").cast("bigint").alias("n2"),
+        F.sum(F.col("np") * F.col("r2")).cast("bigint").alias("r1sum2"),
+        F.sum(
+            F.pow(F.col("t").cast("double"), 3) - F.col("t")
+        ).alias("tie3"),
+    )
+    c = (
+        agg.withColumn("u2", F.expr("r1sum2 - n1 * (n1 + 1)"))
+        .withColumn("nn", F.expr("n1 + n2"))
+        .withColumn(
+            "varu",
+            F.expr(
+                "CAST(n1 AS DOUBLE) * n2 / 12.0 * ((nn + 1)"
+                " - tie3 / (CAST(nn AS DOUBLE) * (nn - 1)))"
+            ),
+        )
+    )
+    return c.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.expr("CAST(u2 AS DOUBLE) / 2.0").alias("u_stat"),
+        F.round(
+            F.expr("CAST(u2 AS DOUBLE) / (2.0 * n1 * n2)"), 6
+        ).alias("auc"),
+        F.round(
+            F.expr(
+                "(CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)"
+                " / (2.0 * sqrt(varu))"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH vc AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), ranked AS (
+  SELECT np, nc, np + nc AS t,
+         CAST(2 * (sum(np + nc) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - (np + nc)) + (np + nc) + 1 AS BIGINT) AS r2
+  FROM vc
+), agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n1,
+         CAST(sum(nc) AS BIGINT) AS n2,
+         CAST(sum(np * r2) AS BIGINT) AS r1sum2,
+         sum(pow(CAST(t AS DOUBLE), 3) - t) AS tie3
+  FROM ranked
+), c AS (
+  SELECT n1, n2, r1sum2 - n1 * (n1 + 1) AS u2, n1 + n2 AS nn, tie3
+  FROM agg
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+       round(CAST(u2 AS DOUBLE) / (2.0 * n1 * n2), 6) AS auc,
+       round((CAST(u2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+             / (2.0 * sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                           * ((nn + 1) - tie3
+                              / (CAST(nn AS DOUBLE) * (nn - 1))))), 6)
+         AS z
+FROM c
+"""
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """CLIFF'S DELTA ordinal effect size between purchase and click
+    ``value``: d = (#{x>y} - #{x<y}) / (n1*n2) — the dominance
+    statistic behind `mann_whitney`'s AUC, with the conventional
+    |d| magnitude bands (0.147 / 0.33 / 0.474).
+
+    NO O(n1*n2) pair join: the concordance counts come from the
+    shared (cents -> counts) histogram — each purchase-cent bucket
+    contributes np * (clicks strictly below) and np * (clicks
+    strictly above) via two prefix sums. Exact bigints throughout;
+    the single division happens on the one-row fold."""
+    e = _t(spark, sf_dir, "events")
+    vc = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("c").cast("bigint").alias("nc"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = vc.select(
+        "np",
+        "nc",
+        (F.sum("nc").over(w) - F.col("nc"))
+        .cast("bigint")
+        .alias("c_below"),
+        (F.sum("nc").over(wall) - F.sum("nc").over(w))
+        .cast("bigint")
+        .alias("c_above"),
+    )
+    agg = cum.agg(
+        F.sum("np").cast("bigint").alias("n1"),
+        F.sum("nc").cast("bigint").alias("n2"),
+        F.sum(F.col("np") * F.col("c_below"))
+        .cast("bigint")
+        .alias("n_gt"),
+        F.sum(F.col("np") * F.col("c_above"))
+        .cast("bigint")
+        .alias("n_lt"),
+        F.sum(F.col("np") * F.col("nc")).cast("bigint").alias("n_eq"),
+    )
+    c = agg.withColumn(
+        "delta",
+        F.expr(
+            "(CAST(n_gt AS DOUBLE) - n_lt)"
+            " / (CAST(n1 AS DOUBLE) * n2)"
+        ),
+    )
+    return c.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        "n_gt",
+        "n_lt",
+        "n_eq",
+        F.round("delta", 6).alias("delta"),
+        F.expr(
+            "CASE WHEN abs(delta) < 0.147 THEN 'negligible'"
+            " WHEN abs(delta) < 0.33 THEN 'small'"
+            " WHEN abs(delta) < 0.474 THEN 'medium'"
+            " ELSE 'large' END"
+        ).alias("magnitude"),
+    )
+
+
+SQL_CLIFFS_DELTA = """
+WITH vc AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), cum AS (
+  SELECT np, nc,
+         CAST(sum(nc) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nc
+              AS BIGINT) AS c_below,
+         CAST(sum(nc) OVER ()
+              - sum(nc) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c_above
+  FROM vc
+), agg AS (
+  SELECT CAST(sum(np) AS BIGINT) AS n1,
+         CAST(sum(nc) AS BIGINT) AS n2,
+         CAST(sum(np * c_below) AS BIGINT) AS n_gt,
+         CAST(sum(np * c_above) AS BIGINT) AS n_lt,
+         CAST(sum(np * nc) AS BIGINT) AS n_eq
+  FROM cum
+), c AS (
+  SELECT *, (CAST(n_gt AS DOUBLE) - n_lt)
+            / (CAST(n1 AS DOUBLE) * n2) AS delta
+  FROM agg
+)
+SELECT n1 AS n_purchase, n2 AS n_click, n_gt, n_lt, n_eq,
+       round(delta, 6) AS delta,
+       CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+            WHEN abs(delta) < 0.33 THEN 'small'
+            WHEN abs(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM c
+"""
+
+
+def q_levene_bf(spark, sf_dir):
+    """BROWN-FORSYTHE test (Levene with median centers) for variance
+    homogeneity of ``value`` across event types — the robust
+    heteroskedasticity gate that `dow_anova`'s equal-variance F and
+    `welch_t`'s two-sample fix both implicitly assume an answer to.
+
+    Exact arithmetic spine: each type's DOUBLED median (sum of the
+    two middle order statistics, integer cents) comes from one
+    row_number pick, the absolute deviations z = |2*cents - med2|
+    are integers, and all five ANOVA moments are exact bigint sums;
+    the F ratio is one float expression on the O(#types) fold."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents")
+    cnt = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rk = (
+        base.withColumn("rn", F.row_number().over(wo))
+        .join(F.broadcast(cnt), "event_type")
+        .withColumn("k1", F.expr("CAST((n + 1) div 2 AS BIGINT)"))
+        .withColumn("k2", F.expr("CAST(n div 2 + 1 AS BIGINT)"))
+        .where(F.expr("rn = k1 OR rn = k2"))
+    )
+    med = rk.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "cents * (CASE WHEN k1 = k2 THEN 2 ELSE 1 END)"
+            )
+        )
+        .cast("bigint")
+        .alias("med2")
+    )
+    z = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.expr("abs(2 * cents - med2)").cast("bigint").alias("z"),
+    )
+    per = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("q"),
+    )
+    glob = (
+        per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum("s").cast("bigint").alias("ss"),
+            F.sum("q").cast("bigint").alias("qq"),
+            F.sum(
+                F.expr("pow(CAST(s AS DOUBLE), 2) / n")
+            ).alias("sgrp"),
+        )
+        .withColumn(
+            "ss_between",
+            F.expr("sgrp - pow(CAST(ss AS DOUBLE), 2) / nn"),
+        )
+        .withColumn("ss_within", F.expr("CAST(qq AS DOUBLE) - sgrp"))
+        .withColumn(
+            "f_stat",
+            F.expr(
+                "(ss_between / (k - 1)) / (ss_within / (nn - k))"
+            ),
+        )
+    )
+    return per.join(F.broadcast(med), "event_type").crossJoin(
+        F.broadcast(
+            glob.select(
+                "k",
+                F.col("nn").alias("n_total"),
+                F.round("f_stat", 6).alias("f_stat"),
+            )
+        )
+    ).select(
+        "event_type",
+        "n",
+        F.expr("CAST(med2 AS DOUBLE) / 200.0").alias("median_value"),
+        F.round(
+            F.expr("CAST(s AS DOUBLE) / (200.0 * n)"), 6
+        ).alias("mean_absdev"),
+        F.col("k").alias("k_groups"),
+        "n_total",
+        "f_stat",
+    )
+
+
+SQL_LEVENE_BF = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), rk AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM base
+), med AS (
+  SELECT event_type,
+         CAST(sum(cents * (CASE WHEN (n + 1) // 2 = n // 2 + 1
+                           THEN 2 ELSE 1 END)) AS BIGINT) AS med2
+  FROM rk
+  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+  GROUP BY 1
+), z AS (
+  SELECT base.event_type,
+         CAST(abs(2 * cents - med2) AS BIGINT) AS z
+  FROM base JOIN med ON base.event_type = med.event_type
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(z * z) AS BIGINT) AS q
+  FROM z GROUP BY 1
+), gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(q) AS BIGINT) AS qq,
+         sum(pow(CAST(s AS DOUBLE), 2) / n) AS sgrp
+  FROM per
+), f AS (
+  SELECT k, nn,
+         ((sgrp - pow(CAST(ss AS DOUBLE), 2) / nn) / (k - 1))
+         / ((CAST(qq AS DOUBLE) - sgrp) / (nn - k)) AS f_stat
+  FROM gl
+)
+SELECT per.event_type, per.n,
+       CAST(med.med2 AS DOUBLE) / 200.0 AS median_value,
+       round(CAST(per.s AS DOUBLE) / (200.0 * per.n), 6)
+         AS mean_absdev,
+       f.k AS k_groups, f.nn AS n_total,
+       round(f.f_stat, 6) AS f_stat
+FROM per
+JOIN med ON per.event_type = med.event_type
+CROSS JOIN f
+"""
+
+
+def q_pacf_daily(spark, sf_dir):
+    """PARTIAL AUTOCORRELATION (lags 1-2, Durbin-Levinson closed
+    form) of each event type's daily count series — does yesterday
+    predict today beyond what the day before explains?
+    `autocorr_lag1` gives r1; pacf2 = (r2 - r1^2)/(1 - r1^2) is the
+    lag-2 effect with lag-1 partialled out.
+
+    Engine-exact trick: deviations are scaled to INTEGERS
+    D_t = n*c_t - S (n days, S total), so the lag cross-products and
+    the denominator are exact bigint sums over the tiny dense
+    (type x day) grid; the two divisions and the pacf fold run on
+    identical integers in both engines."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    wd = Window.orderBy("day")
+    idx = days.select(
+        "day", F.row_number().over(wd).cast("bigint").alias("i")
+    )
+    types = e.select("event_type").distinct()
+    raw = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(idx))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "i",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    dev = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "i",
+        "n",
+        F.expr("n * c - s").cast("bigint").alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("den"),
+    )
+    a = dev.alias("a")
+    b = dev.select(
+        "event_type", F.col("i").alias("i2"), F.col("d").alias("d2")
+    ).alias("b")
+    nums = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & ((F.col("a.i") + 1 == F.col("i2"))
+               | (F.col("a.i") + 2 == F.col("i2"))),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("i2") - F.col("a.i")).cast("int").alias("lag"),
+            F.expr("a.d * d2").cast("bigint").alias("x"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("lag") == 1, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("num1"),
+            F.sum(F.when(F.col("lag") == 2, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("num2"),
+        )
+    )
+    c = (
+        den.join(nums, "event_type")
+        .withColumn("r1", F.expr("CAST(num1 AS DOUBLE) / den"))
+        .withColumn("r2", F.expr("CAST(num2 AS DOUBLE) / den"))
+    )
+    return c.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round("r1", 6).alias("acf1"),
+        F.round("r2", 6).alias("acf2"),
+        F.round(
+            F.expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"), 6
+        ).alias("pacf2"),
+    )
+
+
+SQL_PACF_DAILY = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), idx AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM days
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, i.i,
+         CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN idx i
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = i.day
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM grid GROUP BY 1
+), dev AS (
+  SELECT g.event_type, g.i, t.n,
+         CAST(t.n * g.c - t.s AS BIGINT) AS d
+  FROM grid g JOIN tot t ON g.event_type = t.event_type
+), den AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(d * d) AS BIGINT) AS den
+  FROM dev GROUP BY 1
+), nums AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.i = a.i + 1 THEN a.d * b.d ELSE 0 END)
+              AS BIGINT) AS num1,
+         CAST(sum(CASE WHEN b.i = a.i + 2 THEN a.d * b.d ELSE 0 END)
+              AS BIGINT) AS num2
+  FROM dev a JOIN dev b ON a.event_type = b.event_type
+                       AND (b.i = a.i + 1 OR b.i = a.i + 2)
+  GROUP BY 1
+), c AS (
+  SELECT den.event_type, den.n,
+         CAST(num1 AS DOUBLE) / den AS r1,
+         CAST(num2 AS DOUBLE) / den AS r2
+  FROM den JOIN nums ON den.event_type = nums.event_type
+)
+SELECT event_type, n AS n_days,
+       round(r1, 6) AS acf1, round(r2, 6) AS acf2,
+       round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS pacf2
+FROM c
+"""
+
+
+def q_ljung_box(spark, sf_dir):
+    """LJUNG-BOX portmanteau test on each event type's daily count
+    series, lags 1..5 — "is there ANY autocorrelation structure",
+    the whiteness gate a forecasting pipeline runs before trusting
+    residuals (`pacf_daily` locates the structure; this tests its
+    joint existence). One row per (type, lag) with the cumulative
+    Q_m = n(n+2) * sum_{k<=m} r_k^2/(n-k).
+
+    Same integer-deviation spine as pacf_daily: D_t = n*c_t - S
+    keeps every lag numerator and the denominator exact bigints on
+    the dense 30-row grid; the only floats are the O(types x 5)
+    final expressions."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    wd = Window.orderBy("day")
+    idx = days.select(
+        "day", F.row_number().over(wd).cast("bigint").alias("i")
+    )
+    types = e.select("event_type").distinct()
+    raw = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(idx))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "i",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    dev = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "i",
+        "n",
+        F.expr("n * c - s").cast("bigint").alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).cast("bigint").alias("den"),
+    )
+    a = dev.alias("a")
+    b = dev.select(
+        "event_type", F.col("i").alias("i2"), F.col("d").alias("d2")
+    ).alias("b")
+    nums = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("i2") - F.col("a.i")).between(1, 5),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("i2") - F.col("a.i")).cast("int").alias("lag"),
+            F.expr("a.d * d2").cast("bigint").alias("x"),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum("x").cast("bigint").alias("num"))
+    )
+    r = den.join(nums, "event_type").select(
+        "event_type",
+        "lag",
+        F.col("n"),
+        F.expr("CAST(num AS DOUBLE) / den").alias("rk"),
+    )
+    wq = (
+        Window.partitionBy("event_type")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = r.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round("rk", 6).alias("acf"),
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n") + 2)
+            * F.sum(F.expr("rk * rk / (n - lag)")).over(wq),
+            6,
+        ).alias("q_cum"),
+    )
+    return q
+
+
+SQL_LJUNG_BOX = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), idx AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM days
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, i.i,
+         CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN idx i
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = i.day
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM grid GROUP BY 1
+), dev AS (
+  SELECT g.event_type, g.i, t.n,
+         CAST(t.n * g.c - t.s AS BIGINT) AS d
+  FROM grid g JOIN tot t ON g.event_type = t.event_type
+), den AS (
+  SELECT event_type, max(n) AS n,
+         CAST(sum(d * d) AS BIGINT) AS den
+  FROM dev GROUP BY 1
+), nums AS (
+  SELECT a.event_type, CAST(b.i - a.i AS INTEGER) AS lag,
+         CAST(sum(a.d * b.d) AS BIGINT) AS num
+  FROM dev a JOIN dev b ON a.event_type = b.event_type
+                       AND b.i - a.i BETWEEN 1 AND 5
+  GROUP BY 1, 2
+), r AS (
+  SELECT den.event_type, nums.lag, den.n,
+         CAST(num AS DOUBLE) / den AS rk
+  FROM den JOIN nums ON den.event_type = nums.event_type
+)
+SELECT event_type, lag, n AS n_days, round(rk, 6) AS acf,
+       round(CAST(n AS DOUBLE) * (n + 2)
+             * sum(rk * rk / (n - lag)) OVER (
+                 PARTITION BY event_type ORDER BY lag
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS q_cum
+FROM r
+"""
+
+
+def q_chatterjee_xi(spark, sf_dir):
+    """CHATTERJEE'S XI rank correlation (Chatterjee 2020, public
+    JASA paper) between daily click/view counts and daily purchase
+    counts — the modern dependence coefficient that detects ANY
+    functional relationship (not just monotone like `spearman_corr`
+    / `kendall_tau`): xi ~ 0 for independence, ~ 1 when y is a
+    noiseless function of x.
+
+    General ties formula, all-integer until the last division:
+    order by (x, day) [deterministic day tie-break, documented],
+    r_i = #{y_j <= y_i} and l_i = #{y_j >= y_i} from two RANGE-frame
+    count windows, xi = 1 - n * sum|r_{i+1} - r_i|
+    / (2 * sum l_i*(n - l_i)). Runs on the tiny per-pair daily
+    grid; NULL if y is constant (denominator 0)."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    raw = (
+        e.where(
+            F.col("event_type").isin("click", "view", "purchase")
+        )
+        .select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = (
+        days.crossJoin(
+            F.broadcast(
+                e.select("event_type")
+                .where(F.col("event_type").isin("click", "view"))
+                .distinct()
+                .select(F.col("event_type").alias("pair"))
+            )
+        )
+        .join(
+            raw.select(
+                F.col("event_type").alias("pair"),
+                "day",
+                F.col("c").alias("x"),
+            ),
+            ["pair", "day"],
+            "left",
+        )
+        .join(
+            raw.where(F.col("event_type") == "purchase").select(
+                "day", F.col("c").alias("y")
+            ),
+            "day",
+            "left",
+        )
+        .select(
+            "pair",
+            "day",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    wy_le = (
+        Window.partitionBy("pair")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wy_ge = (
+        Window.partitionBy("pair")
+        .orderBy(F.col("y").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    rl = pairs.select(
+        "pair",
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(wy_le).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(wy_ge).cast("bigint").alias("l"),
+    )
+    wx = Window.partitionBy("pair").orderBy("x", "day")
+    seq = rl.select(
+        "pair",
+        "r",
+        "l",
+        F.lead("r", 1).over(wx).alias("r_next"),
+    )
+    agg = seq.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.expr("abs(r_next - r)")).cast("bigint").alias("sum_dr"),
+        F.sum("l").cast("bigint").alias("sum_l"),
+        F.sum(F.expr("l * l")).cast("bigint").alias("sum_l2"),
+    )
+    return agg.select(
+        "pair",
+        "n_days",
+        "sum_dr",
+        (F.expr("2 * (n_days * sum_l - sum_l2)"))
+        .cast("bigint")
+        .alias("denom"),
+        F.round(
+            F.expr(
+                "1.0 - CAST(n_days AS DOUBLE) * sum_dr"
+                " / nullif(2.0 * (n_days * sum_l - sum_l2), 0.0)"
+            ),
+            6,
+        ).alias("xi"),
+    )
+
+
+SQL_CHATTERJEE_XI = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1, 2
+), pairtypes AS (
+  SELECT DISTINCT event_type AS pair FROM events
+  WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT p.pair, d.day,
+         CAST(coalesce(x.c, 0) AS BIGINT) AS x,
+         CAST(coalesce(y.c, 0) AS BIGINT) AS y
+  FROM days d CROSS JOIN pairtypes p
+  LEFT JOIN raw x ON x.event_type = p.pair AND x.day = d.day
+  LEFT JOIN raw y ON y.event_type = 'purchase' AND y.day = d.day
+), rl AS (
+  SELECT pair, day, x, y,
+         CAST(count(*) OVER (PARTITION BY pair ORDER BY y
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY pair ORDER BY y DESC
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS l
+  FROM pairs
+), seq AS (
+  SELECT pair, r, l,
+         lead(r) OVER (PARTITION BY pair ORDER BY x, day) AS r_next
+  FROM rl
+), agg AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(abs(r_next - r)) AS BIGINT) AS sum_dr,
+         CAST(sum(l) AS BIGINT) AS sum_l,
+         CAST(sum(l * l) AS BIGINT) AS sum_l2
+  FROM seq GROUP BY 1
+)
+SELECT pair, n_days, sum_dr,
+       CAST(2 * (n_days * sum_l - sum_l2) AS BIGINT) AS denom,
+       round(1.0 - CAST(n_days AS DOUBLE) * sum_dr
+             / nullif(2.0 * (n_days * sum_l - sum_l2), 0.0), 6)
+         AS xi
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -20155,6 +21787,28 @@ REGISTRY: dict[str, tuple] = {
     #    reliability/clustering-strength/arrival-QQ/Weibull/
     #    Good-Turing/CUPED (displaces six more r3 keys past 50 —
     #    ALL-GREEN in the committed 295-key sweep) --
+    # -- new r3 continuation (this session): feature-eng pack #43 —
+    #    two-sample nonparametrics / variance homogeneity /
+    #    time-series diagnostics / Chatterjee dependence
+    #    (displaces six more r3 keys past 50 — ALL-GREEN in the
+    #    committed 295-key sweep) --
+    "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
+    "cliffs_delta": (q_cliffs_delta, SQL_CLIFFS_DELTA),
+    "levene_bf": (q_levene_bf, SQL_LEVENE_BF),
+    "pacf_daily": (q_pacf_daily, SQL_PACF_DAILY),
+    "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
+    "chatterjee_xi": (q_chatterjee_xi, SQL_CHATTERJEE_XI),
+    # -- new r3 continuation (this session): feature-eng pack #42 —
+    #    optimal transport / wavelet energy / survival comparison /
+    #    blocked nonparametrics / normality / delta-method CI
+    #    (displaces six more r3 keys past 50 — ALL-GREEN in the
+    #    committed 295-key sweep) --
+    "wasserstein_1d": (q_wasserstein_1d, SQL_WASSERSTEIN_1D),
+    "haar_energy": (q_haar_energy, SQL_HAAR_ENERGY),
+    "logrank_test": (q_logrank_test, SQL_LOGRANK_TEST),
+    "friedman_test": (q_friedman_test, SQL_FRIEDMAN_TEST),
+    "jarque_bera": (q_jarque_bera, SQL_JARQUE_BERA),
+    "ratio_delta_ci": (q_ratio_delta_ci, SQL_RATIO_DELTA_CI),
     "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
     "icc_design_effect": (q_icc_design_effect, SQL_ICC_DESIGN_EFFECT),
     "qq_exponential": (q_qq_exponential, SQL_QQ_EXPONENTIAL),
