@@ -285,6 +285,47 @@ HEADLINE = [
     "half_activity_day",
     "negbin_fit",
     "recency_score",
+    # added r3 continuation: packs #39-#43 (ranking bounds/2x2/shape,
+    # blocked+two-sample nonparametrics, reliability/survival fits,
+    # optimal transport/wavelet/normality, time-series diagnostics)
+    "wilson_lcb",
+    "odds_ratio",
+    "value_mode",
+    "bowley_moors",
+    "term_position_profile",
+    "longest_event_run",
+    "kruskal_wallis",
+    "trimmed_stats",
+    "theil_index",
+    "decile_lift",
+    "brier_decomp",
+    "perm_entropy",
+    "cronbach_alpha",
+    "icc_design_effect",
+    "qq_exponential",
+    "weibull_fit",
+    "good_turing",
+    "cuped_adjust",
+    "wasserstein_1d",
+    "haar_energy",
+    "logrank_test",
+    "friedman_test",
+    "jarque_bera",
+    "ratio_delta_ci",
+    "mann_whitney",
+    "cliffs_delta",
+    "levene_bf",
+    "pacf_daily",
+    "ljung_box",
+    "chatterjee_xi",
+    # added r3 continuation: pack #44 (ordered/omnibus comparison,
+    # KDE, Q-Q mapping)
+    "mood_median",
+    "epanechnikov_kde",
+    "qq_deciles",
+    "jonckheere_trend",
+    "page_trend",
+    "ad_ksample",
 ]
 
 

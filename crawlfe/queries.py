@@ -21663,6 +21663,798 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #44: ordered-alternative / omnibus distribution
+# comparison (Jonckheere-Terpstra, Page's L, Anderson-Darling
+# k-sample, Mood's median), kernel density, Q-Q decile mapping
+# --------------------------------------------------------------------------
+
+def q_mood_median(spark, sf_dir):
+    """MOOD'S MEDIAN TEST across event types: does any type's value
+    distribution sit on a different side of the GLOBAL median?  The
+    coarsest, most outlier-proof k-sample location test — the one
+    that still works when `dow_anova`'s variances explode and
+    `kruskal_wallis`'s full rankings are overkill.
+
+    Scale-right exact median: the doubled global median (sum of the
+    two middle order statistics) is picked from the CUMULATIVE CENT
+    HISTOGRAM (first value whose cum count reaches each middle
+    rank) — no global row sort anywhere. The 2xk table is exact
+    bigints; chi-square on the O(k) fold, closed-form df=4
+    p-value."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    hist = base.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum("ct").over(w).cast("bigint").alias("cum"),
+        F.sum("ct").over(wall).cast("bigint").alias("n"),
+    )
+    med = cum.select(
+        F.min(
+            F.when(
+                F.expr("cum >= CAST((n + 1) div 2 AS BIGINT)"),
+                F.col("cents"),
+            )
+        ).alias("v1"),
+        F.min(
+            F.when(
+                F.expr("cum >= CAST(n div 2 + 1 AS BIGINT)"),
+                F.col("cents"),
+            )
+        ).alias("v2"),
+    ).select(F.expr("v1 + v2").cast("bigint").alias("med2"))
+    per = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.expr("CASE WHEN 2 * cents > med2 THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_above"),
+            F.max("med2").alias("med2"),
+        )
+    )
+    glob = per.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_above").cast("bigint").alias("aa"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    chi = (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            F.expr(
+                "pow(CAST(n_above AS DOUBLE)"
+                " - CAST(n AS DOUBLE) * aa / nn, 2)"
+                " / (CAST(n AS DOUBLE) * aa / nn)"
+                " + pow(CAST(n - n_above AS DOUBLE)"
+                " - CAST(n AS DOUBLE) * (nn - aa) / nn, 2)"
+                " / (CAST(n AS DOUBLE) * (nn - aa) / nn)"
+            ).alias("cell")
+        )
+        .agg(F.sum("cell").alias("chi2"))
+    )
+    return (
+        per.crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            "n",
+            "n_above",
+            F.expr("CAST(med2 AS DOUBLE) / 200.0").alias(
+                "median_value"
+            ),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.expr("exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0)"), 6
+            ).alias("p_chi2_df4"),
+        )
+    )
+
+
+SQL_MOOD_MEDIAN = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), hist AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY 1
+), cum AS (
+  SELECT cents,
+         CAST(sum(ct) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(ct) OVER () AS BIGINT) AS n
+  FROM hist
+), med AS (
+  SELECT CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+              + min(CASE WHEN cum >= n // 2 + 1 THEN cents END)
+              AS BIGINT) AS med2
+  FROM cum
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN 2 * cents > med2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above,
+         max(med2) AS med2
+  FROM base CROSS JOIN med
+  GROUP BY 1
+), gl AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(n_above) AS BIGINT) AS aa
+  FROM per
+), chi AS (
+  SELECT sum(pow(CAST(n_above AS DOUBLE)
+                 - CAST(n AS DOUBLE) * aa / nn, 2)
+             / (CAST(n AS DOUBLE) * aa / nn)
+             + pow(CAST(n - n_above AS DOUBLE)
+                   - CAST(n AS DOUBLE) * (nn - aa) / nn, 2)
+             / (CAST(n AS DOUBLE) * (nn - aa) / nn)) AS chi2
+  FROM per CROSS JOIN gl
+)
+SELECT event_type, n, n_above,
+       CAST(med2 AS DOUBLE) / 200.0 AS median_value,
+       round(chi2, 6) AS chi2,
+       round(exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 6) AS p_chi2_df4
+FROM per CROSS JOIN chi
+"""
+
+
+def q_epanechnikov_kde(spark, sf_dir):
+    """EPANECHNIKOV KERNEL DENSITY of purchase ``value`` at a fixed
+    11-point grid (0, 50, ..., 500; bandwidth h=50) — the smooth
+    density profile behind `histogram`'s hard bins, the curve a
+    pricing dashboard actually plots.
+
+    ENGINE-EXACT kernel sums: with integer cents d = cents - 100*g,
+    the kernel weight (1 - u^2) = (25e6 - d^2)/25e6 has an exact
+    bigint numerator, so each grid point's sum S = sum(ct*(25e6-d^2))
+    is exact and f = 0.75*S/(n*1.25e9) is one deterministic float
+    expression. The histogram is tiny; the grid join is a broadcast
+    range join, not a row fan-out."""
+    e = _t(spark, sf_dir, "events")
+    hist = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    n = hist.agg(F.sum("ct").cast("bigint").alias("n"))
+    grid = spark.range(0, 11).select(
+        (F.col("id") * 50).cast("bigint").alias("grid_value")
+    )
+    joined = hist.join(
+        F.broadcast(grid),
+        F.expr("abs(cents - 100 * grid_value) < 5000"),
+    ).select(
+        "grid_value",
+        "ct",
+        F.expr("cents - 100 * grid_value").cast("bigint").alias("d"),
+    )
+    agg = joined.groupBy("grid_value").agg(
+        F.sum("ct").cast("bigint").alias("n_in_window"),
+        F.sum(F.expr("ct * (25000000 - d * d)"))
+        .cast("bigint")
+        .alias("s"),
+    )
+    out = (
+        F.broadcast(grid)
+        .join(agg, "grid_value", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "grid_value",
+            F.coalesce("n_in_window", F.lit(0))
+            .cast("bigint")
+            .alias("n_in_window"),
+            F.round(
+                F.expr(
+                    "0.75 * CAST(coalesce(s, 0) AS DOUBLE)"
+                    " / (CAST(n AS DOUBLE) * 1.25e9)"
+                ),
+                9,
+            ).alias("density"),
+        )
+    )
+    return out
+
+
+SQL_EPANECHNIKOV_KDE = """
+WITH hist AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS ct
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), n AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS n FROM hist
+), grid AS (
+  SELECT CAST(g * 50 AS BIGINT) AS grid_value
+  FROM generate_series(0, 10) t(g)
+), agg AS (
+  SELECT grid_value,
+         CAST(sum(ct) AS BIGINT) AS n_in_window,
+         CAST(sum(ct * (25000000
+              - (cents - 100 * grid_value)
+                * (cents - 100 * grid_value))) AS BIGINT) AS s
+  FROM hist JOIN grid
+    ON abs(cents - 100 * grid_value) < 5000
+  GROUP BY 1
+)
+SELECT g.grid_value,
+       CAST(coalesce(a.n_in_window, 0) AS BIGINT) AS n_in_window,
+       round(0.75 * CAST(coalesce(a.s, 0) AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * 1.25e9), 9) AS density
+FROM grid g
+LEFT JOIN agg a ON g.grid_value = a.grid_value
+CROSS JOIN n
+"""
+
+
+def q_qq_deciles(spark, sf_dir):
+    """Q-Q DECILE MAPPING between purchase and click ``value`` — the
+    quantile-vs-quantile table (p10..p90) an analyst reads before
+    trusting any mean-based comparison, and the transport map
+    `wasserstein_1d` integrates. Exact order statistics, picked from
+    each distribution's cumulative cent histogram at rank
+    ceil(p*n/100) = (p*n + 99) div 100 — integer arithmetic, no
+    percentile_approx, no global sort."""
+    e = _t(spark, sf_dir, "events")
+    hist = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("ct").over(w).cast("bigint").alias("cum"),
+        F.sum("ct").over(wall).cast("bigint").alias("n"),
+    )
+    ps = spark.range(1, 10).select(
+        (F.col("id") * 10).cast("int").alias("p")
+    )
+    picks = (
+        cum.crossJoin(F.broadcast(ps))
+        .where(F.expr("cum >= (p * n + 99) div 100"))
+        .groupBy("event_type", "p")
+        .agg(F.min("cents").cast("bigint").alias("v"))
+    )
+    pur = picks.where(F.col("event_type") == "purchase").select(
+        "p", F.col("v").alias("vp")
+    )
+    clk = picks.where(F.col("event_type") == "click").select(
+        "p", F.col("v").alias("vc")
+    )
+    return pur.join(clk, "p").select(
+        F.col("p").alias("p_pct"),
+        F.expr("CAST(vp AS DOUBLE) / 100.0").alias("purchase_value"),
+        F.expr("CAST(vc AS DOUBLE) / 100.0").alias("click_value"),
+        F.expr("CAST(vp - vc AS DOUBLE) / 100.0").alias("qq_gap"),
+    )
+
+
+SQL_QQ_DECILES = """
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS ct
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents,
+         CAST(sum(ct) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(ct) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+), ps AS (
+  SELECT CAST(p * 10 AS INTEGER) AS p FROM generate_series(1, 9) t(p)
+), picks AS (
+  SELECT event_type, p, CAST(min(cents) AS BIGINT) AS v
+  FROM cum CROSS JOIN ps
+  WHERE cum >= (p * n + 99) // 100
+  GROUP BY 1, 2
+)
+SELECT pur.p AS p_pct,
+       CAST(pur.v AS DOUBLE) / 100.0 AS purchase_value,
+       CAST(clk.v AS DOUBLE) / 100.0 AS click_value,
+       CAST(pur.v - clk.v AS DOUBLE) / 100.0 AS qq_gap
+FROM (SELECT p, v FROM picks WHERE event_type = 'purchase') pur
+JOIN (SELECT p, v FROM picks WHERE event_type = 'click') clk
+  ON pur.p = clk.p
+"""
+
+
+def q_jonckheere_trend(spark, sf_dir):
+    """JONCKHEERE-TERPSTRA ordered-alternative test: does ``value``
+    shift monotonically across the WEEKS of the month (ordered
+    groups week 1..5)? Strictly more powerful than
+    `kruskal_wallis` when the alternative is a trend — the k-sample
+    face of `mann_kendall`.
+
+    Never materializes a pair join: the doubled statistic
+    J2 = sum 2*#{x_i < x_j, i<j} + #{ties} comes from a dense
+    (cents x week) grid with a 2-D PREFIX SUM (cum over cents within
+    week, then exclusive cum over weeks within cents). The
+    tie-corrected null variance (Hollander-Wolfe A/72 + BC/(36...)
+    + DE/(8...)) uses only exact bigint group/tie tallies."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.expr("CAST((dayofmonth(ts) - 1) div 7 + 1 AS INT)").alias(
+            "wk"
+        ),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    hist = base.groupBy("cents", "wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cents_grid = hist.select("cents").distinct()
+    weeks = hist.select("wk").distinct()
+    dense = (
+        cents_grid.crossJoin(F.broadcast(weeks))
+        .join(hist, ["cents", "wk"], "left")
+        .select(
+            "cents",
+            "wk",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wv = Window.partitionBy("wk").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    below = dense.select(
+        "cents",
+        "wk",
+        "c",
+        F.coalesce(F.sum("c").over(wv), F.lit(0))
+        .cast("bigint")
+        .alias("below_w"),
+    )
+    ww = Window.partitionBy("cents").orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    two_d = below.select(
+        "cents",
+        "wk",
+        "c",
+        F.coalesce(F.sum("below_w").over(ww), F.lit(0))
+        .cast("bigint")
+        .alias("lw_below"),
+        F.coalesce(F.sum("c").over(ww), F.lit(0))
+        .cast("bigint")
+        .alias("lw_eq"),
+    )
+    j2 = two_d.agg(
+        F.sum(F.expr("c * (2 * lw_below + lw_eq)"))
+        .cast("bigint")
+        .alias("j2")
+    )
+    grp = hist.groupBy("wk").agg(F.sum("c").cast("bigint").alias("n"))
+    ties = hist.groupBy("cents").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    gstats = grp.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.expr("n * n")).cast("bigint").alias("sn2"),
+        F.sum(F.expr("n * (n - 1) * (2 * n + 5)"))
+        .cast("bigint")
+        .alias("ga"),
+        F.sum(F.expr("n * (n - 1) * (n - 2)"))
+        .cast("bigint")
+        .alias("gb"),
+        F.sum(F.expr("n * (n - 1)")).cast("bigint").alias("gd"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    tstats = ties.agg(
+        F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+        .cast("bigint")
+        .alias("ta"),
+        F.sum(F.expr("t * (t - 1) * (t - 2)"))
+        .cast("bigint")
+        .alias("tb"),
+        F.sum(F.expr("t * (t - 1)")).cast("bigint").alias("td"),
+    )
+    c = (
+        j2.crossJoin(F.broadcast(gstats))
+        .crossJoin(F.broadcast(tstats))
+        .withColumn("mean2", F.expr("(nn * nn - sn2) div 2"))
+        .withColumn(
+            "varj",
+            F.expr(
+                "(CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)"
+                " - ga - ta) / 72.0"
+                " + CAST(gb AS DOUBLE) * tb"
+                " / (36.0 * nn * (nn - 1.0) * (nn - 2.0))"
+                " + CAST(gd AS DOUBLE) * td"
+                " / (8.0 * nn * (nn - 1.0))"
+            ),
+        )
+    )
+    return c.select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("k_weeks"),
+        F.col("j2").alias("j2_stat"),
+        F.col("mean2").alias("mean2"),
+        F.round("varj", 6).alias("var_j"),
+        F.round(
+            F.expr(
+                "(CAST(j2 AS DOUBLE) - mean2) / (2.0 * sqrt(varj))"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_JONCKHEERE_TREND = """
+WITH base AS (
+  SELECT CAST((day(ts) - 1) // 7 + 1 AS INTEGER) AS wk,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), hist AS (
+  SELECT cents, wk, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+), dense AS (
+  SELECT g.cents, w.wk, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT cents FROM hist) g
+  CROSS JOIN (SELECT DISTINCT wk FROM hist) w
+  LEFT JOIN hist h ON h.cents = g.cents AND h.wk = w.wk
+), below AS (
+  SELECT cents, wk, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY wk ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below_w
+  FROM dense
+), two_d AS (
+  SELECT cents, wk, c,
+         CAST(coalesce(sum(below_w) OVER (PARTITION BY cents
+              ORDER BY wk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS lw_below,
+         CAST(coalesce(sum(c) OVER (PARTITION BY cents ORDER BY wk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS lw_eq
+  FROM below
+), j AS (
+  SELECT CAST(sum(c * (2 * lw_below + lw_eq)) AS BIGINT) AS j2
+  FROM two_d
+), grp AS (
+  SELECT wk, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1
+), gstats AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(n * n) AS BIGINT) AS sn2,
+         CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS ga,
+         CAST(sum(n * (n - 1) * (n - 2)) AS BIGINT) AS gb,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS gd,
+         CAST(count(*) AS BIGINT) AS k
+  FROM grp
+), ties AS (
+  SELECT cents, CAST(sum(c) AS BIGINT) AS t FROM hist GROUP BY 1
+), tstats AS (
+  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ta,
+         CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS tb,
+         CAST(sum(t * (t - 1)) AS BIGINT) AS td
+  FROM ties
+), c AS (
+  SELECT j2, nn, k, (nn * nn - sn2) // 2 AS mean2,
+         (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5) - ga - ta)
+           / 72.0
+         + CAST(gb AS DOUBLE) * tb
+           / (36.0 * nn * (nn - 1.0) * (nn - 2.0))
+         + CAST(gd AS DOUBLE) * td / (8.0 * nn * (nn - 1.0)) AS varj
+  FROM j CROSS JOIN gstats CROSS JOIN tstats
+)
+SELECT nn AS n_total, k AS k_weeks, j2 AS j2_stat, mean2,
+       round(varj, 6) AS var_j,
+       round((CAST(j2 AS DOUBLE) - mean2) / (2.0 * sqrt(varj)), 6)
+         AS z
+FROM c
+"""
+
+
+def q_page_trend(spark, sf_dir):
+    """PAGE'S L TREND TEST over complete user blocks: for users
+    active in ALL FOUR full weeks (days 1-28), rank each user's four
+    weekly spends and test for a MONOTONE trend across weeks — the
+    ordered-alternative twin of `friedman_test` (which only asks
+    "any difference"). Ranks are doubled-midrank integers from exact
+    pairwise cent-total comparisons on the tiny (user, week)
+    aggregate; L2 = sum w * R2_w stays bigint, and the closed-form
+    null mean/variance (ties -> midranks, documented approximation)
+    give the z."""
+    e = _t(spark, sf_dir, "events")
+    uw = (
+        e.where(F.expr("dayofmonth(ts) <= 28"))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST((dayofmonth(ts) - 1) div 7 + 1 AS INT)"
+            ).alias("wk"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.sum("cents").cast("bigint").alias("s"))
+    )
+    complete = (
+        uw.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") == 4)
+        .select("user_id")
+    )
+    uwc = uw.join(complete, "user_id")
+    pairs = uwc.alias("a").join(
+        uwc.alias("b"), F.expr("a.user_id = b.user_id")
+    )
+    r2 = pairs.groupBy(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.wk").alias("wk"),
+    ).agg(
+        (
+            F.lit(2)
+            + 2
+            * F.sum(F.expr("CASE WHEN b.s < a.s THEN 1 ELSE 0 END"))
+            + F.sum(
+                F.expr(
+                    "CASE WHEN b.s = a.s AND b.wk <> a.wk"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("r2")
+    )
+    per = r2.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum("r2").cast("bigint").alias("rank_sum2"),
+    )
+    glob = per.agg(
+        F.max("n_blocks").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.expr("wk * rank_sum2")).cast("bigint").alias("l2"),
+    ).select(
+        "b",
+        "k",
+        "l2",
+        F.expr("b * k * (k + 1) * (k + 1) div 2")
+        .cast("bigint")
+        .alias("mean_l2"),
+        F.expr(
+            "CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1)"
+            " / 144.0"
+        ).alias("var_l"),
+    )
+    return per.crossJoin(F.broadcast(glob)).select(
+        F.col("wk").alias("week"),
+        "n_blocks",
+        "rank_sum2",
+        F.round(
+            F.expr("CAST(rank_sum2 AS DOUBLE) / (2.0 * n_blocks)"), 6
+        ).alias("mean_rank"),
+        F.col("l2").alias("l2_stat"),
+        F.col("mean_l2"),
+        F.round(
+            F.expr(
+                "(CAST(l2 AS DOUBLE) - mean_l2)"
+                " / (2.0 * sqrt(var_l))"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_PAGE_TREND = """
+WITH uw AS (
+  SELECT user_id, CAST((day(ts) - 1) // 7 + 1 AS INTEGER) AS wk,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE day(ts) <= 28
+  GROUP BY 1, 2
+), complete AS (
+  SELECT user_id FROM uw GROUP BY 1 HAVING count(*) = 4
+), uwc AS (
+  SELECT uw.* FROM uw JOIN complete USING (user_id)
+), r2 AS (
+  SELECT a.user_id, a.wk,
+         CAST(2 + 2 * sum(CASE WHEN b.s < a.s THEN 1 ELSE 0 END)
+              + sum(CASE WHEN b.s = a.s AND b.wk <> a.wk
+                    THEN 1 ELSE 0 END) AS BIGINT) AS r2
+  FROM uwc a JOIN uwc b ON a.user_id = b.user_id
+  GROUP BY 1, 2
+), per AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(r2) AS BIGINT) AS rank_sum2
+  FROM r2 GROUP BY 1
+), gl AS (
+  SELECT max(n_blocks) AS b, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(wk * rank_sum2) AS BIGINT) AS l2
+  FROM per
+), gstat AS (
+  SELECT b, k, l2,
+         CAST(b * k * (k + 1) * (k + 1) // 2 AS BIGINT) AS mean_l2,
+         CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1)
+           / 144.0 AS var_l
+  FROM gl
+)
+SELECT per.wk AS week, per.n_blocks, per.rank_sum2,
+       round(CAST(per.rank_sum2 AS DOUBLE) / (2.0 * per.n_blocks), 6)
+         AS mean_rank,
+       g.l2 AS l2_stat, g.mean_l2,
+       round((CAST(g.l2 AS DOUBLE) - g.mean_l2)
+             / (2.0 * sqrt(g.var_l)), 6) AS z
+FROM per CROSS JOIN gstat g
+"""
+
+
+def q_ad_ksample(spark, sf_dir):
+    """ANDERSON-DARLING K-SAMPLE test (Scholz-Stephens midrank
+    version) across event types on ``value`` — the omnibus
+    distribution-equality test with tail weight that
+    `kruskal_wallis` (location) and `levene_bf` (scale) each only
+    half-cover.
+
+    Doubled-count trick keeps every CDF term integer: with B2 =
+    2*B_j - l_j (doubled midrank pooled CDF) and M2 = 2*M_ij - f_ij
+    per type, the term numerator (N*M2 - n_i*B2)^2/4 and denominator
+    (2N*B2 - B2^2 - N*l_j)/4 are exact-integer ratios; the per-type
+    fold is the only float summation. Everything runs on the
+    (cents x type) histogram + two prefix sums."""
+    e = _t(spark, sf_dir, "events")
+    hist = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    lj = hist.groupBy("cents").agg(
+        F.sum("f").cast("bigint").alias("l")
+    )
+    wl = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bj = lj.select(
+        "cents",
+        "l",
+        (2 * F.sum("l").over(wl) - F.col("l"))
+        .cast("bigint")
+        .alias("b2"),
+        F.sum("l").over(Window.partitionBy()).cast("bigint").alias("nn"),
+    )
+    types = hist.select("event_type").distinct()
+    dense = (
+        bj.crossJoin(F.broadcast(types))
+        .join(hist, ["event_type", "cents"], "left")
+        .select(
+            "event_type",
+            "cents",
+            "l",
+            "b2",
+            "nn",
+            F.coalesce("f", F.lit(0)).cast("bigint").alias("f"),
+        )
+    )
+    wm = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = dense.select(
+        "event_type",
+        "l",
+        "b2",
+        "nn",
+        "f",
+        (2 * F.sum("f").over(wm) - F.col("f"))
+        .cast("bigint")
+        .alias("m2"),
+    )
+    ni = hist.groupBy("event_type").agg(
+        F.sum("f").cast("bigint").alias("n_i")
+    )
+    terms = (
+        m.join(F.broadcast(ni), "event_type")
+        .where(F.expr("2 * nn * b2 - b2 * b2 - nn * l > 0"))
+        .select(
+            "event_type",
+            "n_i",
+            "nn",
+            F.expr(
+                "CAST(l AS DOUBLE)"
+                " * pow(CAST(nn AS DOUBLE) * m2"
+                "       - CAST(n_i AS DOUBLE) * b2, 2)"
+                " / (CAST(nn AS DOUBLE)"
+                "    * (2.0 * nn * b2"
+                "       - CAST(b2 AS DOUBLE) * b2"
+                "       - CAST(nn AS DOUBLE) * l))"
+            ).alias("term"),
+        )
+    )
+    per = terms.groupBy("event_type").agg(
+        F.max("n_i").alias("n_i"),
+        F.max("nn").alias("nn"),
+        F.sum("term").alias("tsum"),
+    )
+    out = per.agg(
+        F.max("nn").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum(
+            F.expr("tsum / n_i")
+        ).alias("raw"),
+    ).select(
+        "n_total",
+        "k_groups",
+        F.round(
+            F.expr("(CAST(n_total AS DOUBLE) - 1) / n_total * raw"), 6
+        ).alias("a2_midrank"),
+    )
+    return out
+
+
+SQL_AD_KSAMPLE = """
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS f
+  FROM events GROUP BY 1, 2
+), lj AS (
+  SELECT cents, CAST(sum(f) AS BIGINT) AS l FROM hist GROUP BY 1
+), bj AS (
+  SELECT cents, l,
+         CAST(2 * sum(l) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l
+              AS BIGINT) AS b2,
+         CAST(sum(l) OVER () AS BIGINT) AS nn
+  FROM lj
+), dense AS (
+  SELECT t.event_type, b.cents, b.l, b.b2, b.nn,
+         CAST(coalesce(h.f, 0) AS BIGINT) AS f
+  FROM bj b CROSS JOIN (SELECT DISTINCT event_type FROM hist) t
+  LEFT JOIN hist h ON h.event_type = t.event_type
+                  AND h.cents = b.cents
+), m AS (
+  SELECT event_type, l, b2, nn, f,
+         CAST(2 * sum(f) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f
+              AS BIGINT) AS m2
+  FROM dense
+), ni AS (
+  SELECT event_type, CAST(sum(f) AS BIGINT) AS n_i
+  FROM hist GROUP BY 1
+), terms AS (
+  SELECT m.event_type, ni.n_i, m.nn,
+         CAST(l AS DOUBLE)
+           * pow(CAST(nn AS DOUBLE) * m2
+                 - CAST(n_i AS DOUBLE) * b2, 2)
+           / (CAST(nn AS DOUBLE)
+              * (2.0 * nn * b2 - CAST(b2 AS DOUBLE) * b2
+                 - CAST(nn AS DOUBLE) * l)) AS term
+  FROM m JOIN ni ON m.event_type = ni.event_type
+  WHERE 2 * nn * b2 - b2 * b2 - nn * l > 0
+), per AS (
+  SELECT event_type, max(n_i) AS n_i, max(nn) AS nn,
+         sum(term) AS tsum
+  FROM terms GROUP BY 1
+)
+SELECT CAST(max(nn) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS k_groups,
+       round((CAST(max(nn) AS DOUBLE) - 1) / max(nn)
+             * sum(tsum / n_i), 6) AS a2_midrank
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -21792,6 +22584,16 @@ REGISTRY: dict[str, tuple] = {
     #    time-series diagnostics / Chatterjee dependence
     #    (displaces six more r3 keys past 50 — ALL-GREEN in the
     #    committed 295-key sweep) --
+    # -- new r3 continuation (this session): feature-eng pack #44 —
+    #    ordered-alternative / omnibus distribution comparison, KDE,
+    #    Q-Q mapping (displaces six more r3 keys past 50 — ALL-GREEN
+    #    in the committed 295-key sweep) --
+    "mood_median": (q_mood_median, SQL_MOOD_MEDIAN),
+    "epanechnikov_kde": (q_epanechnikov_kde, SQL_EPANECHNIKOV_KDE),
+    "qq_deciles": (q_qq_deciles, SQL_QQ_DECILES),
+    "jonckheere_trend": (q_jonckheere_trend, SQL_JONCKHEERE_TREND),
+    "page_trend": (q_page_trend, SQL_PAGE_TREND),
+    "ad_ksample": (q_ad_ksample, SQL_AD_KSAMPLE),
     "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
     "cliffs_delta": (q_cliffs_delta, SQL_CLIFFS_DELTA),
     "levene_bf": (q_levene_bf, SQL_LEVENE_BF),
