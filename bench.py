@@ -326,6 +326,20 @@ HEADLINE = [
     "jonckheere_trend",
     "page_trend",
     "ad_ksample",
+    # added r3 continuation: packs #45-#46 (two-sample completion,
+    # link-graph structure)
+    "cochran_q",
+    "dunn_posthoc",
+    "ansari_bradley",
+    "ks_two_sample",
+    "cvm_two_sample",
+    "cohens_d",
+    "clustering_coeff",
+    "link_pred_scores",
+    "degree_assortativity",
+    "reciprocity",
+    "hits_scores",
+    "bipartite_proj",
 ]
 
 

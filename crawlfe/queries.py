@@ -22455,6 +22455,1217 @@ FROM per
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #45: blocked binary omnibus (Cochran Q), rank
+# post-hoc (Dunn), rank scale test (Ansari-Bradley), two-sample
+# EDF tests (KS, Cramer-von Mises), standardized effect size
+# --------------------------------------------------------------------------
+
+def q_cochran_q(spark, sf_dir):
+    """COCHRAN'S Q TEST over user blocks x event-type treatments on
+    the binary outcome "user has >= 2 events of that type" — the
+    k-treatment generalization of `mcnemar_test` (and the binary
+    face of `friedman_test`): do the five types differ in repeat
+    propensity once each user is their own control?
+
+    All-integer spine: Q = (k-1) * sum_j (k*C_j - N)^2
+    / (k * (k*sum(R_i) - sum(R_i^2))) needs only the per-type column
+    totals C_j and the per-user row totals R_i — two hash aggs, no
+    pivot, no floats until the final one-row division. All-0 and
+    all-1 blocks provably cancel, so no block filter is needed.
+    Closed-form df=4 chi-square survival."""
+    e = _t(spark, sf_dir, "events")
+    x = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CASE WHEN cnt >= 2 THEN 1 ELSE 0 END")
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    cj = x.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("c_j")
+    )
+    ri = x.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("r"))
+    rstats = ri.agg(
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.expr("r * r")).cast("bigint").alias("sr2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    kdf = cj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("c_j").cast("bigint").alias("nsum"),
+        F.sum(F.expr("c_j * c_j")).cast("bigint").alias("sc2"),
+    )
+    qdf = (
+        kdf.crossJoin(F.broadcast(rstats))
+        .withColumn(
+            # sum_j (k*C_j - N)^2 = k^2*sum C^2 - N^2*k  (since sum C = N)
+            "num",
+            F.expr("k * k * sc2 - nsum * nsum * k"),
+        )
+        .withColumn(
+            "q_stat",
+            F.expr(
+                "(k - 1) * CAST(num AS DOUBLE)"
+                " / nullif(CAST(k * (k * sr - sr2) AS DOUBLE), 0.0)"
+            ),
+        )
+    )
+    return cj.crossJoin(F.broadcast(qdf)).select(
+        "event_type",
+        "c_j",
+        "n_blocks",
+        F.col("k").alias("k_treatments"),
+        F.round("q_stat", 6).alias("q_stat"),
+        F.round(
+            F.expr("exp(-q_stat / 2.0) * (1.0 + q_stat / 2.0)"), 6
+        ).alias("p_chi2_df4"),
+    )
+
+
+SQL_COCHRAN_Q = """
+WITH x AS (
+  SELECT user_id, event_type,
+         CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS x
+  FROM events GROUP BY 1, 2
+), cj AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS c_j
+  FROM x GROUP BY 1
+), ri AS (
+  SELECT user_id, CAST(sum(x) AS BIGINT) AS r FROM x GROUP BY 1
+), rstats AS (
+  SELECT CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(r * r) AS BIGINT) AS sr2,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM ri
+), kdf AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c_j) AS BIGINT) AS nsum,
+         CAST(sum(c_j * c_j) AS BIGINT) AS sc2
+  FROM cj
+), qdf AS (
+  SELECT k, n_blocks,
+         (k - 1) * CAST(k * k * sc2 - nsum * nsum * k AS DOUBLE)
+           / nullif(CAST(k * (k * sr - sr2) AS DOUBLE), 0.0)
+           AS q_stat
+  FROM kdf CROSS JOIN rstats
+)
+SELECT cj.event_type, cj.c_j, q.n_blocks, q.k AS k_treatments,
+       round(q.q_stat, 6) AS q_stat,
+       round(exp(-q.q_stat / 2.0) * (1.0 + q.q_stat / 2.0), 6)
+         AS p_chi2_df4
+FROM cj CROSS JOIN qdf q
+"""
+
+
+def q_dunn_posthoc(spark, sf_dir):
+    """DUNN'S POST-HOC pairwise comparisons after `kruskal_wallis`:
+    which PAIRS of event types differ in value? z_ij = (Rbar_i -
+    Rbar_j) / sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_i + 1/n_j)) with
+    the tie term T = sum(t^3 - t) — the statistic every "KW was
+    significant, now what" analysis needs.
+
+    Reuses the doubled-midrank cent histogram: per-type doubled rank
+    sums are exact bigints, so each pair's z is a deterministic
+    float expression on the O(k^2)=10-row self-join of the per-type
+    fold — nothing pairwise ever touches raw rows."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    vc = base.groupBy("cents", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ct = vc.groupBy("cents").agg(F.sum("c").cast("bigint").alias("ct"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = ct.select(
+        "cents",
+        "ct",
+        (2 * (F.sum("ct").over(w) - F.col("ct")) + F.col("ct") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    per = (
+        vc.join(ranked, "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("r2"))
+            .cast("bigint")
+            .alias("r2sum"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.pow(F.col("ct").cast("double"), 3) - F.col("ct")
+        ).alias("tie3"),
+        F.sum("ct").cast("bigint").alias("nn"),
+    )
+    a = per.alias("a")
+    b = per.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .where(F.expr("a.event_type < b.event_type"))
+        .crossJoin(F.broadcast(ties))
+    )
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(
+            F.expr("CAST(a.r2sum AS DOUBLE) / (2.0 * a.n)"), 6
+        ).alias("mean_rank_a"),
+        F.round(
+            F.expr("CAST(b.r2sum AS DOUBLE) / (2.0 * b.n)"), 6
+        ).alias("mean_rank_b"),
+        F.round(
+            F.expr(
+                "(CAST(a.r2sum AS DOUBLE) / (2.0 * a.n)"
+                " - CAST(b.r2sum AS DOUBLE) / (2.0 * b.n))"
+                " / sqrt((CAST(nn AS DOUBLE) * (nn + 1) / 12.0"
+                "         - tie3 / (12.0 * (nn - 1)))"
+                "        * (1.0 / a.n + 1.0 / b.n))"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_DUNN_POSTHOC = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), vc AS (
+  SELECT cents, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1, 2
+), ct AS (
+  SELECT cents, CAST(sum(c) AS BIGINT) AS ct FROM vc GROUP BY 1
+), ranked AS (
+  SELECT cents, ct,
+         CAST(2 * (sum(ct) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct)
+              + ct + 1 AS BIGINT) AS r2
+  FROM ct
+), per AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * r2) AS BIGINT) AS r2sum
+  FROM vc JOIN ranked USING (cents)
+  GROUP BY 1
+), ties AS (
+  SELECT sum(pow(CAST(ct AS DOUBLE), 3) - ct) AS tie3,
+         CAST(sum(ct) AS BIGINT) AS nn
+  FROM ranked
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       round(CAST(a.r2sum AS DOUBLE) / (2.0 * a.n), 6)
+         AS mean_rank_a,
+       round(CAST(b.r2sum AS DOUBLE) / (2.0 * b.n), 6)
+         AS mean_rank_b,
+       round((CAST(a.r2sum AS DOUBLE) / (2.0 * a.n)
+              - CAST(b.r2sum AS DOUBLE) / (2.0 * b.n))
+             / sqrt((CAST(nn AS DOUBLE) * (nn + 1) / 12.0
+                     - tie3 / (12.0 * (nn - 1)))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+FROM per a JOIN per b ON a.event_type < b.event_type
+CROSS JOIN ties
+"""
+
+
+def q_ansari_bradley(spark, sf_dir):
+    """ANSARI-BRADLEY rank SCALE test, purchase vs click ``value``:
+    are the two distributions equally DISPERSED around a common
+    center? The rank-based complement of `levene_bf` (which is
+    moment/median-based and k-sample) for the two-sample case.
+
+    Linear-rank-statistic machinery with midrank ties, all integer:
+    the doubled AB score of a distinct value with doubled midrank r2
+    is s2 = min(r2, 2(N+1) - r2); T2 = sum f1*s2 is an exact bigint,
+    and the exact null moments E[T2] = n1*S/N, Var[T2] = n1*n2*
+    (N*Q - S^2)/(N^2(N-1)) use S = sum l*s2 and Q = sum l*s2^2
+    accumulated in DECIMAL(38)/HUGEINT (s2^2 ~ N^2 terms would
+    overflow bigint at 10^10 rows)."""
+    e = _t(spark, sf_dir, "events")
+    vc = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("p").cast("bigint").alias("f1"),
+            F.count(F.lit(1)).cast("bigint").alias("l"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    scored = vc.select(
+        "f1",
+        "l",
+        (2 * (F.sum("l").over(w) - F.col("l")) + F.col("l") + 1)
+        .cast("bigint")
+        .alias("r2"),
+        F.sum("l").over(wall).cast("bigint").alias("nn"),
+    ).select(
+        "f1",
+        "l",
+        "nn",
+        F.expr("least(r2, 2 * (nn + 1) - r2)")
+        .cast("bigint")
+        .alias("s2"),
+    )
+    agg = scored.agg(
+        F.max("nn").alias("nn"),
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum(F.expr("f1 * s2")).cast("bigint").alias("t2"),
+        F.sum(F.expr("CAST(l AS DECIMAL(38,0)) * s2"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+        F.sum(F.expr("CAST(l AS DECIMAL(38,0)) * s2 * s2"))
+        .cast("decimal(38,0)")
+        .alias("qq"),
+    )
+    c = (
+        agg.withColumn("n2", F.expr("nn - n1"))
+        .withColumn(
+            "mean_t2",
+            F.expr("CAST(n1 AS DOUBLE) * CAST(ss AS DOUBLE) / nn"),
+        )
+        .withColumn(
+            "var_t2",
+            F.expr(
+                "CAST(n1 AS DOUBLE) * n2"
+                " * (CAST(nn AS DOUBLE) * CAST(qq AS DOUBLE)"
+                "    - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))"
+                " / (CAST(nn AS DOUBLE) * nn * (nn - 1.0))"
+            ),
+        )
+    )
+    return c.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.col("t2").alias("ab_stat2"),
+        F.round("mean_t2", 6).alias("mean2"),
+        F.round(
+            F.expr(
+                "(CAST(t2 AS DOUBLE) - mean_t2) / sqrt(var_t2)"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_ANSARI_BRADLEY = """
+WITH vc AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f1,
+         CAST(count(*) AS BIGINT) AS l
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), scored AS (
+  SELECT f1, l,
+         CAST(sum(l) OVER () AS BIGINT) AS nn,
+         least(
+           CAST(2 * (sum(l) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l)
+                + l + 1 AS BIGINT),
+           2 * (CAST(sum(l) OVER () AS BIGINT) + 1)
+             - CAST(2 * (sum(l) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - l) + l + 1 AS BIGINT)) AS s2
+  FROM vc
+), agg AS (
+  SELECT max(nn) AS nn,
+         CAST(sum(f1) AS BIGINT) AS n1,
+         CAST(sum(f1 * s2) AS BIGINT) AS t2,
+         sum(CAST(l AS HUGEINT) * s2) AS ss,
+         sum(CAST(l AS HUGEINT) * s2 * s2) AS qq
+  FROM scored
+), c AS (
+  SELECT nn, n1, nn - n1 AS n2, t2,
+         CAST(n1 AS DOUBLE) * CAST(ss AS DOUBLE) / nn AS mean_t2,
+         CAST(n1 AS DOUBLE) * (nn - n1)
+           * (CAST(nn AS DOUBLE) * CAST(qq AS DOUBLE)
+              - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+           / (CAST(nn AS DOUBLE) * nn * (nn - 1.0)) AS var_t2
+  FROM agg
+)
+SELECT n1 AS n_purchase, n2 AS n_click, t2 AS ab_stat2,
+       round(mean_t2, 6) AS mean2,
+       round((CAST(t2 AS DOUBLE) - mean_t2) / sqrt(var_t2), 6) AS z
+FROM c
+"""
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV test, purchase vs click
+    ``value`` — the classic EDF sup-gap (`ks_drift` monitors a
+    window against a reference; this is the exact two-cohort test
+    with its asymptotic p). D is EXACT as a rational: max over the
+    merged cent grid of |cum1*n2 - cum2*n1| / (n1*n2) — an integer
+    max, no float CDFs. p uses the Kolmogorov asymptotic series
+    truncated at 3 terms (documented; terms beyond are < 1e-10 for
+    any D the test would ever report)."""
+    e = _t(spark, sf_dir, "events")
+    vc = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("c").cast("bigint").alias("nc"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = vc.select(
+        F.sum("np").over(w).cast("bigint").alias("cum1"),
+        F.sum("nc").over(w).cast("bigint").alias("cum2"),
+        F.sum("np").over(wall).cast("bigint").alias("n1"),
+        F.sum("nc").over(wall).cast("bigint").alias("n2"),
+    )
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.expr("abs(cum1 * n2 - cum2 * n1)"))
+        .cast("bigint")
+        .alias("dnum"),
+    )
+    c = (
+        agg.withColumn(
+            "d",
+            F.expr(
+                "CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+            ),
+        )
+        .withColumn(
+            "lam",
+            F.expr(
+                "sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) * d"
+            ),
+        )
+    )
+    return c.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.col("dnum").alias("d_numer"),
+        F.round("d", 6).alias("d_stat"),
+        F.round("lam", 6).alias("lambda_stat"),
+        F.round(
+            F.expr(
+                "2.0 * (exp(-2.0 * lam * lam)"
+                " - exp(-8.0 * lam * lam)"
+                " + exp(-18.0 * lam * lam))"
+            ),
+            6,
+        ).alias("p_asymp"),
+    )
+
+
+SQL_KS_TWO_SAMPLE = """
+WITH vc AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), cum AS (
+  SELECT CAST(sum(np) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(sum(nc) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2,
+         CAST(sum(np) OVER () AS BIGINT) AS n1,
+         CAST(sum(nc) OVER () AS BIGINT) AS n2
+  FROM vc
+), agg AS (
+  SELECT max(n1) AS n1, max(n2) AS n2,
+         CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS dnum
+  FROM cum
+), c AS (
+  SELECT n1, n2, dnum,
+         CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS d,
+         sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+           * (CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2))
+           AS lam
+  FROM agg
+)
+SELECT n1 AS n_purchase, n2 AS n_click, dnum AS d_numer,
+       round(d, 6) AS d_stat, round(lam, 6) AS lambda_stat,
+       round(2.0 * (exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+                    + exp(-18.0 * lam * lam)), 6) AS p_asymp
+FROM c
+"""
+
+
+def q_cvm_two_sample(spark, sf_dir):
+    """TWO-SAMPLE CRAMER-VON MISES test, purchase vs click
+    ``value`` — the INTEGRATED EDF gap (every quantile weighs in)
+    where `ks_two_sample` only sees the single largest gap; the
+    canonical pairing in any distribution-equality report.
+
+    T = sum_v l_v * (cum1_v*n2 - cum2_v*n1)^2 / (N^2 * n1 * n2)
+    with an exact wide-integer numerator: the squared gap terms grow
+    as l*N^2*... so they accumulate in DECIMAL(38)/HUGEINT, and the
+    one division to double happens on the single-row fold."""
+    e = _t(spark, sf_dir, "events")
+    vc = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("p").cast("bigint").alias("np"),
+            F.sum("c").cast("bigint").alias("nc"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = vc.select(
+        (F.col("np") + F.col("nc")).cast("bigint").alias("l"),
+        F.sum("np").over(w).cast("bigint").alias("cum1"),
+        F.sum("nc").over(w).cast("bigint").alias("cum2"),
+        F.sum("np").over(wall).cast("bigint").alias("n1"),
+        F.sum("nc").over(wall).cast("bigint").alias("n2"),
+    )
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.expr(
+                "CAST(l AS DECIMAL(38,0))"
+                " * (cum1 * n2 - cum2 * n1)"
+                " * (cum1 * n2 - cum2 * n1)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("tnum"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round(
+            F.expr(
+                "CAST(tnum AS DOUBLE)"
+                " / (pow(CAST(n1 AS DOUBLE) + n2, 2)"
+                "    * CAST(n1 AS DOUBLE) * n2)"
+            ),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+SQL_CVM_TWO_SAMPLE = """
+WITH vc AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), cum AS (
+  SELECT np + nc AS l,
+         CAST(sum(np) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+         CAST(sum(nc) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2,
+         CAST(sum(np) OVER () AS BIGINT) AS n1,
+         CAST(sum(nc) OVER () AS BIGINT) AS n2
+  FROM vc
+), agg AS (
+  SELECT max(n1) AS n1, max(n2) AS n2,
+         sum(CAST(l AS HUGEINT)
+             * (cum1 * n2 - cum2 * n1)
+             * (cum1 * n2 - cum2 * n1)) AS tnum
+  FROM cum
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       round(CAST(tnum AS DOUBLE)
+             / (pow(CAST(n1 AS DOUBLE) + n2, 2)
+                * CAST(n1 AS DOUBLE) * n2), 6) AS t_stat
+FROM agg
+"""
+
+
+def q_cohens_d(spark, sf_dir):
+    """COHEN'S D and HEDGES' G standardized mean difference,
+    purchase vs click ``value`` — the effect size every test in
+    this suite (welch_t, mann_whitney, cliffs_delta) ultimately
+    reports next to its p: how many pooled standard deviations
+    apart are the means, small-sample-corrected (g = J*d,
+    J = 1 - 3/(4*df - 1)).
+
+    Exact integer cent sums and squared-cent sums per group; the
+    group mean/variance/pooled-SD chain is a deterministic float
+    expression on the two-row fold ((sum c)^2 squared in double —
+    exact for sums below 2^53, identical in both engines)."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("q"),
+        )
+        .withColumn("mean_v", F.expr("CAST(s AS DOUBLE) / (100.0 * n)"))
+        .withColumn(
+            "var_v",
+            F.expr(
+                "(CAST(q AS DOUBLE)"
+                " - pow(CAST(s AS DOUBLE), 2) / n)"
+                " / ((n - 1.0) * 10000.0)"
+            ),
+        )
+    )
+    p1 = per.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"),
+        F.col("mean_v").alias("m1"),
+        F.col("var_v").alias("v1"),
+    )
+    p2 = per.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"),
+        F.col("mean_v").alias("m2"),
+        F.col("var_v").alias("v2"),
+    )
+    c = (
+        p1.crossJoin(p2)
+        .withColumn(
+            "sp",
+            F.expr(
+                "sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2)"
+                " / (n1 + n2 - 2.0))"
+            ),
+        )
+        .withColumn("d", F.expr("(m1 - m2) / sp"))
+        .withColumn(
+            "jf", F.expr("1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0)")
+        )
+    )
+    return c.select(
+        F.col("n1").alias("n_purchase"),
+        F.col("n2").alias("n_click"),
+        F.round(F.expr("m1 - m2"), 6).alias("mean_diff"),
+        F.round("sp", 6).alias("pooled_sd"),
+        F.round("d", 6).alias("cohens_d"),
+        F.round(F.expr("jf * d"), 6).alias("hedges_g"),
+    )
+
+
+SQL_COHENS_D = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1
+), st AS (
+  SELECT event_type, n,
+         CAST(s AS DOUBLE) / (100.0 * n) AS mean_v,
+         (CAST(q AS DOUBLE) - pow(CAST(s AS DOUBLE), 2) / n)
+           / ((n - 1.0) * 10000.0) AS var_v
+  FROM per
+), c AS (
+  SELECT p1.n AS n1, p2.n AS n2,
+         p1.mean_v AS m1, p2.mean_v AS m2,
+         sqrt(((p1.n - 1.0) * p1.var_v + (p2.n - 1.0) * p2.var_v)
+              / (p1.n + p2.n - 2.0)) AS sp,
+         1.0 - 3.0 / (4.0 * (p1.n + p2.n - 2) - 1.0) AS jf
+  FROM (SELECT * FROM st WHERE event_type = 'purchase') p1
+  CROSS JOIN (SELECT * FROM st WHERE event_type = 'click') p2
+)
+SELECT n1 AS n_purchase, n2 AS n_click,
+       round(m1 - m2, 6) AS mean_diff,
+       round(sp, 6) AS pooled_sd,
+       round((m1 - m2) / sp, 6) AS cohens_d,
+       round(jf * (m1 - m2) / sp, 6) AS hedges_g
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature-eng pack #46: link-graph structure features — clustering
+# coefficient, link prediction, assortativity, reciprocity,
+# fixed-point HITS, bipartite projection
+# --------------------------------------------------------------------------
+
+def _und_edges(spark, sf_dir):
+    """Undirected simple graph from the shared deterministic doc
+    multigraph (_doc_edges): distinct {u<v} pairs, self-loops
+    dropped."""
+    e = _doc_edges(spark, sf_dir)
+    return (
+        e.where(F.expr("src <> dst"))
+        .select(
+            F.least("src", "dst").cast("bigint").alias("u"),
+            F.greatest("src", "dst").cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+
+
+SQL_UND_EDGES = f"""
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM ({SQL_DOC_EDGES}) raw WHERE src <> dst
+"""
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """LOCAL CLUSTERING COEFFICIENT per document node on the
+    undirected doc graph — how interlinked is each page's
+    neighborhood (2*tri / deg*(deg-1))), the link-spam / community
+    signal that pairs with `graph_triangles`' global count and
+    `graph_degrees`' raw fan-out.
+
+    Triangles enumerate once as ordered triples a<b<c (three
+    edge-list self-joins — never an open wedge fan-out kept around),
+    then explode to their three corners for the per-node count; the
+    graph is near-regular by construction so the joins can't skew.
+    All counts exact bigints."""
+    und = _und_edges(spark, sf_dir).cache()
+    deg = (
+        und.select(F.col("u").alias("doc_id"))
+        .unionAll(und.select(F.col("v").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("doc_id"))
+        .unionAll(tris.select(F.col("b").alias("doc_id")))
+        .unionAll(tris.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    return (
+        deg.join(corners, "doc_id", "left")
+        .select(
+            "doc_id",
+            "deg",
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("tri"),
+            F.round(
+                F.expr(
+                    "2.0 * coalesce(tri, 0)"
+                    " / nullif(CAST(deg AS DOUBLE) * (deg - 1), 0.0)"
+                ),
+                6,
+            ).alias("coeff"),
+        )
+    )
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH und AS ({SQL_UND_EDGES}),
+deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS doc_id FROM und
+        UNION ALL SELECT v FROM und) x
+  GROUP BY 1
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tri
+  FROM (SELECT a AS doc_id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris) x
+  GROUP BY 1
+)
+SELECT deg.doc_id, deg.deg,
+       CAST(coalesce(corners.tri, 0) AS BIGINT) AS tri,
+       round(2.0 * coalesce(corners.tri, 0)
+             / nullif(CAST(deg.deg AS DOUBLE) * (deg.deg - 1), 0.0),
+             6) AS coeff
+FROM deg LEFT JOIN corners ON deg.doc_id = corners.doc_id
+"""
+
+
+def q_link_pred_scores(spark, sf_dir):
+    """LINK PREDICTION scores for the top non-adjacent 2-hop pairs:
+    common neighbors, Jaccard, and Adamic-Adar — the three classic
+    local similarity indices a "related pages" / graph-completion
+    feature stage computes. Candidates come only from the 2-hop
+    wedge join (never all pairs); existing edges are anti-joined
+    away; the top-50 by (cn desc, u, v) is a deterministic global
+    window on the tiny aggregated pair table."""
+    und = _und_edges(spark, sf_dir).cache()
+    adj = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = adj.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    wedges = (
+        adj.alias("x")
+        .join(
+            adj.alias("y"),
+            F.expr("x.b = y.a AND x.a < y.b"),
+        )
+        .select(
+            F.col("x.a").alias("u"),
+            F.col("y.b").alias("w"),
+            F.col("x.b").alias("mid"),
+        )
+    )
+    cand = wedges.join(
+        und,
+        (wedges.u == und.u) & (wedges.w == und.v),
+        "left_anti",
+    )
+    degm = deg.select(
+        F.col("doc_id").alias("mid"), F.col("deg").alias("deg_mid")
+    )
+    pairs = (
+        cand.join(F.broadcast(degm), "mid")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.round(
+                F.sum(F.expr("1.0 / ln(CAST(deg_mid AS DOUBLE))")), 6
+            ).alias("adamic_adar"),
+        )
+    )
+    du = deg.select(F.col("doc_id").alias("u"), F.col("deg").alias("du"))
+    dw = deg.select(F.col("doc_id").alias("w"), F.col("deg").alias("dw"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "cn",
+            F.round(
+                F.expr(
+                    "CAST(cn AS DOUBLE) / (du + dw - cn)"
+                ),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+    wr = Window.orderBy(
+        F.col("cn").desc(), F.col("u").asc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 50)
+        .select("rk", "u", "w", "cn", "jaccard", "adamic_adar")
+    )
+
+
+SQL_LINK_PRED_SCORES = f"""
+WITH und AS ({SQL_UND_EDGES}),
+adj AS (
+  SELECT u AS a, v AS b FROM und
+  UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS deg
+  FROM adj GROUP BY 1
+), cand AS (
+  SELECT x.a AS u, y.b AS w, x.b AS mid
+  FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und e WHERE e.u = x.a AND e.v = y.b)
+), pairs AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS cn,
+         round(sum(1.0 / ln(CAST(d.deg AS DOUBLE))), 6)
+           AS adamic_adar
+  FROM cand JOIN deg d ON cand.mid = d.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT u, w, cn,
+         round(CAST(cn AS DOUBLE) / (du.deg + dw.deg - cn), 6)
+           AS jaccard,
+         adamic_adar
+  FROM pairs
+  JOIN deg du ON pairs.u = du.doc_id
+  JOIN deg dw ON pairs.w = dw.doc_id
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY cn DESC, u ASC, w ASC) AS rk,
+         u, w, cn, jaccard, adamic_adar
+  FROM scored
+) WHERE rk <= 50
+"""
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the undirected doc graph — the
+    Pearson correlation of endpoint degrees over edges (both
+    orientations, the standard Newman estimator): do well-linked
+    pages link to well-linked pages? One integer-moment fold:
+    sums of x, x^2, xy over the directed edge incidences are exact
+    bigints, r is a single float expression."""
+    und = _und_edges(spark, sf_dir)
+    adj = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    du = deg.select(F.col("doc_id").alias("u"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("doc_id").alias("v"), F.col("deg").alias("y"))
+    ed = adj.join(du, "u").join(dv, "v")
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    return agg.select(
+        F.col("m").alias("n_incidences"),
+        F.round(
+            F.expr(
+                "(CAST(m AS DOUBLE) * sxy"
+                " - CAST(sx AS DOUBLE) * sy)"
+                " / sqrt((CAST(m AS DOUBLE) * sxx"
+                "         - CAST(sx AS DOUBLE) * sx)"
+                "        * (CAST(m AS DOUBLE) * syy"
+                "           - CAST(sy AS DOUBLE) * sy))"
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH und AS ({SQL_UND_EDGES}),
+adj AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg
+  FROM adj GROUP BY 1
+), ed AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM adj
+  JOIN deg du ON adj.u = du.doc_id
+  JOIN deg dv ON adj.v = dv.doc_id
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM ed
+)
+SELECT m AS n_incidences,
+       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(m AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(m AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6)
+         AS assortativity
+FROM agg
+"""
+
+
+def q_reciprocity(spark, sf_dir):
+    """EDGE RECIPROCITY of the directed doc graph: the fraction of
+    distinct directed edges (u,v) whose reverse (v,u) also exists —
+    the mutual-citation signal of a link graph. One distinct-edge
+    self-join on the reversed key (left-semi for the reciprocated
+    count); exact bigints, single-row output."""
+    e = (
+        _doc_edges(spark, sf_dir)
+        .where(F.expr("src <> dst"))
+        .distinct()
+        .cache()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    rc = recip.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reciprocated")
+    )
+    return tot.crossJoin(rc).select(
+        "n_edges",
+        "n_reciprocated",
+        F.round(
+            F.expr(
+                "CAST(n_reciprocated AS DOUBLE) / n_edges"
+            ),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+SQL_RECIPROCITY = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({SQL_DOC_EDGES}) raw
+  WHERE src <> dst
+), rc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reciprocated
+  FROM e WHERE EXISTS (
+    SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       n_reciprocated,
+       round(CAST(n_reciprocated AS DOUBLE)
+             / (SELECT count(*) FROM e), 6) AS reciprocity
+FROM rc
+"""
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (3 power iterations) on the directed
+    doc graph, top-20 authorities — the link-analysis complement of
+    `pagerank`, same bit-reproducible discipline: FIXED-POINT BIGINT
+    arithmetic so every engine computes identical integers.
+
+    NO per-iteration normalization (and therefore a LINEAR lineage,
+    one edge-join + sum shuffle per half-step, exactly pagerank's
+    Pregel-as-joins shape): out-degree is 2 by construction and
+    in-degree <= 20 (the generators are affine maps mod N with
+    multiplier 7/13, so <= 7+13 preimages), so three unnormalized
+    rounds from a 1e9 seed stay under ~1e14 — far inside bigint.
+    Ranking is invariant to the dropped scalar normalizers; the
+    output re-normalizes ONCE to 1e12-scale via DECIMAL(38)/HUGEINT
+    floor division for a stable cross-scale contract."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (
+        _doc_edges(spark, sf_dir)
+        .where(F.expr("src <> dst"))
+        .distinct()
+        .cache()
+    )
+    hub = d.select("doc_id", F.lit(1000000000).alias("h"))
+    auth = None
+    # inside the loop the full-node left join is unnecessary — a node
+    # absent from the score table contributes exactly 0 through the
+    # next inner edge join — so the state stays a bare (doc_id, score)
+    # aggregate; the zero-fill happens ONCE at output time
+    for _ in range(3):
+        auth = (
+            e.join(hub, e.src == hub.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        hub = (
+            e.join(auth, e.dst == auth.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+    joined = (
+        d.join(auth, "doc_id", "left")
+        .join(hub, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("CAST(coalesce(a, 0) AS BIGINT)").alias("a"),
+            F.expr("CAST(coalesce(h, 0) AS BIGINT)").alias("h"),
+        )
+    )
+    mx = joined.agg(
+        F.max("a").alias("amax"), F.max("h").alias("hmax")
+    )
+    wr = Window.orderBy(F.col("a").desc(), F.col("doc_id").asc())
+    return (
+        joined.crossJoin(F.broadcast(mx))
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 20)
+        .select(
+            "rk",
+            "doc_id",
+            F.expr(
+                "CAST(CAST(a AS DECIMAL(38,0)) * 1000000000000"
+                " div amax AS BIGINT)"
+            ).alias("authority_fp"),
+            F.expr(
+                "CAST(CAST(h AS DECIMAL(38,0)) * 1000000000000"
+                " div hmax AS BIGINT)"
+            ).alias("hub_fp"),
+        )
+    )
+
+
+SQL_HITS_SCORES = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({SQL_DOC_EDGES}) raw
+  WHERE src <> dst
+), nodes AS (SELECT doc_id FROM documents),
+h0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+a1 AS (SELECT dst AS doc_id, CAST(sum(h) AS BIGINT) AS a
+       FROM e JOIN h0 ON e.src = h0.doc_id GROUP BY 1),
+h1 AS (SELECT src AS doc_id, CAST(sum(a) AS BIGINT) AS h
+       FROM e JOIN a1 ON e.dst = a1.doc_id GROUP BY 1),
+a2 AS (SELECT dst AS doc_id, CAST(sum(h) AS BIGINT) AS a
+       FROM e JOIN h1 ON e.src = h1.doc_id GROUP BY 1),
+h2 AS (SELECT src AS doc_id, CAST(sum(a) AS BIGINT) AS h
+       FROM e JOIN a2 ON e.dst = a2.doc_id GROUP BY 1),
+a3 AS (SELECT dst AS doc_id, CAST(sum(h) AS BIGINT) AS a
+       FROM e JOIN h2 ON e.src = h2.doc_id GROUP BY 1),
+h3 AS (SELECT src AS doc_id, CAST(sum(a) AS BIGINT) AS h
+       FROM e JOIN a3 ON e.dst = a3.doc_id GROUP BY 1),
+joined AS (
+  SELECT n.doc_id,
+         CAST(coalesce(a3.a, 0) AS BIGINT) AS a,
+         CAST(coalesce(h3.h, 0) AS BIGINT) AS h
+  FROM nodes n
+  LEFT JOIN a3 USING (doc_id)
+  LEFT JOIN h3 USING (doc_id)
+), mx AS (SELECT max(a) AS amax, max(h) AS hmax FROM joined)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY a DESC, doc_id ASC) AS rk,
+         doc_id,
+         CAST(CAST(a AS HUGEINT) * 1000000000000 // amax
+              AS BIGINT) AS authority_fp,
+         CAST(CAST(h AS HUGEINT) * 1000000000000 // hmax
+              AS BIGINT) AS hub_fp
+  FROM joined CROSS JOIN mx
+) WHERE rk <= 20
+"""
+
+
+def q_bipartite_proj(spark, sf_dir):
+    """BIPARTITE PROJECTION of the user x event-type activity graph
+    onto event types: for every type pair, the number of SHARED
+    users plus the overlap coefficient (w / min(n_i, n_j)) and
+    cosine (w / sqrt(n_i * n_j)) — the co-engagement structure
+    `cooccur_lift` measures for basket items, lifted to the
+    behavioral graph. The projection join runs on the distinct
+    (user, type) presence table, never raw events; the pair fold is
+    O(k^2) rows."""
+    e = _t(spark, sf_dir, "events")
+    pres = e.select("user_id", "event_type").distinct()
+    nt = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = pres.alias("a")
+    b = pres.alias("b")
+    shared = (
+        a.join(b, F.expr(
+            "a.user_id = b.user_id AND a.event_type < b.event_type"
+        ))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_users"))
+    )
+    na = nt.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    nb = nt.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "shared_users",
+            F.round(
+                F.expr(
+                    "CAST(shared_users AS DOUBLE) / least(n_a, n_b)"
+                ),
+                6,
+            ).alias("overlap_coef"),
+            F.round(
+                F.expr(
+                    "CAST(shared_users AS DOUBLE)"
+                    " / sqrt(CAST(n_a AS DOUBLE) * n_b)"
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+SQL_BIPARTITE_PROJ = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM pres GROUP BY 1
+), shared AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS shared_users
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, shared_users,
+       round(CAST(shared_users AS DOUBLE) / least(na.n, nb.n), 6)
+         AS overlap_coef,
+       round(CAST(shared_users AS DOUBLE)
+             / sqrt(CAST(na.n AS DOUBLE) * nb.n), 6) AS cosine
+FROM shared
+JOIN nt na ON shared.type_a = na.event_type
+JOIN nt nb ON shared.type_b = nb.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -22588,6 +23799,28 @@ REGISTRY: dict[str, tuple] = {
     #    ordered-alternative / omnibus distribution comparison, KDE,
     #    Q-Q mapping (displaces six more r3 keys past 50 — ALL-GREEN
     #    in the committed 295-key sweep) --
+    # -- new r3 continuation (this session): feature-eng pack #45 —
+    #    blocked binary omnibus / rank post-hoc / rank scale test /
+    #    two-sample EDF tests / effect size (displaces six more r3
+    #    keys past 50 — ALL-GREEN in the committed sweeps) --
+    # -- new r3 continuation (this session): feature-eng pack #46 —
+    #    link-graph structure features (displaces six more r3 keys
+    #    past 50 — ALL-GREEN in the committed sweeps) --
+    "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+    "link_pred_scores": (q_link_pred_scores, SQL_LINK_PRED_SCORES),
+    "degree_assortativity": (
+        q_degree_assortativity,
+        SQL_DEGREE_ASSORTATIVITY,
+    ),
+    "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
+    "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
+    "bipartite_proj": (q_bipartite_proj, SQL_BIPARTITE_PROJ),
+    "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
+    "dunn_posthoc": (q_dunn_posthoc, SQL_DUNN_POSTHOC),
+    "ansari_bradley": (q_ansari_bradley, SQL_ANSARI_BRADLEY),
+    "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
+    "cvm_two_sample": (q_cvm_two_sample, SQL_CVM_TWO_SAMPLE),
+    "cohens_d": (q_cohens_d, SQL_COHENS_D),
     "mood_median": (q_mood_median, SQL_MOOD_MEDIAN),
     "epanechnikov_kde": (q_epanechnikov_kde, SQL_EPANECHNIKOV_KDE),
     "qq_deciles": (q_qq_deciles, SQL_QQ_DECILES),
