@@ -340,6 +340,13 @@ HEADLINE = [
     "reciprocity",
     "hits_scores",
     "bipartite_proj",
+    # added r3 continuation: pack #47 (operational analytics)
+    "nelson_aalen",
+    "percentile_interp",
+    "mix_rate_decomp",
+    "binseg_sse",
+    "poisson_bootstrap",
+    "dau_mau",
 ]
 
 

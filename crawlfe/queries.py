@@ -23666,6 +23666,652 @@ JOIN nt nb ON shared.type_b = nb.event_type
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #47: Nelson-Aalen hazard, interpolated
+# percentiles, mix/rate decomposition, binary-segmentation
+# changepoint, Poisson bootstrap, DAU/MAU stickiness
+# --------------------------------------------------------------------------
+
+def q_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN cumulative-hazard curves for time-to-first-
+    purchase, per even/odd user arm — the raw-hazard complement of
+    `km_hazard`'s survival curve and the curve the `logrank_test`
+    statistic integrates. Same O(#users) duration collapse: per-arm
+    (t, deaths, at-risk) from one agg + a descending prefix sum;
+    H(t) = sum d/n is an ORDERED window cum-sum (deterministic
+    summation order, engine-identical)."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _us("ts").alias("us"),
+    ).withColumn("rn", F.row_number().over(wo))
+    first = marked.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("us").alias("t0"),
+        (F.col("user_id") % 2).cast("bigint").alias("g"),
+    )
+    firstbuy = (
+        marked.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    lastev = marked.groupBy("user_id").agg(F.max("us").alias("t_last"))
+    dur = (
+        first.join(lastev, "user_id")
+        .join(firstbuy, "user_id", "left")
+        .select(
+            "g",
+            F.coalesce(
+                F.col("t_buy") - F.col("t0"),
+                F.col("t_last") - F.col("t0"),
+            ).alias("t"),
+            F.when(F.col("t_buy").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("ev"),
+        )
+    )
+    bytime = dur.groupBy("g", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    )
+    wt = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("g")
+    risk = bytime.select(
+        "g",
+        "t",
+        "d",
+        (F.sum("x").over(wg) - F.sum("x").over(wt) + F.col("x"))
+        .cast("bigint")
+        .alias("n"),
+    ).where(F.col("d") > 0)
+    wh = Window.partitionBy("g").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return risk.select(
+        F.col("g").alias("arm"),
+        F.col("t").alias("t_us"),
+        "d",
+        "n",
+        F.round(
+            F.sum(F.expr("CAST(d AS DOUBLE) / n")).over(wh), 6
+        ).alias("hazard_cum"),
+    )
+
+
+SQL_NELSON_AALEN = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), first AS (
+  SELECT user_id, us AS t0,
+         CAST(user_id % 2 AS BIGINT) AS g
+  FROM marked WHERE rn = 1
+), firstbuy AS (
+  SELECT user_id, min(us) AS t_buy
+  FROM marked WHERE event_type = 'purchase' GROUP BY 1
+), lastev AS (
+  SELECT user_id, max(us) AS t_last FROM marked GROUP BY 1
+), dur AS (
+  SELECT g, coalesce(t_buy - t0, t_last - t0) AS t,
+         CAST(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS ev
+  FROM first
+  JOIN lastev USING (user_id)
+  LEFT JOIN firstbuy USING (user_id)
+), bytime AS (
+  SELECT g, t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM dur GROUP BY 1, 2
+), risk AS (
+  SELECT g, t, d,
+         CAST(sum(x) OVER (PARTITION BY g)
+              - sum(x) OVER (PARTITION BY g ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              + x AS BIGINT) AS n
+  FROM bytime
+)
+SELECT g AS arm, t AS t_us, d, n,
+       round(sum(CAST(d AS DOUBLE) / n) OVER (
+             PARTITION BY g ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS hazard_cum
+FROM risk WHERE d > 0
+"""
+
+
+def q_percentile_interp(spark, sf_dir):
+    """PERCENTILE_CONT-style LINEARLY INTERPOLATED percentiles
+    (p5/p25/p50/p75/p95) of purchase ``value`` — the continuous
+    quantile contract BI tools expect, where `agg_percentile` gives
+    the discrete pick. EXACT RATIONAL interpolation: with pos*100 =
+    p*(n-1) split into k = div and frac = mod, the answer is
+    (v_[k+1]*(100-frac) + v_[k+2]*frac) in centi-cent integers /
+    10000 — no float positions, both order statistics picked from
+    the cumulative cent histogram."""
+    e = _t(spark, sf_dir, "events")
+    hist = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum("ct").over(w).cast("bigint").alias("cum"),
+        F.sum("ct").over(wall).cast("bigint").alias("n"),
+    )
+    ps = spark.createDataFrame(
+        [(5,), (25,), (50,), (75,), (95,)], "p int"
+    )
+    grid = cum.crossJoin(F.broadcast(ps)).select(
+        "p",
+        "cents",
+        "cum",
+        "n",
+        F.expr("p * (n - 1) div 100").cast("bigint").alias("k"),
+        F.expr("p * (n - 1) % 100").cast("bigint").alias("frac"),
+    )
+    lo = (
+        grid.where(F.expr("cum >= k + 1"))
+        .groupBy("p")
+        .agg(
+            F.min("cents").cast("bigint").alias("v_lo"),
+            F.max("frac").alias("frac"),
+            F.max("n").alias("n"),
+        )
+    )
+    hi = (
+        grid.where(F.expr("cum >= least(k + 2, n)"))
+        .groupBy("p")
+        .agg(F.min("cents").cast("bigint").alias("v_hi"))
+    )
+    return lo.join(hi, "p").select(
+        F.col("p").alias("p_pct"),
+        F.col("n").alias("n_rows"),
+        F.expr(
+            "CAST(v_lo * (100 - frac) + v_hi * frac AS DOUBLE)"
+            " / 10000.0"
+        ).alias("value_interp"),
+    )
+
+
+SQL_PERCENTILE_INTERP = """
+WITH hist AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS ct
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), cum AS (
+  SELECT cents,
+         CAST(sum(ct) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(sum(ct) OVER () AS BIGINT) AS n
+  FROM hist
+), ps AS (
+  SELECT unnest([5, 25, 50, 75, 95]) AS p
+), grid AS (
+  SELECT p, cents, cum, n,
+         CAST(p * (n - 1) // 100 AS BIGINT) AS k,
+         CAST(p * (n - 1) % 100 AS BIGINT) AS frac
+  FROM cum CROSS JOIN ps
+), lo AS (
+  SELECT p, CAST(min(cents) AS BIGINT) AS v_lo,
+         max(frac) AS frac, max(n) AS n
+  FROM grid WHERE cum >= k + 1 GROUP BY 1
+), hi AS (
+  SELECT p, CAST(min(cents) AS BIGINT) AS v_hi
+  FROM grid WHERE cum >= least(k + 2, n) GROUP BY 1
+)
+SELECT lo.p AS p_pct, lo.n AS n_rows,
+       CAST(v_lo * (100 - frac) + v_hi * frac AS DOUBLE) / 10000.0
+         AS value_interp
+FROM lo JOIN hi USING (p)
+"""
+
+
+def q_mix_rate_decomp(spark, sf_dir):
+    """MIX/RATE DECOMPOSITION of the purchase-rate change from week
+    1 to week 4: how much of the overall conversion delta comes from
+    SEGMENT MIX shifting (user cohorts user_id%4 changing activity
+    share) vs WITHIN-SEGMENT RATE movement vs interaction — the
+    standard BI bridge (Laspeyres decomposition) behind every
+    "why did the metric move" review.
+
+    Exact bigint event/purchase counts per (week, segment); every
+    share/rate/effect is a deterministic float expression on the
+    O(segments) fold; the three effects provably sum to the total
+    delta (asserted by the pytest replica)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.where(
+        F.expr("dayofmonth(ts) <= 7 OR dayofmonth(ts) BETWEEN 22 AND 28")
+    ).select(
+        F.expr(
+            "CASE WHEN dayofmonth(ts) <= 7 THEN 1 ELSE 4 END"
+        ).alias("wk"),
+        (F.col("user_id") % 4).cast("bigint").alias("segment"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_buy"),
+    )
+    per = base.groupBy("wk", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_buy").cast("bigint").alias("b"),
+    )
+    tot = per.groupBy("wk").agg(
+        F.sum("n").cast("bigint").alias("nt")
+    )
+    j = per.join(tot, "wk").select(
+        "wk",
+        "segment",
+        F.expr("CAST(n AS DOUBLE) / nt").alias("share"),
+        F.expr("CAST(b AS DOUBLE) / n").alias("rate"),
+    )
+    w1 = j.where(F.col("wk") == 1).select(
+        "segment",
+        F.col("share").alias("share_w1"),
+        F.col("rate").alias("rate_w1"),
+    )
+    w4 = j.where(F.col("wk") == 4).select(
+        "segment",
+        F.col("share").alias("share_w4"),
+        F.col("rate").alias("rate_w4"),
+    )
+    return w1.join(w4, "segment").select(
+        "segment",
+        F.round("share_w1", 6).alias("share_w1"),
+        F.round("share_w4", 6).alias("share_w4"),
+        F.round("rate_w1", 6).alias("rate_w1"),
+        F.round("rate_w4", 6).alias("rate_w4"),
+        F.round(
+            F.expr("(share_w4 - share_w1) * rate_w1"), 6
+        ).alias("mix_effect"),
+        F.round(
+            F.expr("share_w1 * (rate_w4 - rate_w1)"), 6
+        ).alias("rate_effect"),
+        F.round(
+            F.expr("(share_w4 - share_w1) * (rate_w4 - rate_w1)"), 6
+        ).alias("interaction"),
+    )
+
+
+SQL_MIX_RATE_DECOMP = """
+WITH base AS (
+  SELECT CASE WHEN day(ts) <= 7 THEN 1 ELSE 4 END AS wk,
+         CAST(user_id % 4 AS BIGINT) AS segment,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS is_buy
+  FROM events
+  WHERE day(ts) <= 7 OR day(ts) BETWEEN 22 AND 28
+), per AS (
+  SELECT wk, segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_buy) AS BIGINT) AS b
+  FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT wk, CAST(sum(n) AS BIGINT) AS nt FROM per GROUP BY 1
+), j AS (
+  SELECT wk, segment,
+         CAST(n AS DOUBLE) / nt AS share,
+         CAST(b AS DOUBLE) / n AS rate
+  FROM per JOIN tot USING (wk)
+)
+SELECT w1.segment,
+       round(w1.share, 6) AS share_w1,
+       round(w4.share, 6) AS share_w4,
+       round(w1.rate, 6) AS rate_w1,
+       round(w4.rate, 6) AS rate_w4,
+       round((w4.share - w1.share) * w1.rate, 6) AS mix_effect,
+       round(w1.share * (w4.rate - w1.rate), 6) AS rate_effect,
+       round((w4.share - w1.share) * (w4.rate - w1.rate), 6)
+         AS interaction
+FROM (SELECT * FROM j WHERE wk = 1) w1
+JOIN (SELECT * FROM j WHERE wk = 4) w4 USING (segment)
+"""
+
+
+def q_binseg_sse(spark, sf_dir):
+    """BINARY-SEGMENTATION changepoint (one split) on each event
+    type's daily count series: the split day maximizing the
+    between-segment sum-of-squares — the first step of the classic
+    binseg recursion, the structural-break locator that
+    `cusum_changepoint` approximates with a running drift statistic.
+
+    Exact integer prefix sums (S1, S2, n1, n2 per candidate split)
+    feed the deterministic double score S1^2/n1 + S2^2/n2; both
+    engines compute identical doubles from identical integers, so
+    the (score desc, day asc) argmax window is engine-identical."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    wd = Window.orderBy("day")
+    idx = days.select(
+        "day", F.row_number().over(wd).cast("bigint").alias("i")
+    )
+    types = e.select("event_type").distinct()
+    raw = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(idx))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "i",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wc = Window.partitionBy("event_type").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wg = Window.partitionBy("event_type")
+    pre = grid.select(
+        "event_type",
+        "day",
+        "i",
+        F.sum("c").over(wc).cast("bigint").alias("s1"),
+        F.sum(F.expr("c * c")).over(wg).cast("bigint").alias("q"),
+        F.sum("c").over(wg).cast("bigint").alias("s"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n"),
+    ).where(F.expr("i < n"))
+    scored = pre.select(
+        "event_type",
+        "day",
+        "i",
+        "q",
+        "s",
+        "n",
+        F.expr(
+            "CAST(s1 AS DOUBLE) * s1 / i"
+            " + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - i)"
+        ).alias("between"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("between").desc(), F.col("day").asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_after_day"),
+        F.col("n").alias("n_days"),
+        F.round(
+            F.expr("CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n"), 6
+        ).alias("sse_total"),
+        F.round(
+            F.expr("between - CAST(s AS DOUBLE) * s / n"), 6
+        ).alias("sse_reduction"),
+    )
+
+
+SQL_BINSEG_SSE = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), idx AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM days
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, i.day, i.i,
+         CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN idx i
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = i.day
+), pre AS (
+  SELECT event_type, day, i,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s1,
+         CAST(sum(c * c) OVER (PARTITION BY event_type) AS BIGINT)
+           AS q,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM grid
+), scored AS (
+  SELECT event_type, day, i, q, s, n,
+         CAST(s1 AS DOUBLE) * s1 / i
+         + CAST(s - s1 AS DOUBLE) * (s - s1) / (n - i) AS between_ss
+  FROM pre WHERE i < n
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY between_ss DESC, day ASC) AS rk
+  FROM scored
+)
+SELECT event_type, day AS split_after_day, n AS n_days,
+       round(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n, 6)
+         AS sse_total,
+       round(between_ss - CAST(s AS DOUBLE) * s / n, 6)
+         AS sse_reduction
+FROM best WHERE rk = 1
+"""
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """POISSON BOOTSTRAP confidence interval for mean purchase value
+    — THE bootstrap that actually runs at 100 TB: instead of
+    resampling rows (impossible distributed), every row draws an
+    independent Poisson(1) replication weight per replicate, so all
+    B=20 replicates stream through ONE pass of one hash agg.
+    Weights are a DETERMINISTIC md5-uniform mapped through the
+    integer-threshold Poisson(1) CDF (P(0)=e^-1 etc., capped at 3 —
+    the cap covers 99.7% of mass and is part of the documented
+    estimator). Replicate sums are exact bigints; the CI is the
+    normal interval on the 20 replicate means."""
+    e = _t(spark, sf_dir, "events")
+    reps = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("b")
+    )
+    base = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .withColumn(
+            "u",
+            F.expr(
+                "CAST(conv(substring(md5(concat("
+                "CAST(event_id AS STRING), '|',"
+                " CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+            ),
+        )
+        .select(
+            "b",
+            "cents",
+            F.expr(
+                "CASE"
+                " WHEN u < 103548857136060 THEN 0"
+                " WHEN u < 207097714272121 THEN 1"
+                " WHEN u < 258872142840152 THEN 2"
+                " ELSE 3 END"
+            ).alias("w"),
+        )
+    )
+    per = base.where(F.col("w") > 0).groupBy("b").agg(
+        F.sum(F.expr("w * cents")).cast("bigint").alias("s"),
+        F.sum("w").cast("bigint").alias("n"),
+    )
+    means = per.select(
+        "b", F.expr("CAST(s AS DOUBLE) / (100.0 * n)").alias("m")
+    )
+    agg = means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.sum("m").alias("sm"),
+        F.sum(F.expr("m * m")).alias("smm"),
+    )
+    return agg.select(
+        "n_reps",
+        F.round(F.expr("sm / n_reps"), 6).alias("boot_mean"),
+        F.round(
+            F.expr(
+                "sqrt((smm - sm * sm / n_reps) / (n_reps - 1))"
+            ),
+            6,
+        ).alias("boot_se"),
+        F.round(
+            F.expr(
+                "sm / n_reps - 1.96"
+                " * sqrt((smm - sm * sm / n_reps) / (n_reps - 1))"
+            ),
+            6,
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(
+                "sm / n_reps + 1.96"
+                " * sqrt((smm - sm * sm / n_reps) / (n_reps - 1))"
+            ),
+            6,
+        ).alias("ci_hi"),
+    )
+
+
+SQL_POISSON_BOOTSTRAP = """
+WITH reps AS (
+  SELECT CAST(b AS INTEGER) AS b FROM generate_series(0, 19) t(b)
+), base AS (
+  SELECT b,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE
+           WHEN u < 103548857136060 THEN 0
+           WHEN u < 207097714272121 THEN 1
+           WHEN u < 258872142840152 THEN 2
+           ELSE 3 END AS w
+  FROM (
+    SELECT r.b, e.value,
+           CAST('0x' || substr(
+                md5(CAST(e.event_id AS VARCHAR) || '|'
+                    || CAST(r.b AS VARCHAR)), 1, 12) AS BIGINT)
+             AS u
+    FROM events e CROSS JOIN reps r
+    WHERE e.event_type = 'purchase') x
+), per AS (
+  SELECT b, CAST(sum(w * cents) AS BIGINT) AS s,
+         CAST(sum(w) AS BIGINT) AS n
+  FROM base WHERE w > 0 GROUP BY 1
+), means AS (
+  SELECT b, CAST(s AS DOUBLE) / (100.0 * n) AS m FROM per
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         sum(m) AS sm, sum(m * m) AS smm
+  FROM means
+)
+SELECT n_reps,
+       round(sm / n_reps, 6) AS boot_mean,
+       round(sqrt((smm - sm * sm / n_reps) / (n_reps - 1)), 6)
+         AS boot_se,
+       round(sm / n_reps
+             - 1.96 * sqrt((smm - sm * sm / n_reps) / (n_reps - 1)),
+             6) AS ci_lo,
+       round(sm / n_reps
+             + 1.96 * sqrt((smm - sm * sm / n_reps) / (n_reps - 1)),
+             6) AS ci_hi
+FROM agg
+"""
+
+
+def q_dau_mau(spark, sf_dir):
+    """DAU/MAU STICKINESS per event type: average daily active users
+    over monthly active users — the canonical engagement ratio
+    (`rolling_active_users` gives the 7-day rolling curve; this is
+    the summary). Two distinct-count aggs (daily grain + monthly
+    grain) of exact bigints; the 30-day average and the ratio are
+    one float fold."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    )
+    ndays = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    )
+    mau = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    dsum = daily.groupBy("event_type").agg(
+        F.sum("dau").cast("bigint").alias("dau_sum")
+    )
+    return (
+        dsum.join(mau, "event_type")
+        .crossJoin(F.broadcast(ndays))
+        .select(
+            "event_type",
+            "n_days",
+            "mau",
+            F.round(
+                F.expr("CAST(dau_sum AS DOUBLE) / n_days"), 6
+            ).alias("avg_dau"),
+            F.round(
+                F.expr(
+                    "CAST(dau_sum AS DOUBLE) / n_days"
+                    " / CAST(mau AS DOUBLE)"
+                ),
+                6,
+            ).alias("stickiness"),
+        )
+    )
+
+
+SQL_DAU_MAU = """
+WITH daily AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+), nd AS (
+  SELECT CAST(count(DISTINCT CAST(day(ts) AS INTEGER)) AS BIGINT)
+           AS n_days
+  FROM events
+), mau AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+), dsum AS (
+  SELECT event_type, CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM daily GROUP BY 1
+)
+SELECT dsum.event_type, nd.n_days, mau.mau,
+       round(CAST(dau_sum AS DOUBLE) / n_days, 6) AS avg_dau,
+       round(CAST(dau_sum AS DOUBLE) / n_days / CAST(mau AS DOUBLE),
+             6) AS stickiness
+FROM dsum JOIN mau USING (event_type) CROSS JOIN nd
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -23806,6 +24452,16 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #46 —
     #    link-graph structure features (displaces six more r3 keys
     #    past 50 — ALL-GREEN in the committed sweeps) --
+    # -- new r3 continuation (this session): feature-eng pack #47 —
+    #    survival hazard / interpolated quantiles / BI bridge /
+    #    changepoint / Poisson bootstrap / engagement (displaces six
+    #    more r3 keys past 50 — ALL-GREEN in the committed sweeps) --
+    "nelson_aalen": (q_nelson_aalen, SQL_NELSON_AALEN),
+    "percentile_interp": (q_percentile_interp, SQL_PERCENTILE_INTERP),
+    "mix_rate_decomp": (q_mix_rate_decomp, SQL_MIX_RATE_DECOMP),
+    "binseg_sse": (q_binseg_sse, SQL_BINSEG_SSE),
+    "poisson_bootstrap": (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP),
+    "dau_mau": (q_dau_mau, SQL_DAU_MAU),
     "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
     "link_pred_scores": (q_link_pred_scores, SQL_LINK_PRED_SCORES),
     "degree_assortativity": (
