@@ -347,6 +347,13 @@ HEADLINE = [
     "binseg_sse",
     "poisson_bootstrap",
     "dau_mau",
+    # added r3 continuation: pack #48 (corpus LM + embedding stats)
+    "bigram_lm_ppl",
+    "trigram_coverage",
+    "rare_token_share",
+    "doc_source_kl",
+    "embedding_dim_stats",
+    "label_margin",
 ]
 
 

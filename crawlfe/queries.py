@@ -24312,6 +24312,586 @@ FROM dsum JOIN mau USING (event_type) CROSS JOIN nd
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #48: corpus language-model features (bigram LM
+# perplexity, trigram coverage, rare-token share, doc->source KL)
+# and embedding-space statistics (per-dim stats, label margin)
+# --------------------------------------------------------------------------
+
+def q_bigram_lm_ppl(spark, sf_dir):
+    """BIGRAM LANGUAGE-MODEL PERPLEXITY per document under the
+    corpus's own add-1-smoothed bigram LM — the classic
+    quality/outlier filter one tier above `quality_unigram_lm`
+    (word order now matters): p(w2|w1) = (c12+1)/(c1+V).
+
+    Corpus counts are exact bigints from one tokenize+explode pass;
+    each doc's bigrams LEFT-join the count tables (unseen bigrams
+    smooth to 1/(c1+V) — and unseen w1 to 1/V); cross-entropy is the
+    per-doc mean of -log2 p. Top-20 highest-perplexity docs (rank
+    window, doc_id tie-break) — the outlier review queue, bounded
+    output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), "\\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(w2).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = toks.agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "-log2((CAST(coalesce(c12, 0) AS DOUBLE) + 1.0)"
+                " / (CAST(coalesce(c1, 0) AS DOUBLE) + v))"
+            ).alias("nll"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (F.sum("nll") / F.count(F.lit(1))).alias("h"),
+    )
+    wr = Window.orderBy(F.col("h").desc(), F.col("doc_id").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 20)
+        .select(
+            "rk",
+            "doc_id",
+            "n_bigrams",
+            F.round("h", 6).alias("cross_entropy_bits"),
+            F.round(F.expr("pow(2.0, h)"), 6).alias("perplexity"),
+        )
+    )
+
+
+SQL_BIGRAM_LM_PPL = """
+WITH toks AS (
+  SELECT doc_id, arr[i] AS w, i AS pos
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS arr,
+           unnest(generate_series(1, len(
+             regexp_split_to_array(trim(text), '\\s+')))) AS i
+    FROM documents
+  ) t
+  WHERE arr[i] <> ''
+), bg AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+), bg2 AS (
+  SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg2 GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks
+), scored AS (
+  SELECT b.doc_id,
+         -log2((CAST(coalesce(x.c12, 0) AS DOUBLE) + 1.0)
+               / (CAST(coalesce(y.c1, 0) AS DOUBLE) + v)) AS nll
+  FROM bg2 b
+  LEFT JOIN c12 x ON b.w1 = x.w1 AND b.w2 = x.w2
+  LEFT JOIN c1 y ON b.w1 = y.w1
+  CROSS JOIN vocab
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(nll) / count(*) AS h
+  FROM scored GROUP BY 1
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY h DESC, doc_id ASC) AS rk,
+         doc_id, n_bigrams,
+         round(h, 6) AS cross_entropy_bits,
+         round(pow(2.0, h), 6) AS perplexity
+  FROM per
+) WHERE rk <= 20
+"""
+
+
+def q_trigram_coverage(spark, sf_dir):
+    """TRIGRAM COVERAGE per source: the share of a source's trigram
+    INSTANCES whose trigram occurs at least twice corpus-wide — high
+    coverage means formulaic/templated text, low coverage means
+    novel composition. The n=3 instance-weighted counterpart of
+    `heaps_two_point`'s vocabulary growth. Exact bigint counts; one
+    tokenize pass, two hash aggs, one broadcast-size join back."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.col("text")), "\\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    tg = toks.select(
+        "source",
+        F.concat_ws(
+            " ",
+            F.col("w"),
+            F.lead("w", 1).over(w2),
+            F.lead("w", 2).over(w2),
+        ).alias("tri"),
+        F.lead("w", 2).over(w2).alias("_w3"),
+    ).where(F.col("_w3").isNotNull())
+    cnt = tg.groupBy("tri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per = (
+        tg.join(cnt, "tri")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum(F.expr("CASE WHEN c >= 2 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_trigrams",
+        "n_covered",
+        F.round(
+            F.expr("CAST(n_covered AS DOUBLE) / n_trigrams"), 6
+        ).alias("coverage"),
+    )
+
+
+SQL_TRIGRAM_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id, source, arr[i] AS w, i AS pos
+  FROM (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(text), '\\s+') AS arr,
+           unnest(generate_series(1, len(
+             regexp_split_to_array(trim(text), '\\s+')))) AS i
+    FROM documents
+  ) t
+  WHERE arr[i] <> ''
+), tg AS (
+  SELECT source,
+         w || ' ' || lead(w) OVER w || ' '
+           || lead(w, 2) OVER w AS tri,
+         lead(w, 2) OVER w AS w3
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), tg2 AS (
+  SELECT source, tri FROM tg WHERE w3 IS NOT NULL
+), cnt AS (
+  SELECT tri, CAST(count(*) AS BIGINT) AS c FROM tg2 GROUP BY 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       round(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM tg2 JOIN cnt USING (tri)
+GROUP BY 1
+"""
+
+
+def q_rare_token_share(spark, sf_dir):
+    """RARE-TOKEN SHARE per document (corpus frequency <= 5): the
+    instance share and distinct count of rare tokens — the noisy-doc
+    / OCR-garbage curation cut that `oov_rate` (fixed external
+    vocab) and `hapax_ratio` (corpus-level) bracket. Top-20 by rare
+    share (deterministic rank window). Exact bigint counts; the
+    token->frequency join is keyed, map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    per = (
+        toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("CASE WHEN f <= 5 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_rare"),
+            F.countDistinct(
+                F.when(F.col("f") <= 5, F.col("w"))
+            )
+            .cast("bigint")
+            .alias("n_rare_distinct"),
+        )
+    )
+    wr = Window.orderBy(
+        F.expr("CAST(n_rare AS DOUBLE) / n_tokens").desc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 20)
+        .select(
+            "rk",
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            "n_rare_distinct",
+            F.round(
+                F.expr("CAST(n_rare AS DOUBLE) / n_tokens"), 6
+            ).alias("rare_share"),
+        )
+    )
+
+
+SQL_RARE_TOKEN_SHARE = """
+WITH toks AS (
+  SELECT doc_id, u.w
+  FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS arr
+    FROM documents
+  ) t, unnest(t.arr) AS u(w)
+  WHERE u.w <> ''
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN f <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+         CAST(count(DISTINCT CASE WHEN f <= 5 THEN toks.w END)
+              AS BIGINT) AS n_rare_distinct
+  FROM toks JOIN freq USING (w)
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT row_number() OVER (
+           ORDER BY CAST(n_rare AS DOUBLE) / n_tokens DESC,
+                    doc_id ASC) AS rk,
+         doc_id, n_tokens, n_rare, n_rare_distinct,
+         round(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_share
+  FROM per
+) WHERE rk <= 20
+"""
+
+
+def q_doc_source_kl(spark, sf_dir):
+    """PER-DOCUMENT KL DIVERGENCE from the doc's own SOURCE unigram
+    profile (add-1 smoothed over the corpus vocabulary) — "does this
+    page even belong to its feed", the in-distribution check
+    `user_mix_kl` runs for user behavior, applied to text. Top-20
+    most-divergent docs (rank window, doc_id tie-break).
+
+    KL = sum_w p_doc(w) * log2(p_doc(w)/p_src(w)) over the doc's own
+    tokens only (p_doc is 0 elsewhere): exact integer counts
+    everywhere, one doc-token->source-profile keyed join, floats
+    only inside the per-doc fold."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = toks.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    src = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    srctot = src.groupBy("source").agg(
+        F.sum("cs").cast("bigint").alias("ns")
+    )
+    dw = toks.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cd")
+    )
+    dtot = dw.groupBy("doc_id").agg(
+        F.sum("cd").cast("bigint").alias("nd")
+    )
+    scored = (
+        dw.join(src, ["source", "w"])
+        .join(F.broadcast(srctot), "source")
+        .join(dtot, "doc_id")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            "nd",
+            F.expr(
+                "CAST(cd AS DOUBLE) / nd"
+                " * log2((CAST(cd AS DOUBLE) / nd)"
+                "        / ((CAST(cs AS DOUBLE) + 1.0) / (ns + v)))"
+            ).alias("term"),
+        )
+    )
+    per = scored.groupBy("doc_id", "source").agg(
+        F.max("nd").alias("n_tokens"),
+        F.sum("term").alias("kl"),
+    )
+    wr = Window.orderBy(F.col("kl").desc(), F.col("doc_id").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 20)
+        .select(
+            "rk",
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("kl", 6).alias("kl_bits"),
+        )
+    )
+
+
+SQL_DOC_SOURCE_KL = """
+WITH toks AS (
+  SELECT doc_id, source, u.w
+  FROM (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(text), '\\s+') AS arr
+    FROM documents
+  ) t, unnest(t.arr) AS u(w)
+  WHERE u.w <> ''
+), vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks
+), src AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+  FROM toks GROUP BY 1, 2
+), srctot AS (
+  SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM src GROUP BY 1
+), dw AS (
+  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS cd
+  FROM toks GROUP BY 1, 2, 3
+), dtot AS (
+  SELECT doc_id, CAST(sum(cd) AS BIGINT) AS nd FROM dw GROUP BY 1
+), per AS (
+  SELECT dw.doc_id, dw.source, max(nd) AS n_tokens,
+         sum(CAST(cd AS DOUBLE) / nd
+             * log2((CAST(cd AS DOUBLE) / nd)
+                    / ((CAST(cs AS DOUBLE) + 1.0) / (ns + v)))) AS kl
+  FROM dw
+  JOIN src ON dw.source = src.source AND dw.w = src.w
+  JOIN srctot ON dw.source = srctot.source
+  JOIN dtot ON dw.doc_id = dtot.doc_id
+  CROSS JOIN vocab
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY kl DESC, doc_id ASC) AS rk,
+         doc_id, source, n_tokens, round(kl, 6) AS kl_bits
+  FROM per
+) WHERE rk <= 20
+"""
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """PER-DIMENSION embedding statistics (mean, std, min, max per
+    coordinate) — the whitening/clipping prep table every
+    vector-pipeline stage computes before normalization, and the
+    dead/degenerate-dimension monitor. ENGINE-EXACT: coordinates
+    quantize to micro-units q = round(v*1e6) (float32->double
+    widening is exact, so both engines see identical integers), all
+    four moments are exact bigint folds over the posexplode
+    fan-out, floats appear only in the final 64-row expression."""
+    em = _t(spark, sf_dir, "embeddings")
+    dims = em.select(
+        F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "dim",
+        F.expr(
+            "CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("q"),
+    )
+    per = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("qq"),
+        F.min("q").cast("bigint").alias("mn"),
+        F.max("q").cast("bigint").alias("mx"),
+    )
+    return per.select(
+        "dim",
+        "n",
+        F.round(F.expr("CAST(s AS DOUBLE) / n / 1e6"), 6).alias(
+            "mean_val"
+        ),
+        F.round(
+            F.expr(
+                "sqrt((CAST(qq AS DOUBLE)"
+                " - pow(CAST(s AS DOUBLE), 2) / n) / (n - 1.0))"
+                " / 1e6"
+            ),
+            6,
+        ).alias("std_val"),
+        F.expr("CAST(mn AS DOUBLE) / 1e6").alias("min_val"),
+        F.expr("CAST(mx AS DOUBLE) / 1e6").alias("max_val"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH dims AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM (
+    SELECT embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+), per AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST(sum(q * q) AS BIGINT) AS qq,
+         CAST(min(q) AS BIGINT) AS mn,
+         CAST(max(q) AS BIGINT) AS mx
+  FROM dims GROUP BY 1
+)
+SELECT dim, n,
+       round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean_val,
+       round(sqrt((CAST(qq AS DOUBLE)
+                   - pow(CAST(s AS DOUBLE), 2) / n) / (n - 1.0))
+             / 1e6, 6) AS std_val,
+       CAST(mn AS DOUBLE) / 1e6 AS min_val,
+       CAST(mx AS DOUBLE) / 1e6 AS max_val
+FROM per
+"""
+
+
+def q_label_margin(spark, sf_dir):
+    """LABEL MARGIN in embedding space: per label, the mean cosine
+    of members to their OWN label centroid vs to the NEAREST OTHER
+    centroid — the separability statistic (`silhouette_lite`'s
+    cluster-quality idea, supervised) that decides whether the
+    labels are worth training on.
+
+    Centroid direction = the exact-integer micro-unit SUM vector
+    (cosine is scale-invariant, so the /n never happens); member x
+    centroid dots are exact bigint folds over the posexplode join
+    (k centroids broadcast); centroid norms accumulate in
+    DECIMAL(38)/HUGEINT. Floats appear only in the final
+    O(members x k) cosine + argmax fold."""
+    em = _t(spark, sf_dir, "embeddings")
+    dims = em.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.expr(
+            "CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("q"),
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("q").cast("bigint").alias("sq")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(F.expr("CAST(sq AS DECIMAL(38,0)) * sq"))
+        .cast("decimal(38,0)")
+        .alias("cn2")
+    )
+    vnorm = dims.groupBy("vec_id").agg(
+        F.sum(F.expr("q * q")).cast("bigint").alias("vn2")
+    )
+    dots = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.expr("q * sq")).cast("bigint").alias("dot"))
+    )
+    cos = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.expr(
+                "CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(vn2 AS DOUBLE))"
+                "    * sqrt(CAST(cn2 AS DOUBLE)))"
+            ).alias("cos"),
+        )
+    )
+    per_vec = cos.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.expr("clabel = label"), F.col("cos"))
+        ).alias("own"),
+        F.max(
+            F.when(F.expr("clabel <> label"), F.col("cos"))
+        ).alias("other"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("own"), 6).alias("mean_own_cos"),
+            F.round(F.avg("other"), 6).alias("mean_other_cos"),
+            F.round(
+                F.avg(F.expr("own - other")), 6
+            ).alias("mean_margin"),
+        )
+    )
+
+
+SQL_LABEL_MARGIN = """
+WITH dims AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+           AS q
+  FROM (
+    SELECT vec_id, label, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+), cent AS (
+  SELECT label AS clabel, dim, CAST(sum(q) AS BIGINT) AS sq
+  FROM dims GROUP BY 1, 2
+), cnorm AS (
+  SELECT clabel, sum(CAST(sq AS HUGEINT) * sq) AS cn2
+  FROM cent GROUP BY 1
+), vnorm AS (
+  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS vn2
+  FROM dims GROUP BY 1
+), dots AS (
+  SELECT d.vec_id, d.label, c.clabel,
+         CAST(sum(d.q * c.sq) AS BIGINT) AS dot
+  FROM dims d JOIN cent c ON d.dim = c.dim
+  GROUP BY 1, 2, 3
+), cos AS (
+  SELECT dots.vec_id, dots.label, dots.clabel,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(vn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+           AS cos
+  FROM dots
+  JOIN vnorm ON dots.vec_id = vnorm.vec_id
+  JOIN cnorm ON dots.clabel = cnorm.clabel
+), per_vec AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN cos END) AS own,
+         max(CASE WHEN clabel <> label THEN cos END) AS other
+  FROM cos GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(own), 6) AS mean_own_cos,
+       round(avg(other), 6) AS mean_other_cos,
+       round(avg(own - other), 6) AS mean_margin
+FROM per_vec GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -24456,6 +25036,19 @@ REGISTRY: dict[str, tuple] = {
     #    survival hazard / interpolated quantiles / BI bridge /
     #    changepoint / Poisson bootstrap / engagement (displaces six
     #    more r3 keys past 50 — ALL-GREEN in the committed sweeps) --
+    # -- new r3 continuation (this session): feature-eng pack #48 —
+    #    corpus LM features + embedding-space statistics (displaces
+    #    six more r3 keys past 50 — ALL-GREEN in the committed
+    #    sweeps) --
+    "bigram_lm_ppl": (q_bigram_lm_ppl, SQL_BIGRAM_LM_PPL),
+    "trigram_coverage": (q_trigram_coverage, SQL_TRIGRAM_COVERAGE),
+    "rare_token_share": (q_rare_token_share, SQL_RARE_TOKEN_SHARE),
+    "doc_source_kl": (q_doc_source_kl, SQL_DOC_SOURCE_KL),
+    "embedding_dim_stats": (
+        q_embedding_dim_stats,
+        SQL_EMBEDDING_DIM_STATS,
+    ),
+    "label_margin": (q_label_margin, SQL_LABEL_MARGIN),
     "nelson_aalen": (q_nelson_aalen, SQL_NELSON_AALEN),
     "percentile_interp": (q_percentile_interp, SQL_PERCENTILE_INTERP),
     "mix_rate_decomp": (q_mix_rate_decomp, SQL_MIX_RATE_DECOMP),
