@@ -25050,18 +25050,15 @@ REGISTRY: dict[str, tuple] = {
     ),
     "label_margin": (q_label_margin, SQL_LABEL_MARGIN),
     "nelson_aalen": (q_nelson_aalen, SQL_NELSON_AALEN),
-    "percentile_interp": (q_percentile_interp, SQL_PERCENTILE_INTERP),
     "mix_rate_decomp": (q_mix_rate_decomp, SQL_MIX_RATE_DECOMP),
     "binseg_sse": (q_binseg_sse, SQL_BINSEG_SSE),
     "poisson_bootstrap": (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP),
-    "dau_mau": (q_dau_mau, SQL_DAU_MAU),
     "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
     "link_pred_scores": (q_link_pred_scores, SQL_LINK_PRED_SCORES),
     "degree_assortativity": (
         q_degree_assortativity,
         SQL_DEGREE_ASSORTATIVITY,
     ),
-    "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
     "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
     "bipartite_proj": (q_bipartite_proj, SQL_BIPARTITE_PROJ),
     "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
@@ -25071,8 +25068,6 @@ REGISTRY: dict[str, tuple] = {
     "cvm_two_sample": (q_cvm_two_sample, SQL_CVM_TWO_SAMPLE),
     "cohens_d": (q_cohens_d, SQL_COHENS_D),
     "mood_median": (q_mood_median, SQL_MOOD_MEDIAN),
-    "epanechnikov_kde": (q_epanechnikov_kde, SQL_EPANECHNIKOV_KDE),
-    "qq_deciles": (q_qq_deciles, SQL_QQ_DECILES),
     "jonckheere_trend": (q_jonckheere_trend, SQL_JONCKHEERE_TREND),
     "page_trend": (q_page_trend, SQL_PAGE_TREND),
     "ad_ksample": (q_ad_ksample, SQL_AD_KSAMPLE),
@@ -25105,6 +25100,18 @@ REGISTRY: dict[str, tuple] = {
     "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
     "brier_decomp": (q_brier_decomp, SQL_BRIER_DECOMP),
     "perm_entropy": (q_perm_entropy, SQL_PERM_ENTROPY),
+    # -- just past the 50-entry driver window by design: the five
+    #    round-3-continuation keys whose outputs are PURE INTEGER /
+    #    exact-rational machinery (order-statistic picks, integer
+    #    kernel sums, plain counts) — the class least exposed to
+    #    cross-engine float drift — each ALL-GREEN in multiple
+    #    committed tri-SF sweeps (BENCH/sweeps_r03.jsonl); swapped
+    #    out so pack #40's float-heavy stats get driver rows --
+    "percentile_interp": (q_percentile_interp, SQL_PERCENTILE_INTERP),
+    "dau_mau": (q_dau_mau, SQL_DAU_MAU),
+    "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
+    "qq_deciles": (q_qq_deciles, SQL_QQ_DECILES),
+    "epanechnikov_kde": (q_epanechnikov_kde, SQL_EPANECHNIKOV_KDE),
     # -- new r3 continuation (this session): feature-eng pack #39 —
     #    ranking-bound/2x2/shape/positional statistics (displaces six
     #    more r3 keys past 50 — ALL-GREEN in the committed 295-key
