@@ -354,6 +354,13 @@ HEADLINE = [
     "doc_source_kl",
     "embedding_dim_stats",
     "label_margin",
+    # added r3 continuation: pack #49 (evaluation & sensitivity)
+    "sketch_error_eval",
+    "session_gap_sweep",
+    "attribution_multi",
+    "tukey_kramer",
+    "trim_sweep",
+    "funnel_significance",
 ]
 
 

@@ -24892,6 +24892,582 @@ FROM per_vec GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #49: production evaluation & parameter-sensitivity
+# ops — sketch-accuracy audit, session-gap sweep, multi-touch
+# attribution, Tukey-Kramer post-hoc, trim-level sweep, funnel
+# step significance
+# --------------------------------------------------------------------------
+
+def q_sketch_error_eval(spark, sf_dir):
+    """SKETCH ACCURACY AUDIT: run Spark's own approximate operators
+    (approx_count_distinct HLL++, approx_percentile / Greenwald-
+    Khanna) SIDE-BY-SIDE with their exact counterparts per event
+    type, and report the observed relative error against the
+    operator's advertised bound — the production health check every
+    sketch-based dashboard needs before anyone trusts it.
+
+    NO DuckDB oracle BY DESIGN (rows-only): DuckDB's approx sketches
+    are different algorithms with different (valid) outputs, so
+    cross-engine value equality is the wrong contract — the pytest
+    replica instead asserts the exact sides match a pandas
+    recomputation and every observed error sits inside its bound
+    (rsd=0.05 for HLL, 1/accuracy=0.01 for GK at accuracy=100)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    agg = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.expr("approx_count_distinct(user_id, 0.05)")
+        .cast("bigint")
+        .alias("approx_users"),
+        F.expr("percentile(cents, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(cents, 0.5, 100)")
+        .cast("bigint")
+        .alias("approx_p50"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        "approx_users",
+        F.round(
+            F.expr(
+                "abs(CAST(approx_users AS DOUBLE) - exact_users)"
+                " / exact_users"
+            ),
+            6,
+        ).alias("hll_rel_err"),
+        F.expr("CAST(exact_p50 AS DOUBLE) / 100.0").alias("exact_p50"),
+        F.expr("CAST(approx_p50 AS DOUBLE) / 100.0").alias(
+            "approx_p50"
+        ),
+        F.round(
+            F.expr(
+                "abs(CAST(approx_p50 AS DOUBLE) - exact_p50)"
+                " / greatest(exact_p50, 1.0)"
+            ),
+            6,
+        ).alias("gk_rel_err"),
+    )
+
+
+def q_session_gap_sweep(spark, sf_dir):
+    """SESSIONIZATION PARAMETER SWEEP: session count, sessions per
+    user, and mean session length (events) at gap thresholds
+    15/30/60 minutes — ONE pass over the per-user lag table serves
+    all three thresholds (the lag computes once; each threshold is
+    a conditional count of session starts), answering "how sensitive
+    is our session metric to the gap choice" without three jobs.
+    Exact integer microsecond gaps and counts throughout."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = e.select(
+        "user_id",
+        _us("ts").alias("us"),
+        "event_id",
+    ).select(
+        "user_id",
+        (F.col("us") - F.lag("us", 1).over(wo)).alias("gap_us"),
+    )
+    gaps = spark.createDataFrame(
+        [(900,), (1800,), (3600,)], "gap_s int"
+    )
+    per = (
+        lagged.crossJoin(F.broadcast(gaps))
+        .groupBy("gap_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN gap_us IS NULL"
+                    " OR gap_us > CAST(gap_s AS BIGINT) * 1000000"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    return per.select(
+        "gap_s",
+        "n_sessions",
+        "n_users",
+        F.round(
+            F.expr("CAST(n_sessions AS DOUBLE) / n_users"), 6
+        ).alias("sessions_per_user"),
+        F.round(
+            F.expr("CAST(n_rows AS DOUBLE) / n_sessions"), 6
+        ).alias("mean_session_events"),
+    )
+
+
+SQL_SESSION_GAP_SWEEP = """
+WITH lagged AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS gap_us
+  FROM events
+), gaps AS (
+  SELECT unnest([900, 1800, 3600]) AS gap_s
+)
+SELECT gap_s,
+       CAST(sum(CASE WHEN gap_us IS NULL
+                 OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CASE WHEN gap_us IS NULL
+                       OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(DISTINCT user_id), 6) AS sessions_per_user,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(CASE WHEN gap_us IS NULL
+                   OR gap_us > CAST(gap_s AS BIGINT) * 1000000
+                   THEN 1 ELSE 0 END), 6) AS mean_session_events
+FROM lagged CROSS JOIN gaps
+GROUP BY 1
+"""
+
+
+def q_attribution_multi(spark, sf_dir):
+    """MULTI-TOUCH ATTRIBUTION: linear, U-shaped (40/20/40), first-
+    touch and last-touch credit per touch channel (event type) for
+    every purchase, over the purchaser's preceding non-purchase
+    touches within 7 days — the full credit-model comparison next
+    to `attribution`'s last-touch-only view.
+
+    The path join is keyed (user), bounded (7-day window); per-path
+    positions come from two rank windows; credits are exact
+    rationals accumulated as (channel, path_len)-bucketed INTEGER
+    counts, so the only float fold is the final O(channels x
+    path-lens) division — no row-level float credit sums."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        _us("ts").alias("us"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("us").alias("buy_us"),
+        F.col("event_id").alias("buy_id"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase")
+    path = buys.join(touches, "user_id").where(
+        F.expr(
+            "us < buy_us AND us >= buy_us - CAST(7 AS BIGINT)"
+            " * 86400 * 1000000"
+        )
+    )
+    wp = Window.partitionBy("buy_id").orderBy("us", "event_id")
+    wn = Window.partitionBy("buy_id")
+    pos = path.select(
+        "buy_id",
+        "event_type",
+        F.row_number().over(wp).cast("bigint").alias("pos"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("plen"),
+    )
+    # integer credit numerators at scale 60 (lcm-friendly):
+    # linear -> 60/plen each; U-shaped -> 24/24/12-split middles;
+    # first/last -> 60 on the endpoint
+    buckets = pos.select(
+        "event_type",
+        "plen",
+        F.expr("CASE WHEN pos = 1 THEN 60 ELSE 0 END").alias("fir"),
+        F.expr("CASE WHEN pos = plen THEN 60 ELSE 0 END").alias("las"),
+        F.expr(
+            "CASE WHEN plen = 1 THEN 60"
+            " WHEN pos = 1 OR pos = plen THEN 24"
+            " ELSE 0 END"
+        ).alias("u_end"),
+        F.expr(
+            "CASE WHEN plen > 2 AND pos > 1 AND pos < plen"
+            " THEN 1 ELSE 0 END"
+        ).alias("u_mid"),
+        F.expr(
+            "CASE WHEN plen = 2 AND (pos = 1 OR pos = plen)"
+            " THEN 6 ELSE 0 END"
+        ).alias("u_two"),
+    )
+    per = buckets.groupBy("event_type", "plen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("fir").cast("bigint").alias("fir"),
+        F.sum("las").cast("bigint").alias("las"),
+        F.sum("u_end").cast("bigint").alias("u_end"),
+        F.sum("u_mid").cast("bigint").alias("u_mid"),
+        F.sum("u_two").cast("bigint").alias("u_two"),
+    )
+    out = per.groupBy("event_type").agg(
+        F.sum("n_touches").cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(F.expr("CAST(fir AS DOUBLE) / 60.0")), 6
+        ).alias("first_touch"),
+        F.round(
+            F.sum(F.expr("CAST(las AS DOUBLE) / 60.0")), 6
+        ).alias("last_touch"),
+        F.round(
+            F.sum(F.expr("CAST(n_touches AS DOUBLE) / plen")), 6
+        ).alias("linear"),
+        F.round(
+            F.sum(
+                F.expr(
+                    "CAST(u_end AS DOUBLE) / 60.0"
+                    " + CAST(u_two AS DOUBLE) / 60.0"
+                    " + CASE WHEN plen > 2 THEN CAST(u_mid AS DOUBLE)"
+                    "   * 12.0 / (60.0 * (plen - 2)) ELSE 0.0 END"
+                )
+            ),
+            6,
+        ).alias("u_shaped"),
+    )
+    return out
+
+
+SQL_ATTRIBUTION_MULTI = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+  FROM events
+), buys AS (
+  SELECT user_id, us AS buy_us, event_id AS buy_id
+  FROM ev WHERE event_type = 'purchase'
+), path AS (
+  SELECT b.buy_id, t.event_type, t.us, t.event_id
+  FROM buys b JOIN ev t ON b.user_id = t.user_id
+  WHERE t.event_type <> 'purchase'
+    AND t.us < b.buy_us
+    AND t.us >= b.buy_us - CAST(7 AS BIGINT) * 86400 * 1000000
+), pos AS (
+  SELECT buy_id, event_type,
+         CAST(row_number() OVER (PARTITION BY buy_id
+              ORDER BY us, event_id) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY buy_id) AS BIGINT) AS plen
+  FROM path
+), buckets AS (
+  SELECT event_type, plen,
+         CASE WHEN pos = 1 THEN 60 ELSE 0 END AS fir,
+         CASE WHEN pos = plen THEN 60 ELSE 0 END AS las,
+         CASE WHEN plen = 1 THEN 60
+              WHEN pos = 1 OR pos = plen THEN 24
+              ELSE 0 END AS u_end,
+         CASE WHEN plen > 2 AND pos > 1 AND pos < plen
+              THEN 1 ELSE 0 END AS u_mid,
+         CASE WHEN plen = 2 AND (pos = 1 OR pos = plen)
+              THEN 6 ELSE 0 END AS u_two
+  FROM pos
+), per AS (
+  SELECT event_type, plen,
+         CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(sum(fir) AS BIGINT) AS fir,
+         CAST(sum(las) AS BIGINT) AS las,
+         CAST(sum(u_end) AS BIGINT) AS u_end,
+         CAST(sum(u_mid) AS BIGINT) AS u_mid,
+         CAST(sum(u_two) AS BIGINT) AS u_two
+  FROM buckets GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(n_touches) AS BIGINT) AS n_touches,
+       round(sum(CAST(fir AS DOUBLE) / 60.0), 6) AS first_touch,
+       round(sum(CAST(las AS DOUBLE) / 60.0), 6) AS last_touch,
+       round(sum(CAST(n_touches AS DOUBLE) / plen), 6) AS linear,
+       round(sum(CAST(u_end AS DOUBLE) / 60.0
+                 + CAST(u_two AS DOUBLE) / 60.0
+                 + CASE WHEN plen > 2 THEN CAST(u_mid AS DOUBLE)
+                   * 12.0 / (60.0 * (plen - 2)) ELSE 0.0 END), 6)
+         AS u_shaped
+FROM per GROUP BY 1
+"""
+
+
+def q_tukey_kramer(spark, sf_dir):
+    """TUKEY-KRAMER studentized-range statistics for all pairwise
+    mean comparisons after `dow_anova`'s omnibus F: q_ij =
+    |mean_i - mean_j| / sqrt(MSE/2 * (1/n_i + 1/n_j)) across event
+    types — the parametric post-hoc twin of `dunn_posthoc` (critical
+    values come from the studentized-range table offline; the
+    statistic itself is the distributed part).
+
+    MSE = pooled within-group variance from exact cent sums and
+    squared sums; the 10-pair fold is O(k^2) on the per-type
+    aggregate."""
+    e = _t(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("q"),
+        )
+    )
+    mse = per.agg(
+        F.sum(
+            F.expr(
+                "CAST(q AS DOUBLE) - pow(CAST(s AS DOUBLE), 2) / n"
+            )
+        ).alias("ssw"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    ).select(
+        F.expr("ssw / (nn - k) / 10000.0").alias("mse"),
+        F.expr("CAST(nn - k AS BIGINT)").alias("df_within"),
+    )
+    a = per.alias("a")
+    b = per.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.expr("a.event_type < b.event_type"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            "df_within",
+            F.round(
+                F.expr(
+                    "abs(CAST(a.s AS DOUBLE) / (100.0 * a.n)"
+                    " - CAST(b.s AS DOUBLE) / (100.0 * b.n))"
+                ),
+                6,
+            ).alias("mean_diff"),
+            F.round(
+                F.expr(
+                    "abs(CAST(a.s AS DOUBLE) / (100.0 * a.n)"
+                    " - CAST(b.s AS DOUBLE) / (100.0 * b.n))"
+                    " / sqrt(mse / 2.0 * (1.0 / a.n + 1.0 / b.n))"
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+    )
+
+
+SQL_TUKEY_KRAMER = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM events GROUP BY 1
+), mse AS (
+  SELECT sum(CAST(q AS DOUBLE) - pow(CAST(s AS DOUBLE), 2) / n)
+           / (sum(n) - count(*)) / 10000.0 AS mse,
+         CAST(sum(n) - count(*) AS BIGINT) AS df_within
+  FROM per
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b, df_within,
+       round(abs(CAST(a.s AS DOUBLE) / (100.0 * a.n)
+                 - CAST(b.s AS DOUBLE) / (100.0 * b.n)), 6)
+         AS mean_diff,
+       round(abs(CAST(a.s AS DOUBLE) / (100.0 * a.n)
+                 - CAST(b.s AS DOUBLE) / (100.0 * b.n))
+             / sqrt(mse / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6)
+         AS q_stat
+FROM per a JOIN per b ON a.event_type < b.event_type
+CROSS JOIN mse
+"""
+
+
+def q_trim_sweep(spark, sf_dir):
+    """TRIM-LEVEL SENSITIVITY SWEEP: the two-sided trimmed mean of
+    purchase ``value`` at alpha = 1%, 5%, 10%, 25% from ONE ranked
+    pass — how fast does the location estimate move as the tails
+    come off (a robust-stats diagnostic; `trimmed_stats` fixes
+    alpha=10%, this is its sensitivity curve). Ranks are
+    deterministic (cents, event_id) row_numbers; each alpha is a
+    conditional exact-bigint sum over integer rank cuts."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.orderBy("cents", "event_id")
+    r = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .select(
+            "cents",
+            F.row_number().over(wo).cast("bigint").alias("rn"),
+        )
+    )
+    n_row = r.agg(F.max("rn").alias("n"))
+    alphas = spark.createDataFrame(
+        [(1,), (5,), (10,), (25,)], "alpha_pct int"
+    )
+    per = (
+        r.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(alphas))
+        .withColumn("k", F.expr("CAST(n * alpha_pct div 100 AS BIGINT)"))
+        .where(F.expr("rn > k AND rn <= n - k"))
+        .groupBy("alpha_pct")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k_cut"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("cents").cast("bigint").alias("s"),
+        )
+    )
+    return per.select(
+        "alpha_pct",
+        "n",
+        "k_cut",
+        "n_kept",
+        F.round(
+            F.expr("CAST(s AS DOUBLE) / (100.0 * n_kept)"), 6
+        ).alias("trimmed_mean"),
+    )
+
+
+SQL_TRIM_SWEEP = """
+WITH r AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+           AS BIGINT) AS rn
+  FROM events WHERE event_type = 'purchase'
+), n_row AS (
+  SELECT max(rn) AS n FROM r
+), alphas AS (
+  SELECT unnest([1, 5, 10, 25]) AS alpha_pct
+), per AS (
+  SELECT alpha_pct, max(n) AS n,
+         max(n * alpha_pct // 100) AS k_cut,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM r CROSS JOIN n_row CROSS JOIN alphas
+  WHERE rn > n * alpha_pct // 100
+    AND rn <= n - n * alpha_pct // 100
+  GROUP BY 1
+)
+SELECT alpha_pct, n, k_cut, n_kept,
+       round(CAST(s AS DOUBLE) / (100.0 * n_kept), 6)
+         AS trimmed_mean
+FROM per
+"""
+
+
+def q_funnel_significance(spark, sf_dir):
+    """FUNNEL STEP SIGNIFICANCE: per consecutive step of the
+    view -> click -> signup -> purchase user funnel, the conversion
+    rate AND the two-proportion z of this step's conversion vs the
+    PREVIOUS step's (pooled SE) — `session_funnel` counts the
+    funnel; this says which drop-offs are statistically real.
+
+    Funnel depth is UNORDERED PRESENCE (a user "reaches" depth s by
+    touching s of the four funnel types — the loose funnel;
+    `session_funnel` does the ordered one). One distinct
+    (user, type) presence pass; step user counts are exact bigints;
+    the z fold runs on the O(steps) table via a lag window."""
+    e = _t(spark, sf_dir, "events")
+    pres = e.select("user_id", "event_type").distinct()
+    steps = spark.createDataFrame(
+        [(1, "view"), (2, "click"), (3, "signup"), (4, "purchase")],
+        "step int, event_type string",
+    )
+    ucnt = (
+        pres.join(F.broadcast(steps), "event_type")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("reach"))
+    )
+    reach = ucnt.groupBy().agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN reach >= {s} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"r{s}")
+            for s in (1, 2, 3, 4)
+        ]
+    )
+    long = reach.selectExpr(
+        "stack(4, 1, r1, 2, r2, 3, r3, 4, r4)"
+        " AS (step, n_users)"
+    )
+    wl = Window.orderBy("step")
+    out = long.select(
+        "step",
+        "n_users",
+        F.lag("n_users", 1).over(wl).alias("prev_users"),
+        F.lag("n_users", 2).over(wl).alias("prev2_users"),
+    ).select(
+        "step",
+        "n_users",
+        F.round(
+            F.expr(
+                "CAST(n_users AS DOUBLE) / nullif(prev_users, 0)"
+            ),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.expr(
+                "CASE WHEN prev2_users IS NULL THEN NULL ELSE"
+                " (CAST(prev_users AS DOUBLE) / nullif(prev2_users, 0)"
+                "  - CAST(n_users AS DOUBLE) / nullif(prev_users, 0))"
+                " / nullif(sqrt((CAST(prev_users + n_users AS DOUBLE)"
+                "         / (prev2_users + prev_users))"
+                "        * (1.0 - CAST(prev_users + n_users AS DOUBLE)"
+                "           / (prev2_users + prev_users))"
+                "        * (1.0 / nullif(CAST(prev2_users AS DOUBLE), 0.0)"
+                "           + 1.0 / nullif(CAST(prev_users AS DOUBLE), 0.0)))"
+                ", 0.0) END"
+            ),
+            6,
+        ).alias("z_vs_prev_step"),
+    )
+    return out
+
+
+SQL_FUNNEL_SIGNIFICANCE = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), steps AS (
+  SELECT 1 AS step, 'view' AS event_type
+  UNION ALL SELECT 2, 'click'
+  UNION ALL SELECT 3, 'signup'
+  UNION ALL SELECT 4, 'purchase'
+), per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS reach
+  FROM pres JOIN steps USING (event_type)
+  GROUP BY 1
+), reach AS (
+  SELECT s.step,
+         CAST((SELECT count(*) FROM per_user
+               WHERE reach >= s.step) AS BIGINT) AS n_users
+  FROM (SELECT DISTINCT step FROM steps) s
+), lagged AS (
+  SELECT step, n_users,
+         lag(n_users) OVER (ORDER BY step) AS prev_users,
+         lag(n_users, 2) OVER (ORDER BY step) AS prev2_users
+  FROM reach
+)
+SELECT step, n_users,
+       round(CAST(n_users AS DOUBLE) / nullif(prev_users, 0), 6)
+         AS conv_from_prev,
+       round(CASE WHEN prev2_users IS NULL THEN NULL ELSE
+             (CAST(prev_users AS DOUBLE) / nullif(prev2_users, 0)
+              - CAST(n_users AS DOUBLE) / nullif(prev_users, 0))
+             / nullif(sqrt((CAST(prev_users + n_users AS DOUBLE)
+                     / (prev2_users + prev_users))
+                    * (1.0 - CAST(prev_users + n_users AS DOUBLE)
+                       / (prev2_users + prev_users))
+                    * (1.0 / nullif(CAST(prev2_users AS DOUBLE), 0.0)
+                       + 1.0 / nullif(CAST(prev_users AS DOUBLE), 0.0))),
+                      0.0)
+             END, 6) AS z_vs_prev_step
+FROM lagged
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -25040,6 +25616,20 @@ REGISTRY: dict[str, tuple] = {
     #    corpus LM features + embedding-space statistics (displaces
     #    six more r3 keys past 50 — ALL-GREEN in the committed
     #    sweeps) --
+    # -- new r3 continuation (this session): feature-eng pack #49 —
+    #    evaluation & parameter-sensitivity ops (displaces six more
+    #    r3 keys past 50 — ALL-GREEN in the committed sweeps;
+    #    sketch_error_eval is rows-only BY DESIGN: cross-engine
+    #    sketches legitimately differ) --
+    "sketch_error_eval": (q_sketch_error_eval, None),
+    "session_gap_sweep": (q_session_gap_sweep, SQL_SESSION_GAP_SWEEP),
+    "attribution_multi": (q_attribution_multi, SQL_ATTRIBUTION_MULTI),
+    "tukey_kramer": (q_tukey_kramer, SQL_TUKEY_KRAMER),
+    "trim_sweep": (q_trim_sweep, SQL_TRIM_SWEEP),
+    "funnel_significance": (
+        q_funnel_significance,
+        SQL_FUNNEL_SIGNIFICANCE,
+    ),
     "bigram_lm_ppl": (q_bigram_lm_ppl, SQL_BIGRAM_LM_PPL),
     "trigram_coverage": (q_trigram_coverage, SQL_TRIGRAM_COVERAGE),
     "rare_token_share": (q_rare_token_share, SQL_RARE_TOKEN_SHARE),
