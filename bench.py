@@ -361,6 +361,11 @@ HEADLINE = [
     "tukey_kramer",
     "trim_sweep",
     "funnel_significance",
+    # added r3 continuation: pack #50 (sources/sinks + concentration)
+    "scan_jsonl",
+    "partitioned_roundtrip",
+    "daily_gini",
+    "value_share_topk",
 ]
 
 

@@ -25468,6 +25468,281 @@ FROM lagged
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #50: JSONL source, partitioned-sink pruned
+# roundtrip, daily activity Gini, top-k revenue share
+# --------------------------------------------------------------------------
+
+def q_scan_jsonl(spark, sf_dir):
+    """JSONL (newline-delimited JSON) SOURCE: materialize a small
+    deterministic manifest as .jsonl in a fresh tempdir, read it
+    back with an EXPLICIT schema (schema inference is a scan tax at
+    100 TB — never pay it twice), and join against the events
+    aggregate — the third text-source face next to `scan_csv` and
+    `scan_xml`. The manifest is per-call tempdir-scoped (no shared
+    /tmp path, the scan_csv lesson)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    tmpdir = _tempfile.mkdtemp(prefix="crawlfe_jsonl_")
+    rows = [
+        {"event_type": "view", "tier": "low", "weight": 1},
+        {"event_type": "click", "tier": "mid", "weight": 2},
+        {"event_type": "signup", "tier": "mid", "weight": 3},
+        {"event_type": "purchase", "tier": "high", "weight": 5},
+        {"event_type": "error", "tier": "low", "weight": 0},
+    ]
+    path = _os.path.join(tmpdir, "manifest.jsonl")
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(_json.dumps(r, sort_keys=True) + "\n")
+    man = spark.read.schema(
+        "event_type string, tier string, weight bigint"
+    ).json(path)
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        agg.join(F.broadcast(man), "event_type")
+        .select(
+            "event_type",
+            "tier",
+            "weight",
+            "n",
+            F.expr("CAST(weight * n AS BIGINT)").alias("weighted_n"),
+        )
+    )
+
+
+SQL_SCAN_JSONL = """
+WITH man AS (
+  SELECT 'view' AS event_type, 'low' AS tier,
+         CAST(1 AS BIGINT) AS weight
+  UNION ALL SELECT 'click', 'mid', 2
+  UNION ALL SELECT 'signup', 'mid', 3
+  UNION ALL SELECT 'purchase', 'high', 5
+  UNION ALL SELECT 'error', 'low', 0
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT agg.event_type, man.tier, man.weight, agg.n,
+       CAST(man.weight * agg.n AS BIGINT) AS weighted_n
+FROM agg JOIN man USING (event_type)
+"""
+
+
+def q_partitioned_roundtrip(spark, sf_dir):
+    """PARTITIONED SINK + PRUNED SCAN roundtrip: write the events
+    aggregate partitioned by event_type to a fresh tempdir, read it
+    back with a partition filter, and verify the pruned slice — the
+    write-side layout contract of a 100 TB table (partition columns
+    become directories; the read back scans ONE directory, which
+    tests/test_plans-style pruning assertions rely on).
+
+    The written payload is the tiny per-(type, day) aggregate, not
+    raw rows; the roundtrip proves sink/scan fidelity, the oracle
+    recomputes the same slice relationally."""
+    import tempfile as _tempfile
+
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type",
+        F.dayofmonth("ts").cast("int").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    out = _tempfile.mkdtemp(prefix="crawlfe_part_rt_")
+    agg.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = (
+        spark.read.parquet(out)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "cents",
+            F.expr("CAST(cents AS DOUBLE) / (100.0 * n)").alias(
+                "mean_value"
+            ),
+        )
+    )
+    return back
+
+
+SQL_PARTITIONED_ROUNDTRIP = """
+SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS mean_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+def q_daily_gini(spark, sf_dir):
+    """DAILY ACTIVITY GINI per event type — how concentrated is a
+    type's traffic across the days of the month (0 = perfectly even,
+    ->1 = one burst day)? The temporal-concentration twin of
+    `lorenz_curve` (which bins users by value). Exact integer
+    machinery: counts ranked by (count, day), Gini =
+    (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — all bigint sums on
+    the tiny dense daily grid, one float division."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    types = e.select("event_type").distinct()
+    raw = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("c", "day")
+    ranked = grid.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("i * c")).cast("bigint").alias("si"),
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.round(
+            F.expr(
+                "(2.0 * si - (n_days + 1.0) * s)"
+                " / (CAST(n_days AS DOUBLE) * s)"
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_DAILY_GINI = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, d.day, CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN days d
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = d.day
+), ranked AS (
+  SELECT event_type, c,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY c, day) AS BIGINT) AS i
+  FROM grid
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(i * c) AS BIGINT) AS si
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_days, s AS n_events,
+       round((2.0 * si - (n_days + 1.0) * s)
+             / (CAST(n_days AS DOUBLE) * s), 6) AS gini
+FROM per
+"""
+
+
+def q_value_share_topk(spark, sf_dir):
+    """TOP-K REVENUE SHARE: the fraction of total purchase revenue
+    contributed by the top 10 / 100 / 1000 single purchases — the
+    whale-dependence metric every revenue review opens with
+    (`lorenz_curve` gives user deciles; this is the head of the
+    transaction distribution). Exact: cumulative cent sums over the
+    (cents desc, event_id) rank window, three conditional folds."""
+    e = _t(spark, sf_dir, "events")
+    wr = Window.orderBy(F.col("cents").desc(), F.col("event_id").asc())
+    ranked = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .select(
+            "cents",
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    per = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.expr("CASE WHEN rk <= k THEN cents ELSE 0 END"))
+            .cast("bigint")
+            .alias("topk_cents"),
+        )
+    )
+    return per.select(
+        "k",
+        "n_purchases",
+        F.expr("CAST(total_cents AS DOUBLE) / 100.0").alias(
+            "total_value"
+        ),
+        F.expr("CAST(topk_cents AS DOUBLE) / 100.0").alias(
+            "topk_value"
+        ),
+        F.round(
+            F.expr("CAST(topk_cents AS DOUBLE) / total_cents"), 6
+        ).alias("topk_share"),
+    )
+
+
+SQL_VALUE_SHARE_TOPK = """
+WITH ranked AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                    event_id ASC) AS BIGINT) AS rk
+  FROM events WHERE event_type = 'purchase'
+), ks AS (
+  SELECT CAST(k AS INTEGER) AS k FROM (VALUES (10), (100), (1000)) t(k)
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value,
+       CAST(sum(CASE WHEN rk <= k THEN cents ELSE 0 END) AS DOUBLE)
+         / 100.0 AS topk_value,
+       round(CAST(sum(CASE WHEN rk <= k THEN cents ELSE 0 END)
+                  AS DOUBLE) / sum(cents), 6) AS topk_share
+FROM ranked CROSS JOIN ks
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -25621,6 +25896,17 @@ REGISTRY: dict[str, tuple] = {
     #    r3 keys past 50 — ALL-GREEN in the committed sweeps;
     #    sketch_error_eval is rows-only BY DESIGN: cross-engine
     #    sketches legitimately differ) --
+    # -- new r3 continuation (this session): feature-eng pack #50 —
+    #    JSONL source, partitioned-sink pruned roundtrip, temporal
+    #    concentration, whale share (displaces four more r3 keys
+    #    past 50 — ALL-GREEN in the committed sweeps) --
+    "scan_jsonl": (q_scan_jsonl, SQL_SCAN_JSONL),
+    "partitioned_roundtrip": (
+        q_partitioned_roundtrip,
+        SQL_PARTITIONED_ROUNDTRIP,
+    ),
+    "daily_gini": (q_daily_gini, SQL_DAILY_GINI),
+    "value_share_topk": (q_value_share_topk, SQL_VALUE_SHARE_TOPK),
     "sketch_error_eval": (q_sketch_error_eval, None),
     "session_gap_sweep": (q_session_gap_sweep, SQL_SESSION_GAP_SWEEP),
     "attribution_multi": (q_attribution_multi, SQL_ATTRIBUTION_MULTI),
