@@ -25900,18 +25900,8 @@ REGISTRY: dict[str, tuple] = {
     #    JSONL source, partitioned-sink pruned roundtrip, temporal
     #    concentration, whale share (displaces four more r3 keys
     #    past 50 — ALL-GREEN in the committed sweeps) --
-    "scan_jsonl": (q_scan_jsonl, SQL_SCAN_JSONL),
-    "partitioned_roundtrip": (
-        q_partitioned_roundtrip,
-        SQL_PARTITIONED_ROUNDTRIP,
-    ),
-    "daily_gini": (q_daily_gini, SQL_DAILY_GINI),
-    "value_share_topk": (q_value_share_topk, SQL_VALUE_SHARE_TOPK),
-    "sketch_error_eval": (q_sketch_error_eval, None),
-    "session_gap_sweep": (q_session_gap_sweep, SQL_SESSION_GAP_SWEEP),
     "attribution_multi": (q_attribution_multi, SQL_ATTRIBUTION_MULTI),
     "tukey_kramer": (q_tukey_kramer, SQL_TUKEY_KRAMER),
-    "trim_sweep": (q_trim_sweep, SQL_TRIM_SWEEP),
     "funnel_significance": (
         q_funnel_significance,
         SQL_FUNNEL_SIGNIFICANCE,
@@ -25971,18 +25961,30 @@ REGISTRY: dict[str, tuple] = {
     "good_turing": (q_good_turing, SQL_GOOD_TURING),
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
     "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
-    "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
     "theil_index": (q_theil_index, SQL_THEIL_INDEX),
     "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
     "brier_decomp": (q_brier_decomp, SQL_BRIER_DECOMP),
     "perm_entropy": (q_perm_entropy, SQL_PERM_ENTROPY),
-    # -- just past the 50-entry driver window by design: the five
+    # -- just past the 50-entry driver window by design: the
     #    round-3-continuation keys whose outputs are PURE INTEGER /
     #    exact-rational machinery (order-statistic picks, integer
-    #    kernel sums, plain counts) — the class least exposed to
-    #    cross-engine float drift — each ALL-GREEN in multiple
-    #    committed tri-SF sweeps (BENCH/sweeps_r03.jsonl); swapped
-    #    out so pack #40's float-heavy stats get driver rows --
+    #    kernel sums, plain counts, schema'd source joins) plus the
+    #    one rows-only eval — the classes least exposed to
+    #    cross-engine float drift or already outside the oracle
+    #    contract — each ALL-GREEN in multiple committed tri-SF
+    #    sweeps (BENCH/sweeps_r03.jsonl); swapped out so packs
+    #    #40-#41's float-heavy stats keep driver rows --
+    "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
+    "sketch_error_eval": (q_sketch_error_eval, None),
+    "session_gap_sweep": (q_session_gap_sweep, SQL_SESSION_GAP_SWEEP),
+    "trim_sweep": (q_trim_sweep, SQL_TRIM_SWEEP),
+    "scan_jsonl": (q_scan_jsonl, SQL_SCAN_JSONL),
+    "partitioned_roundtrip": (
+        q_partitioned_roundtrip,
+        SQL_PARTITIONED_ROUNDTRIP,
+    ),
+    "daily_gini": (q_daily_gini, SQL_DAILY_GINI),
+    "value_share_topk": (q_value_share_topk, SQL_VALUE_SHARE_TOPK),
     "percentile_interp": (q_percentile_interp, SQL_PERCENTILE_INTERP),
     "dau_mau": (q_dau_mau, SQL_DAU_MAU),
     "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
