@@ -366,6 +366,13 @@ HEADLINE = [
     "partitioned_roundtrip",
     "daily_gini",
     "value_share_topk",
+    # added r3 continuation: pack #51 (experimentation suite)
+    "diff_in_diff",
+    "srm_check",
+    "mde_power",
+    "covariate_balance",
+    "effect_trend",
+    "retention_by_arm",
 ]
 
 

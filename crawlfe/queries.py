@@ -25743,6 +25743,549 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #51: experimentation suite — diff-in-diff, sample
+# ratio mismatch, minimum detectable effect, covariate balance,
+# effect trend, retention by arm
+# --------------------------------------------------------------------------
+
+def q_diff_in_diff(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES estimator on the deterministic
+    even/odd user arms: the change in purchase rate from week 1 to
+    week 4 in the "treatment" arm minus the same change in the
+    "control" arm — the workhorse quasi-experimental estimator
+    (`two_prop_z` compares one slice; this nets out the common
+    trend). SE from the four independent binomial cells. Exact
+    bigint cell counts; one 4-cell float fold."""
+    e = _t(spark, sf_dir, "events")
+    base = e.where(
+        F.expr("dayofmonth(ts) <= 7 OR dayofmonth(ts) BETWEEN 22 AND 28")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr(
+            "CASE WHEN dayofmonth(ts) <= 7 THEN 1 ELSE 4 END"
+        ).alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("buy"),
+    )
+    cells = base.groupBy("arm", "wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("buy").cast("bigint").alias("b"),
+    )
+    wide = (
+        cells.groupBy()
+        .pivot("arm", [0, 1])
+        .agg(
+            F.sum(
+                F.when(F.col("wk") == 1, F.col("n"))
+            ).alias("n1"),
+            F.sum(
+                F.when(F.col("wk") == 1, F.col("b"))
+            ).alias("b1"),
+            F.sum(
+                F.when(F.col("wk") == 4, F.col("n"))
+            ).alias("n4"),
+            F.sum(
+                F.when(F.col("wk") == 4, F.col("b"))
+            ).alias("b4"),
+        )
+    )
+    c = wide.select(
+        F.expr("CAST(`0_b1` AS DOUBLE) / `0_n1`").alias("c_w1"),
+        F.expr("CAST(`0_b4` AS DOUBLE) / `0_n4`").alias("c_w4"),
+        F.expr("CAST(`1_b1` AS DOUBLE) / `1_n1`").alias("t_w1"),
+        F.expr("CAST(`1_b4` AS DOUBLE) / `1_n4`").alias("t_w4"),
+        F.expr(
+            "CAST(`0_b1` AS DOUBLE) / `0_n1`"
+            " * (1.0 - CAST(`0_b1` AS DOUBLE) / `0_n1`) / `0_n1`"
+            " + CAST(`0_b4` AS DOUBLE) / `0_n4`"
+            " * (1.0 - CAST(`0_b4` AS DOUBLE) / `0_n4`) / `0_n4`"
+            " + CAST(`1_b1` AS DOUBLE) / `1_n1`"
+            " * (1.0 - CAST(`1_b1` AS DOUBLE) / `1_n1`) / `1_n1`"
+            " + CAST(`1_b4` AS DOUBLE) / `1_n4`"
+            " * (1.0 - CAST(`1_b4` AS DOUBLE) / `1_n4`) / `1_n4`"
+        ).alias("var_did"),
+    )
+    return c.select(
+        F.round("c_w1", 6).alias("control_w1"),
+        F.round("c_w4", 6).alias("control_w4"),
+        F.round("t_w1", 6).alias("treat_w1"),
+        F.round("t_w4", 6).alias("treat_w4"),
+        F.round(
+            F.expr("(t_w4 - t_w1) - (c_w4 - c_w1)"), 6
+        ).alias("did_estimate"),
+        F.round(F.expr("sqrt(var_did)"), 6).alias("se_did"),
+        F.round(
+            F.expr(
+                "((t_w4 - t_w1) - (c_w4 - c_w1)) / sqrt(var_did)"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_DIFF_IN_DIFF = """
+WITH base AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CASE WHEN day(ts) <= 7 THEN 1 ELSE 4 END AS wk,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS buy
+  FROM events
+  WHERE day(ts) <= 7 OR day(ts) BETWEEN 22 AND 28
+), cells AS (
+  SELECT arm, wk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(buy) AS BIGINT) AS b
+  FROM base GROUP BY 1, 2
+), w AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND wk = 1 THEN CAST(b AS DOUBLE) / n END)
+      AS c_w1,
+    max(CASE WHEN arm = 0 AND wk = 4 THEN CAST(b AS DOUBLE) / n END)
+      AS c_w4,
+    max(CASE WHEN arm = 1 AND wk = 1 THEN CAST(b AS DOUBLE) / n END)
+      AS t_w1,
+    max(CASE WHEN arm = 1 AND wk = 4 THEN CAST(b AS DOUBLE) / n END)
+      AS t_w4,
+    max(CASE WHEN arm = 0 AND wk = 1 THEN
+        CAST(b AS DOUBLE) / n * (1.0 - CAST(b AS DOUBLE) / n) / n
+        END)
+    + max(CASE WHEN arm = 0 AND wk = 4 THEN
+        CAST(b AS DOUBLE) / n * (1.0 - CAST(b AS DOUBLE) / n) / n
+        END)
+    + max(CASE WHEN arm = 1 AND wk = 1 THEN
+        CAST(b AS DOUBLE) / n * (1.0 - CAST(b AS DOUBLE) / n) / n
+        END)
+    + max(CASE WHEN arm = 1 AND wk = 4 THEN
+        CAST(b AS DOUBLE) / n * (1.0 - CAST(b AS DOUBLE) / n) / n
+        END) AS var_did
+  FROM cells
+)
+SELECT round(c_w1, 6) AS control_w1, round(c_w4, 6) AS control_w4,
+       round(t_w1, 6) AS treat_w1, round(t_w4, 6) AS treat_w4,
+       round((t_w4 - t_w1) - (c_w4 - c_w1), 6) AS did_estimate,
+       round(sqrt(var_did), 6) AS se_did,
+       round(((t_w4 - t_w1) - (c_w4 - c_w1)) / sqrt(var_did), 6)
+         AS z
+FROM w
+"""
+
+
+def q_srm_check(spark, sf_dir):
+    """SAMPLE RATIO MISMATCH check per day: is the even/odd user-arm
+    split of daily USERS consistent with the designed 50/50? The #1
+    silent A/B-test killer; z = (n1 - n0)/sqrt(n1 + n0) per day plus
+    the month-level fold — any |z| blowup means assignment is
+    broken, not the metric. Exact distinct-user counts; floats only
+    in the O(days) fold."""
+    e = _t(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .select(
+            "day", (F.col("user_id") % 2).cast("bigint").alias("arm")
+        )
+    )
+    per = du.groupBy("day").agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum("arm").cast("bigint").alias("n1"),
+    )
+    return per.select(
+        "day",
+        "n0",
+        "n1",
+        F.round(
+            F.expr(
+                "(CAST(n1 AS DOUBLE) - n0) / sqrt(CAST(n1 + n0"
+                " AS DOUBLE))"
+            ),
+            6,
+        ).alias("z_srm"),
+    )
+
+
+SQL_SRM_CHECK = """
+WITH du AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day, user_id
+  FROM events
+), per AS (
+  SELECT day,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1
+  FROM du GROUP BY 1
+)
+SELECT day, n0, n1,
+       round((CAST(n1 AS DOUBLE) - n0)
+             / sqrt(CAST(n1 + n0 AS DOUBLE)), 6) AS z_srm
+FROM per
+"""
+
+
+def q_mde_power(spark, sf_dir):
+    """MINIMUM DETECTABLE EFFECT at 80% power / 95% two-sided
+    confidence for the CURRENT per-arm sample sizes, per event-type
+    conversion metric: MDE = (1.96 + 0.8416) * sqrt(2*p*(1-p)/n_arm)
+    — the "is this experiment even worth running" table every
+    platform precomputes. Exact user/converter counts; the MDE
+    expression is one deterministic float per row."""
+    e = _t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    n_arm = users.agg(
+        F.sum(
+            F.expr("CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_treat")
+    )
+    conv = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conv"))
+    )
+    n_users = users.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    return (
+        conv.crossJoin(F.broadcast(n_users))
+        .crossJoin(F.broadcast(n_arm))
+        .select(
+            "event_type",
+            F.col("nu").alias("n_users"),
+            "n_conv",
+            F.round(
+                F.expr("CAST(n_conv AS DOUBLE) / nu"), 6
+            ).alias("base_rate"),
+            F.round(
+                F.expr(
+                    "(1.96 + 0.8416)"
+                    " * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / nu)"
+                    "   * (1.0 - CAST(n_conv AS DOUBLE) / nu)"
+                    "   / n_treat)"
+                ),
+                6,
+            ).alias("mde_abs"),
+            F.round(
+                F.expr(
+                    "(1.96 + 0.8416)"
+                    " * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / nu)"
+                    "   * (1.0 - CAST(n_conv AS DOUBLE) / nu)"
+                    "   / n_treat)"
+                    " / (CAST(n_conv AS DOUBLE) / nu)"
+                ),
+                6,
+            ).alias("mde_rel"),
+        )
+    )
+
+
+SQL_MDE_POWER = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), n_arm AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_treat,
+         CAST(count(*) AS BIGINT) AS nu
+  FROM users
+), conv AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_conv
+  FROM events GROUP BY 1
+)
+SELECT event_type, nu AS n_users, n_conv,
+       round(CAST(n_conv AS DOUBLE) / nu, 6) AS base_rate,
+       round((1.96 + 0.8416)
+             * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / nu)
+                    * (1.0 - CAST(n_conv AS DOUBLE) / nu)
+                    / n_treat), 6) AS mde_abs,
+       round((1.96 + 0.8416)
+             * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / nu)
+                    * (1.0 - CAST(n_conv AS DOUBLE) / nu)
+                    / n_treat)
+             / (CAST(n_conv AS DOUBLE) / nu), 6) AS mde_rel
+FROM conv CROSS JOIN n_arm
+"""
+
+
+def q_covariate_balance(spark, sf_dir):
+    """COVARIATE BALANCE between the even/odd user arms: the
+    standardized mean difference (SMD) of three per-user pre-period
+    covariates (week-1 event count, week-1 spend, week-1 active
+    days) — |SMD| < 0.1 is the standard "arms are comparable" gate
+    before any effect readout. Exact per-user integer covariates,
+    exact arm moment sums; the SMD fold is O(covariates)."""
+    e = _t(spark, sf_dir, "events")
+    pre = e.where(F.expr("dayofmonth(ts) <= 7"))
+    pu = pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+        F.countDistinct(F.dayofmonth("ts"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    long = pu.selectExpr(
+        "CAST(user_id % 2 AS INT) AS arm",
+        "stack(3, 'w1_events', cnt, 'w1_cents', cents,"
+        " 'w1_active_days', days) AS (covariate, x)",
+    )
+    per = long.groupBy("covariate", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("q"),
+    )
+    a0 = per.where(F.col("arm") == 0).select(
+        "covariate",
+        F.col("n").alias("n0"),
+        F.col("s").alias("s0"),
+        F.col("q").alias("q0"),
+    )
+    a1 = per.where(F.col("arm") == 1).select(
+        "covariate",
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    return a0.join(a1, "covariate").select(
+        "covariate",
+        "n0",
+        "n1",
+        F.round(
+            F.expr("CAST(s0 AS DOUBLE) / n0"), 6
+        ).alias("mean_control"),
+        F.round(
+            F.expr("CAST(s1 AS DOUBLE) / n1"), 6
+        ).alias("mean_treat"),
+        F.round(
+            F.expr(
+                "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+                " / sqrt((((CAST(q0 AS DOUBLE)"
+                "           - pow(CAST(s0 AS DOUBLE), 2) / n0)"
+                "          / (n0 - 1.0))"
+                "         + ((CAST(q1 AS DOUBLE)"
+                "             - pow(CAST(s1 AS DOUBLE), 2) / n1)"
+                "            / (n1 - 1.0))) / 2.0)"
+            ),
+            6,
+        ).alias("smd"),
+    )
+
+
+SQL_COVARIATE_BALANCE = """
+WITH pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(count(DISTINCT day(ts)) AS BIGINT) AS days
+  FROM events WHERE day(ts) <= 7
+  GROUP BY 1
+), long AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm, 'w1_events' AS covariate,
+         cnt AS x FROM pu
+  UNION ALL
+  SELECT CAST(user_id % 2 AS INTEGER), 'w1_cents', cents FROM pu
+  UNION ALL
+  SELECT CAST(user_id % 2 AS INTEGER), 'w1_active_days', days FROM pu
+), per AS (
+  SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM long GROUP BY 1, 2
+)
+SELECT a0.covariate, a0.n AS n0, a1.n AS n1,
+       round(CAST(a0.s AS DOUBLE) / a0.n, 6) AS mean_control,
+       round(CAST(a1.s AS DOUBLE) / a1.n, 6) AS mean_treat,
+       round((CAST(a1.s AS DOUBLE) / a1.n
+              - CAST(a0.s AS DOUBLE) / a0.n)
+             / sqrt((((CAST(a0.q AS DOUBLE)
+                       - pow(CAST(a0.s AS DOUBLE), 2) / a0.n)
+                      / (a0.n - 1.0))
+                     + ((CAST(a1.q AS DOUBLE)
+                         - pow(CAST(a1.s AS DOUBLE), 2) / a1.n)
+                        / (a1.n - 1.0))) / 2.0), 6) AS smd
+FROM (SELECT * FROM per WHERE arm = 0) a0
+JOIN (SELECT * FROM per WHERE arm = 1) a1 USING (covariate)
+"""
+
+
+def q_effect_trend(spark, sf_dir):
+    """EFFECT TREND (novelty/decay check): the weekly treatment-
+    minus-control purchase-rate gap across the four full weeks, plus
+    its exact least-squares slope over week index — a treatment
+    whose effect trends toward zero is novelty, not product. Exact
+    cell counts per (arm, week); the 4-point OLS slope uses the
+    closed integer-sum formula."""
+    e = _t(spark, sf_dir, "events")
+    base = e.where(F.expr("dayofmonth(ts) <= 28")).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr("CAST((dayofmonth(ts) - 1) div 7 + 1 AS INT)").alias(
+            "wk"
+        ),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("buy"),
+    )
+    cells = base.groupBy("wk", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("buy").cast("bigint").alias("b"),
+    )
+    per = cells.groupBy("wk").agg(
+        F.max(
+            F.when(F.col("arm") == 0, F.expr("CAST(b AS DOUBLE) / n"))
+        ).alias("rate_c"),
+        F.max(
+            F.when(F.col("arm") == 1, F.expr("CAST(b AS DOUBLE) / n"))
+        ).alias("rate_t"),
+    ).withColumn("gap", F.expr("rate_t - rate_c"))
+    slope = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("wk").cast("bigint").alias("sx"),
+        F.sum(F.expr("wk * wk")).cast("bigint").alias("sxx"),
+        F.sum("gap").alias("sy"),
+        F.sum(F.expr("wk * gap")).alias("sxy"),
+    ).select(
+        F.expr(
+            "(k * sxy - sx * sy)"
+            " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        ).alias("slope")
+    )
+    return per.crossJoin(F.broadcast(slope)).select(
+        F.col("wk").alias("week"),
+        F.round("rate_c", 6).alias("rate_control"),
+        F.round("rate_t", 6).alias("rate_treat"),
+        F.round("gap", 6).alias("effect_gap"),
+        F.round("slope", 6).alias("effect_slope"),
+    )
+
+
+SQL_EFFECT_TREND = """
+WITH base AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST((day(ts) - 1) // 7 + 1 AS INTEGER) AS wk,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS BIGINT) AS buy
+  FROM events WHERE day(ts) <= 28
+), cells AS (
+  SELECT wk, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(buy) AS BIGINT) AS b
+  FROM base GROUP BY 1, 2
+), per AS (
+  SELECT wk,
+         max(CASE WHEN arm = 0 THEN CAST(b AS DOUBLE) / n END)
+           AS rate_c,
+         max(CASE WHEN arm = 1 THEN CAST(b AS DOUBLE) / n END)
+           AS rate_t
+  FROM cells GROUP BY 1
+), g AS (
+  SELECT wk, rate_c, rate_t, rate_t - rate_c AS gap FROM per
+), slope AS (
+  SELECT (count(*) * sum(wk * gap) - sum(wk) * sum(gap))
+         / (CAST(count(*) AS DOUBLE) * sum(wk * wk)
+            - CAST(sum(wk) AS DOUBLE) * sum(wk)) AS slope
+  FROM g
+)
+SELECT wk AS week, round(rate_c, 6) AS rate_control,
+       round(rate_t, 6) AS rate_treat,
+       round(gap, 6) AS effect_gap,
+       round(slope, 6) AS effect_slope
+FROM g CROSS JOIN slope
+"""
+
+
+def q_retention_by_arm(spark, sf_dir):
+    """D7+ RETENTION BY ARM: of users active in week 1, the share
+    who come back 7+ days after their FIRST event, per even/odd arm,
+    with the two-proportion z — the guardrail metric read next to
+    any experiment's primary effect. Exact first/last-event
+    microsecond bounds per user; one per-user agg + one 2-row
+    fold."""
+    e = _t(spark, sf_dir, "events")
+    pu = e.groupBy("user_id").agg(
+        F.min(_us("ts")).alias("first_us"),
+        F.max(_us("ts")).alias("last_us"),
+        F.min(F.dayofmonth("ts")).cast("int").alias("first_day"),
+    )
+    cohort = pu.where(F.col("first_day") <= 7).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.expr(
+            "CASE WHEN last_us - first_us >= CAST(7 AS BIGINT)"
+            " * 86400 * 1000000 THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("retained"),
+    )
+    per = cohort.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("retained").cast("bigint").alias("r"),
+    )
+    a0 = per.where(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("r").alias("r0")
+    )
+    a1 = per.where(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("r").alias("r1")
+    )
+    return a0.crossJoin(a1).select(
+        "n0",
+        "n1",
+        F.round(F.expr("CAST(r0 AS DOUBLE) / n0"), 6).alias(
+            "retention_control"
+        ),
+        F.round(F.expr("CAST(r1 AS DOUBLE) / n1"), 6).alias(
+            "retention_treat"
+        ),
+        F.round(
+            F.expr(
+                "(CAST(r1 AS DOUBLE) / n1 - CAST(r0 AS DOUBLE) / n0)"
+                " / nullif(sqrt((CAST(r0 + r1 AS DOUBLE) / (n0 + n1))"
+                "   * (1.0 - CAST(r0 + r1 AS DOUBLE) / (n0 + n1))"
+                "   * (1.0 / n0 + 1.0 / n1)), 0.0)"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_RETENTION_BY_ARM = """
+WITH pu AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us,
+         CAST(min(day(ts)) AS INTEGER) AS first_day
+  FROM events GROUP BY 1
+), cohort AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(CASE WHEN last_us - first_us
+              >= CAST(7 AS BIGINT) * 86400 * 1000000
+              THEN 1 ELSE 0 END AS BIGINT) AS retained
+  FROM pu WHERE first_day <= 7
+), per AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(retained) AS BIGINT) AS r
+  FROM cohort GROUP BY 1
+)
+SELECT a0.n AS n0, a1.n AS n1,
+       round(CAST(a0.r AS DOUBLE) / a0.n, 6) AS retention_control,
+       round(CAST(a1.r AS DOUBLE) / a1.n, 6) AS retention_treat,
+       round((CAST(a1.r AS DOUBLE) / a1.n
+              - CAST(a0.r AS DOUBLE) / a0.n)
+             / nullif(sqrt((CAST(a0.r + a1.r AS DOUBLE)
+                            / (a0.n + a1.n))
+                           * (1.0 - CAST(a0.r + a1.r AS DOUBLE)
+                              / (a0.n + a1.n))
+                           * (1.0 / a0.n + 1.0 / a1.n)), 0.0), 6)
+         AS z
+FROM (SELECT * FROM per WHERE arm = 0) a0
+CROSS JOIN (SELECT * FROM per WHERE arm = 1) a1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -25927,6 +26470,15 @@ REGISTRY: dict[str, tuple] = {
     ),
     "hits_scores": (q_hits_scores, SQL_HITS_SCORES),
     "bipartite_proj": (q_bipartite_proj, SQL_BIPARTITE_PROJ),
+    # -- new r3 continuation (this session): feature-eng pack #51 —
+    #    experimentation suite (displaces six more r3 keys past 50 —
+    #    ALL-GREEN in the committed sweeps) --
+    "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
+    "srm_check": (q_srm_check, SQL_SRM_CHECK),
+    "mde_power": (q_mde_power, SQL_MDE_POWER),
+    "covariate_balance": (q_covariate_balance, SQL_COVARIATE_BALANCE),
+    "effect_trend": (q_effect_trend, SQL_EFFECT_TREND),
+    "retention_by_arm": (q_retention_by_arm, SQL_RETENTION_BY_ARM),
     "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
     "dunn_posthoc": (q_dunn_posthoc, SQL_DUNN_POSTHOC),
     "ansari_bradley": (q_ansari_bradley, SQL_ANSARI_BRADLEY),
