@@ -26517,15 +26517,17 @@ REGISTRY: dict[str, tuple] = {
     "decile_lift": (q_decile_lift, SQL_DECILE_LIFT),
     "brier_decomp": (q_brier_decomp, SQL_BRIER_DECOMP),
     "perm_entropy": (q_perm_entropy, SQL_PERM_ENTROPY),
-    # -- just past the 50-entry driver window by design: the
-    #    round-3-continuation keys whose outputs are PURE INTEGER /
-    #    exact-rational machinery (order-statistic picks, integer
-    #    kernel sums, plain counts, schema'd source joins) plus the
-    #    one rows-only eval — the classes least exposed to
-    #    cross-engine float drift or already outside the oracle
-    #    contract — each ALL-GREEN in multiple committed tri-SF
-    #    sweeps (BENCH/sweeps_r03.jsonl); swapped out so packs
-    #    #40-#41's float-heavy stats keep driver rows --
+    # -- just past the 50-entry driver window by design: first the
+    #    pack #40-#41 float stats that pack #51's six new keys
+    #    displaced (there are more float-bearing continuation keys
+    #    than window slots; every displaced key is ALL-GREEN in the
+    #    committed 371-key full-registry sf0.01 sweep at this HEAD
+    #    plus its own tri-SF sweeps — BENCH/sweeps_r03.jsonl), then
+    #    the keys whose outputs are PURE INTEGER / exact-rational
+    #    machinery (order-statistic picks, integer kernel sums,
+    #    plain counts, schema'd source joins) plus the one rows-only
+    #    eval — the classes least exposed to cross-engine float
+    #    drift or already outside the oracle contract --
     "trimmed_stats": (q_trimmed_stats, SQL_TRIMMED_STATS),
     "sketch_error_eval": (q_sketch_error_eval, None),
     "session_gap_sweep": (q_session_gap_sweep, SQL_SESSION_GAP_SWEEP),
