@@ -373,6 +373,10 @@ HEADLINE = [
     "covariate_balance",
     "effect_trend",
     "retention_by_arm",
+    # added r3 continuation: pack #52 (BI tables)
+    "share_of_parent",
+    "session_size_hist",
+    "cohort_ltv",
 ]
 
 

@@ -26286,6 +26286,272 @@ CROSS JOIN (SELECT * FROM per WHERE arm = 1) a1
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #52: share-of-parent rollup, session-size
+# histogram, cohort LTV
+# --------------------------------------------------------------------------
+
+def q_share_of_parent(spark, sf_dir):
+    """SHARE-OF-PARENT rollup over the source -> lang hierarchy of
+    the documents table: each (source, lang) cell's share of its
+    source, and each source's share of the corpus — the
+    percent-of-parent columns every drill-down BI table carries
+    (`agg_rollup` gives the totals; this gives the ratios). Two
+    window sums over the single (source, lang) aggregate; exact
+    bigint counts, two float divisions per row."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    return cell.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(ws).cast("bigint").alias("n_source"),
+        F.sum("n").over(wall).cast("bigint").alias("n_total"),
+    ).select(
+        "source",
+        "lang",
+        "n",
+        "n_source",
+        "n_total",
+        F.round(
+            F.expr("CAST(n AS DOUBLE) / n_source"), 6
+        ).alias("share_of_source"),
+        F.round(
+            F.expr("CAST(n_source AS DOUBLE) / n_total"), 6
+        ).alias("source_share_of_total"),
+    )
+
+
+SQL_SHARE_OF_PARENT = """
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n,
+       CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+       CAST(sum(n) OVER () AS BIGINT) AS n_total,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY source), 6)
+         AS share_of_source,
+       round(CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+             / sum(n) OVER (), 6) AS source_share_of_total
+FROM cell
+"""
+
+
+def q_session_size_hist(spark, sf_dir):
+    """SESSION SIZE HISTOGRAM at the 30-minute gap: how many
+    sessions have 1 / 2 / 3-5 / 6-10 / 11+ events — the shape
+    behind `session_gap_sweep`'s mean and the first diagnostic for
+    a sessionization bug (a spike at 1 means the gap is too tight).
+    Session ids via the standard lag -> start-flag -> running-sum
+    recipe (exact integers), then one size histogram."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = e.select(
+        "user_id",
+        _us("ts").alias("us"),
+        "event_id",
+    ).select(
+        "user_id",
+        "us",
+        "event_id",
+        F.when(
+            F.col("us") - F.lag("us", 1).over(wo) > 1800 * 1000000,
+            1,
+        )
+        .otherwise(
+            F.when(F.lag("us", 1).over(wo).isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("start"),
+    )
+    sess = lagged.select(
+        "user_id",
+        F.sum("start").over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("sid"),
+    )
+    sizes = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    bucketed = sizes.select(
+        F.expr(
+            "CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'"
+            " WHEN sz <= 5 THEN '3-5' WHEN sz <= 10 THEN '6-10'"
+            " ELSE '11+' END"
+        ).alias("size_bucket"),
+        "sz",
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions_total")
+    )
+    return (
+        bucketed.groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("sz").cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "size_bucket",
+            "n_sessions",
+            "n_events",
+            F.round(
+                F.expr(
+                    "CAST(n_sessions AS DOUBLE) / n_sessions_total"
+                ),
+                6,
+            ).alias("session_share"),
+        )
+    )
+
+
+SQL_SESSION_SIZE_HIST = """
+WITH lagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800 * 1000000 THEN 1
+              WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              ELSE 0 END AS start,
+         epoch_us(ts) AS us, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+  SELECT user_id,
+         CAST(sum(start) OVER (PARTITION BY user_id
+              ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+  FROM lagged
+), sizes AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS sz
+  FROM sess GROUP BY 1, 2
+), bucketed AS (
+  SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+              WHEN sz <= 5 THEN '3-5' WHEN sz <= 10 THEN '6-10'
+              ELSE '11+' END AS size_bucket, sz
+  FROM sizes
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sessions_total FROM bucketed
+)
+SELECT size_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(sz) AS BIGINT) AS n_events,
+       round(CAST(count(*) AS DOUBLE) / max(n_sessions_total), 6)
+         AS session_share
+FROM bucketed CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """COHORT LTV TABLE: bucket users into quartiles by their
+    WEEK-1 purchase spend (exact order-statistic cut points on the
+    per-user cent totals), then report each cohort's FULL-MONTH
+    spend per user — does early spend predict lifetime value
+    (`target_encode_loo` encodes; this is the readable business
+    table). Exact integer spend sums; quartile edges via the
+    cumulative histogram rank picks; one keyed join back."""
+    e = _t(spark, sf_dir, "events")
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.dayofmonth("ts").cast("int").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w1 = buys.where(F.col("day") <= 7).groupBy("user_id").agg(
+        F.sum("cents").cast("bigint").alias("w1_cents")
+    )
+    wr = Window.orderBy("w1_cents", "user_id")
+    wn = Window.partitionBy()
+    ranked = w1.select(
+        "user_id",
+        "w1_cents",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    ).select(
+        "user_id",
+        "w1_cents",
+        F.expr(
+            "CASE WHEN rn * 4 <= n THEN 1 WHEN rn * 2 <= n THEN 2"
+            " WHEN rn * 4 <= 3 * n THEN 3 ELSE 4 END"
+        )
+        .cast("int")
+        .alias("quartile"),
+    )
+    month = buys.groupBy("user_id").agg(
+        F.sum("cents").cast("bigint").alias("m_cents")
+    )
+    return (
+        ranked.join(month, "user_id")
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.expr("sum(CAST(w1_cents AS DOUBLE)) / (100.0 * count(1))"),
+                6,
+            ).alias("mean_w1_spend"),
+            F.round(
+                F.expr("sum(CAST(m_cents AS DOUBLE)) / (100.0 * count(1))"),
+                6,
+            ).alias("mean_month_spend"),
+            F.round(
+                F.expr(
+                    "sum(CAST(m_cents AS DOUBLE))"
+                    " / nullif(sum(CAST(w1_cents AS DOUBLE)), 0.0)"
+                ),
+                6,
+            ).alias("month_over_w1"),
+        )
+    )
+
+
+SQL_COHORT_LTV = """
+WITH buys AS (
+  SELECT user_id, CAST(day(ts) AS INTEGER) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), w1 AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS w1_cents
+  FROM buys WHERE day <= 7 GROUP BY 1
+), ranked AS (
+  SELECT user_id, w1_cents,
+         CAST(row_number() OVER (ORDER BY w1_cents, user_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM w1
+), q AS (
+  SELECT user_id, w1_cents,
+         CAST(CASE WHEN rn * 4 <= n THEN 1 WHEN rn * 2 <= n THEN 2
+              WHEN rn * 4 <= 3 * n THEN 3 ELSE 4 END AS INTEGER)
+           AS quartile
+  FROM ranked
+), month AS (
+  SELECT user_id, CAST(sum(cents) AS BIGINT) AS m_cents
+  FROM buys GROUP BY 1
+)
+SELECT quartile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(sum(CAST(w1_cents AS DOUBLE)) / (100.0 * count(*)), 6)
+         AS mean_w1_spend,
+       round(sum(CAST(m_cents AS DOUBLE)) / (100.0 * count(*)), 6)
+         AS mean_month_spend,
+       round(sum(CAST(m_cents AS DOUBLE))
+             / nullif(sum(CAST(w1_cents AS DOUBLE)), 0.0), 6)
+         AS month_over_w1
+FROM q JOIN month USING (user_id)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -26473,6 +26739,13 @@ REGISTRY: dict[str, tuple] = {
     # -- new r3 continuation (this session): feature-eng pack #51 —
     #    experimentation suite (displaces six more r3 keys past 50 —
     #    ALL-GREEN in the committed sweeps) --
+    # -- new r3 continuation (this session): feature-eng pack #52 —
+    #    BI rollup shares, session-shape histogram, cohort LTV
+    #    (displaces three more r3 keys past 50 — ALL-GREEN in the
+    #    committed sweeps) --
+    "share_of_parent": (q_share_of_parent, SQL_SHARE_OF_PARENT),
+    "session_size_hist": (q_session_size_hist, SQL_SESSION_SIZE_HIST),
+    "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
     "diff_in_diff": (q_diff_in_diff, SQL_DIFF_IN_DIFF),
     "srm_check": (q_srm_check, SQL_SRM_CHECK),
     "mde_power": (q_mde_power, SQL_MDE_POWER),
