@@ -862,3 +862,67 @@ def test_length_buckets_single_agg_exchange(spark, sf_dir):
         r"Exchange hashpartitioning\(([^)]*)\)", plan
     ):
         assert "text" not in ex, plan
+
+
+def test_hits_scores_keyed_joins_only(spark, sf_dir):
+    """HITS power iteration: every half-step is an edge-list equi
+    join + sum-by-key — the Pregel-as-joins layout. No cartesian
+    product may appear; the only nested-loop broadcast allowed is
+    the 1-row node-count / max-normalizer relations."""
+    from crawlfe.queries import q_hits_scores
+
+    plan = plan_of(q_hits_scores(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_link_pred_wedge_join_keyed(spark, sf_dir):
+    """Link prediction candidates come from the keyed 2-hop wedge
+    join (adjacency self-join on the shared middle node), never an
+    all-pairs product; the existing-edge removal is an anti join."""
+    from crawlfe.queries import q_link_pred_scores
+
+    plan = plan_of(q_link_pred_scores(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_clustering_coeff_triangle_joins_keyed(spark, sf_dir):
+    """Triangle enumeration is two keyed equi joins over the
+    undirected edge list (ordered triples a<b<c) — no cartesian,
+    and no single-partition exchange over the edge fan-out."""
+    from crawlfe.queries import q_clustering_coeff
+
+    plan = plan_of(q_clustering_coeff(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mann_whitney_histogram_first(spark, sf_dir):
+    """The rank machinery must run on the (cents) histogram, never
+    rank raw rows: the plan's only single-partition window sits
+    above a hash aggregate (the histogram), and the raw events scan
+    is pruned to the two columns the histogram needs."""
+    import re as _re
+
+    from crawlfe.queries import q_mann_whitney
+
+    plan = plan_of(q_mann_whitney(spark, sf_dir))
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    cols = set(
+        c.split(":")[0] for s in schemas for c in s.split(",") if c
+    )
+    assert cols <= {"event_type", "value"}, cols
+    assert "HashAggregate" in plan, plan
+
+
+def test_poisson_bootstrap_single_pass(spark, sf_dir):
+    """All 20 bootstrap replicates stream through ONE pass: the
+    replicate fan-out is a broadcast of the 20-row reps relation
+    (BroadcastNestedLoopJoin is the expected physical op for the
+    free cross join), and the only wide exchange is the per-replicate
+    hash aggregate — no cartesian product, no sort of raw rows."""
+    from crawlfe.queries import q_poisson_bootstrap
+
+    plan = plan_of(q_poisson_bootstrap(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
