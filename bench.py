@@ -377,6 +377,13 @@ HEADLINE = [
     "share_of_parent",
     "session_size_hist",
     "cohort_ltv",
+    # added r3 continuation: pack #53 (cross-series + episodes)
+    "ccf_daily",
+    "partial_corr_daily",
+    "dow_strength",
+    "burst_intervals",
+    "wow_retention",
+    "sign_test",
 ]
 
 

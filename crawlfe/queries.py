@@ -26552,6 +26552,675 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Feature-eng pack #53: cross-series structure (CCF, partial
+# correlation), day-of-week strength, burst intervals, WoW
+# retention, paired sign test
+# --------------------------------------------------------------------------
+
+def q_ccf_daily(spark, sf_dir):
+    """CROSS-CORRELATION FUNCTION between daily click and purchase
+    counts at lags -3..+3 — does click volume LEAD purchase volume
+    (positive-lag peak) or trail it? The two-series extension of
+    `pacf_daily`'s within-series view. Same engine-exact spine:
+    integer deviations D = n*c - S per series make every lag
+    cross-product an exact bigint; the CCF normalizer is the
+    geometric mean of the two exact denominators."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    wd = Window.orderBy("day")
+    idx = days.select(
+        "day", F.row_number().over(wd).cast("bigint").alias("i")
+    )
+    raw = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        idx.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [("click",), ("purchase",)], "event_type string"
+                )
+            )
+        )
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "i",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    dev = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "i",
+        F.expr("n * c - s").cast("bigint").alias("d"),
+    )
+    x = dev.where(F.col("event_type") == "click").select(
+        F.col("i").alias("ix"), F.col("d").alias("dx")
+    )
+    y = dev.where(F.col("event_type") == "purchase").select(
+        F.col("i").alias("iy"), F.col("d").alias("dy")
+    )
+    dens = dev.groupBy("event_type").agg(
+        F.sum(F.expr("d * d")).cast("bigint").alias("den")
+    )
+    dx2 = dens.where(F.col("event_type") == "click").select(
+        F.col("den").alias("denx")
+    )
+    dy2 = dens.where(F.col("event_type") == "purchase").select(
+        F.col("den").alias("deny")
+    )
+    lags = spark.range(-3, 4).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    nums = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.expr("iy = ix + lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.expr("dx * dy")).cast("bigint").alias("num"))
+    )
+    return (
+        nums.crossJoin(F.broadcast(dx2))
+        .crossJoin(F.broadcast(dy2))
+        .select(
+            "lag",
+            F.round(
+                F.expr(
+                    "CAST(num AS DOUBLE)"
+                    " / sqrt(CAST(denx AS DOUBLE)"
+                    "        * CAST(deny AS DOUBLE))"
+                ),
+                6,
+            ).alias("ccf"),
+        )
+    )
+
+
+SQL_CCF_DAILY = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), idx AS (
+  SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM days
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, i.i, CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM idx i
+  CROSS JOIN (SELECT 'click' AS event_type
+              UNION ALL SELECT 'purchase') t
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = i.day
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM grid GROUP BY 1
+), dev AS (
+  SELECT g.event_type, g.i, CAST(t.n * g.c - t.s AS BIGINT) AS d
+  FROM grid g JOIN tot t ON g.event_type = t.event_type
+), dens AS (
+  SELECT event_type, CAST(sum(d * d) AS BIGINT) AS den
+  FROM dev GROUP BY 1
+), lags AS (
+  SELECT CAST(l AS INTEGER) AS lag FROM generate_series(-3, 3) t(l)
+), nums AS (
+  SELECT lag, CAST(sum(x.d * y.d) AS BIGINT) AS num
+  FROM (SELECT i, d FROM dev WHERE event_type = 'click') x
+  CROSS JOIN lags
+  JOIN (SELECT i, d FROM dev WHERE event_type = 'purchase') y
+    ON y.i = x.i + lag
+  GROUP BY 1
+)
+SELECT lag,
+       round(CAST(num AS DOUBLE)
+             / sqrt(CAST((SELECT den FROM dens
+                          WHERE event_type = 'click') AS DOUBLE)
+                    * CAST((SELECT den FROM dens
+                            WHERE event_type = 'purchase')
+                           AS DOUBLE)), 6) AS ccf
+FROM nums
+"""
+
+
+def q_partial_corr_daily(spark, sf_dir):
+    """PARTIAL CORRELATION of daily click and purchase counts
+    CONTROLLING for view volume: r_xy.z = (r_xy - r_xz*r_yz)
+    / sqrt((1-r_xz^2)(1-r_yz^2)) — is the click-purchase comovement
+    real or just both riding overall traffic? All three pairwise
+    correlations come from exact integer deviation products on the
+    dense daily grid; one 1-row float fold."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    raw = (
+        e.where(F.col("event_type").isin("click", "purchase", "view"))
+        .select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        days.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [("click",), ("purchase",), ("view",)],
+                    "event_type string",
+                )
+            )
+        )
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wide = grid.groupBy("day").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("c"))
+        ).alias("x"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("c"))
+        ).alias("y"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("c"))
+        ).alias("z"),
+    )
+    agg = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("z * z")).cast("bigint").alias("szz"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * z")).cast("bigint").alias("sxz"),
+        F.sum(F.expr("y * z")).cast("bigint").alias("syz"),
+    )
+    c = (
+        agg.withColumn(
+            "rxy",
+            F.expr(
+                "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " / sqrt((CAST(n AS DOUBLE) * sxx"
+                "         - CAST(sx AS DOUBLE) * sx)"
+                "        * (CAST(n AS DOUBLE) * syy"
+                "           - CAST(sy AS DOUBLE) * sy))"
+            ),
+        )
+        .withColumn(
+            "rxz",
+            F.expr(
+                "(CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)"
+                " / sqrt((CAST(n AS DOUBLE) * sxx"
+                "         - CAST(sx AS DOUBLE) * sx)"
+                "        * (CAST(n AS DOUBLE) * szz"
+                "           - CAST(sz AS DOUBLE) * sz))"
+            ),
+        )
+        .withColumn(
+            "ryz",
+            F.expr(
+                "(CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)"
+                " / sqrt((CAST(n AS DOUBLE) * syy"
+                "         - CAST(sy AS DOUBLE) * sy)"
+                "        * (CAST(n AS DOUBLE) * szz"
+                "           - CAST(sz AS DOUBLE) * sz))"
+            ),
+        )
+    )
+    return c.select(
+        F.col("n").alias("n_days"),
+        F.round("rxy", 6).alias("r_click_purchase"),
+        F.round("rxz", 6).alias("r_click_view"),
+        F.round("ryz", 6).alias("r_purchase_view"),
+        F.round(
+            F.expr(
+                "(rxy - rxz * ryz)"
+                " / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))"
+            ),
+            6,
+        ).alias("partial_r"),
+    )
+
+
+SQL_PARTIAL_CORR_DAILY = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase', 'view')
+  GROUP BY 1, 2
+), wide AS (
+  SELECT d.day,
+         CAST(coalesce(max(CASE WHEN r.event_type = 'click'
+                           THEN r.c END), 0) AS BIGINT) AS x,
+         CAST(coalesce(max(CASE WHEN r.event_type = 'purchase'
+                           THEN r.c END), 0) AS BIGINT) AS y,
+         CAST(coalesce(max(CASE WHEN r.event_type = 'view'
+                           THEN r.c END), 0) AS BIGINT) AS z
+  FROM days d LEFT JOIN raw r ON r.day = d.day
+  GROUP BY 1
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(z * z) AS BIGINT) AS szz,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * z) AS BIGINT) AS sxz,
+         CAST(sum(y * z) AS BIGINT) AS syz
+  FROM wide
+), c AS (
+  SELECT n,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      AS rxy,
+    (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+      / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+      AS rxz,
+    (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+      / sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+      AS ryz
+  FROM agg
+)
+SELECT n AS n_days,
+       round(rxy, 6) AS r_click_purchase,
+       round(rxz, 6) AS r_click_view,
+       round(ryz, 6) AS r_purchase_view,
+       round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+         AS partial_r
+FROM c
+"""
+
+
+def q_dow_strength(spark, sf_dir):
+    """DAY-OF-WEEK SEASONALITY STRENGTH per event type: the R^2 of
+    day-of-week means on the daily count series — what fraction of
+    daily variance the weekly cycle explains (`dow_anova` tests the
+    VALUES; this quantifies the COUNT cycle as variance explained).
+    Exact integer machinery via the scaled deviations: with cell
+    counts c_d and day-of-week group means, SS terms reduce to
+    exact bigint sums; one float fold per type."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            F.dayofweek("ts").cast("int").alias("dow"),
+        )
+        .distinct()
+    )
+    types = e.select("event_type").distinct()
+    raw = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    bydow = grid.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("c").cast("bigint").alias("sc"),
+    )
+    per = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("q"),
+    )
+    between = bydow.groupBy("event_type").agg(
+        F.sum(
+            F.expr("pow(CAST(sc AS DOUBLE), 2) / m")
+        ).alias("sgrp")
+    )
+    return per.join(between, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            F.expr(
+                "(sgrp - pow(CAST(s AS DOUBLE), 2) / n)"
+                " / nullif(CAST(q AS DOUBLE)"
+                "          - pow(CAST(s AS DOUBLE), 2) / n, 0.0)"
+            ),
+            6,
+        ).alias("dow_r2"),
+    )
+
+
+SQL_DOW_STRENGTH = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day,
+         CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
+  FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, d.dow, CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN days d
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = d.day
+), bydow AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(c) AS BIGINT) AS sc
+  FROM grid GROUP BY 1, 2
+), per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM grid GROUP BY 1
+), between_ AS (
+  SELECT event_type, sum(pow(CAST(sc AS DOUBLE), 2) / m) AS sgrp
+  FROM bydow GROUP BY 1
+)
+SELECT per.event_type, per.n AS n_days,
+       round((sgrp - pow(CAST(s AS DOUBLE), 2) / n)
+             / nullif(CAST(q AS DOUBLE)
+                      - pow(CAST(s AS DOUBLE), 2) / n, 0.0), 6)
+         AS dow_r2
+FROM per JOIN between_ ON per.event_type = between_.event_type
+"""
+
+
+def q_burst_intervals(spark, sf_dir):
+    """BURST INTERVALS per event type: maximal runs of consecutive
+    days whose count exceeds mean + 2*sigma of that type's daily
+    series — the Kleinberg-style burst flag a trend monitor emits
+    (`block_maxima` finds the single extreme; this finds sustained
+    episodes). Threshold moments from exact integer sums; run ids
+    via the day - row_number() constant-gap trick (exact integers);
+    emits one row per burst with its span and peak."""
+    e = _t(spark, sf_dir, "events")
+    days = (
+        e.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .distinct()
+    )
+    types = e.select("event_type").distinct()
+    raw = (
+        e.select(
+            "event_type",
+            F.dayofmonth("ts").cast("int").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(raw, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    mom = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("q"),
+    )
+    flagged = grid.join(F.broadcast(mom), "event_type").where(
+        F.expr(
+            "c > CAST(s AS DOUBLE) / n"
+            " + 2.0 * sqrt((CAST(q AS DOUBLE)"
+            "               - pow(CAST(s AS DOUBLE), 2) / n)"
+            "              / (n - 1.0))"
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("day")
+    runs = flagged.select(
+        "event_type",
+        "day",
+        "c",
+        (F.col("day") - F.row_number().over(wr))
+        .cast("bigint")
+        .alias("grp"),
+    )
+    return runs.groupBy("event_type", "grp").agg(
+        F.min("day").alias("burst_start"),
+        F.max("day").alias("burst_end"),
+        F.count(F.lit(1)).cast("bigint").alias("burst_days"),
+        F.max("c").cast("bigint").alias("peak_count"),
+    ).drop("grp")
+
+
+SQL_BURST_INTERVALS = """
+WITH days AS (
+  SELECT DISTINCT CAST(day(ts) AS INTEGER) AS day FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), raw AS (
+  SELECT event_type, CAST(day(ts) AS INTEGER) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, d.day, CAST(coalesce(r.c, 0) AS BIGINT) AS c
+  FROM types t CROSS JOIN days d
+  LEFT JOIN raw r ON r.event_type = t.event_type AND r.day = d.day
+), mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM grid GROUP BY 1
+), flagged AS (
+  SELECT g.event_type, g.day, g.c
+  FROM grid g JOIN mom m ON g.event_type = m.event_type
+  WHERE g.c > CAST(s AS DOUBLE) / n
+            + 2.0 * sqrt((CAST(q AS DOUBLE)
+                          - pow(CAST(s AS DOUBLE), 2) / n)
+                         / (n - 1.0))
+), runs AS (
+  SELECT event_type, day, c,
+         CAST(day - row_number() OVER (PARTITION BY event_type
+              ORDER BY day) AS BIGINT) AS grp
+  FROM flagged
+)
+SELECT event_type, min(day) AS burst_start, max(day) AS burst_end,
+       CAST(count(*) AS BIGINT) AS burst_days,
+       CAST(max(c) AS BIGINT) AS peak_count
+FROM runs GROUP BY event_type, grp
+"""
+
+
+def q_wow_retention(spark, sf_dir):
+    """WEEK-OVER-WEEK RETENTION curve: of the users active in week
+    w, the share also active in week w+1 (full weeks 1-4) — the
+    canonical product-health curve (`retention_cohorts` anchors on
+    the FIRST week; this is the rolling pairwise version). One
+    distinct (user, week) presence table, one self-join on week+1;
+    exact bigint counts."""
+    e = _t(spark, sf_dir, "events")
+    pres = (
+        e.where(F.expr("dayofmonth(ts) <= 28"))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST((dayofmonth(ts) - 1) div 7 + 1 AS INT)"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    nxt = pres.select(
+        "user_id", (F.col("wk") - 1).alias("wk")
+    )
+    per = pres.where(F.col("wk") <= 3).groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    kept = (
+        pres.where(F.col("wk") <= 3)
+        .join(nxt, ["user_id", "wk"], "left_semi")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_retained"))
+    )
+    return per.join(kept, "wk", "left").select(
+        F.col("wk").alias("week"),
+        "n_active",
+        F.coalesce("n_retained", F.lit(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.round(
+            F.expr(
+                "CAST(coalesce(n_retained, 0) AS DOUBLE) / n_active"
+            ),
+            6,
+        ).alias("wow_retention"),
+    )
+
+
+SQL_WOW_RETENTION = """
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         CAST((day(ts) - 1) // 7 + 1 AS INTEGER) AS wk
+  FROM events WHERE day(ts) <= 28
+), per AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_active
+  FROM pres WHERE wk <= 3 GROUP BY 1
+), kept AS (
+  SELECT p.wk, CAST(count(*) AS BIGINT) AS n_retained
+  FROM pres p
+  WHERE p.wk <= 3 AND EXISTS (
+    SELECT 1 FROM pres q
+    WHERE q.user_id = p.user_id AND q.wk = p.wk + 1)
+  GROUP BY 1
+)
+SELECT per.wk AS week, per.n_active,
+       CAST(coalesce(kept.n_retained, 0) AS BIGINT) AS n_retained,
+       round(CAST(coalesce(kept.n_retained, 0) AS DOUBLE)
+             / per.n_active, 6) AS wow_retention
+FROM per LEFT JOIN kept ON per.wk = kept.wk
+"""
+
+
+def q_sign_test(spark, sf_dir):
+    """PAIRED SIGN TEST on per-user spend, week 1 vs week 4: did
+    individual users spend MORE in week 4 than week 1 (direction
+    only, zero distributional assumptions — the nonparametric floor
+    under `cuped_adjust`'s variance-reduced estimate)? Ties drop by
+    definition; S = #(w4 > w1), z = (2S - n)/sqrt(n) with the exact
+    integer counts; the binomial mid-p is left to the offline
+    table, the statistic is the distributed part."""
+    e = _t(spark, sf_dir, "events")
+    pu = (
+        e.where(
+            F.expr(
+                "dayofmonth(ts) <= 7 OR dayofmonth(ts)"
+                " BETWEEN 22 AND 28"
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("dayofmonth(ts) <= 7"),
+                    F.expr("CAST(round(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("w1"),
+            F.sum(
+                F.when(
+                    F.expr("dayofmonth(ts) >= 22"),
+                    F.expr("CAST(round(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("w4"),
+        )
+    )
+    agg = pu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.expr("CASE WHEN w4 > w1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.expr("CASE WHEN w4 < w1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum(F.expr("CASE WHEN w4 = w1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_tied"),
+    )
+    return agg.select(
+        "n_users",
+        "n_up",
+        "n_down",
+        "n_tied",
+        F.round(
+            F.expr(
+                "(2.0 * n_up - (n_up + n_down))"
+                " / nullif(sqrt(CAST(n_up + n_down AS DOUBLE)), 0.0)"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+SQL_SIGN_TEST = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day(ts) <= 7
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS w1,
+         CAST(sum(CASE WHEN day(ts) >= 22
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS w4
+  FROM events
+  WHERE day(ts) <= 7 OR day(ts) BETWEEN 22 AND 28
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN w4 > w1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_up,
+       CAST(sum(CASE WHEN w4 < w1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_down,
+       CAST(sum(CASE WHEN w4 = w1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tied,
+       round((2.0 * sum(CASE WHEN w4 > w1 THEN 1 ELSE 0 END)
+              - (sum(CASE WHEN w4 > w1 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN w4 < w1 THEN 1 ELSE 0 END)))
+             / nullif(sqrt(CAST(
+                 sum(CASE WHEN w4 > w1 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN w4 < w1 THEN 1 ELSE 0 END)
+                 AS DOUBLE)), 0.0), 6) AS z
+FROM pu
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -26743,6 +27412,19 @@ REGISTRY: dict[str, tuple] = {
     #    BI rollup shares, session-shape histogram, cohort LTV
     #    (displaces three more r3 keys past 50 — ALL-GREEN in the
     #    committed sweeps) --
+    # -- new r3 continuation (this session): feature-eng pack #53 —
+    #    cross-series structure / seasonality strength / bursts /
+    #    WoW retention / sign test (displaces six more r3 keys past
+    #    50 — ALL-GREEN in the committed sweeps) --
+    "ccf_daily": (q_ccf_daily, SQL_CCF_DAILY),
+    "partial_corr_daily": (
+        q_partial_corr_daily,
+        SQL_PARTIAL_CORR_DAILY,
+    ),
+    "dow_strength": (q_dow_strength, SQL_DOW_STRENGTH),
+    "burst_intervals": (q_burst_intervals, SQL_BURST_INTERVALS),
+    "wow_retention": (q_wow_retention, SQL_WOW_RETENTION),
+    "sign_test": (q_sign_test, SQL_SIGN_TEST),
     "share_of_parent": (q_share_of_parent, SQL_SHARE_OF_PARENT),
     "session_size_hist": (q_session_size_hist, SQL_SESSION_SIZE_HIST),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
