@@ -384,6 +384,13 @@ HEADLINE = [
     "burst_intervals",
     "wow_retention",
     "sign_test",
+    # added r3 continuation: pack #54 (classifier-eval completion)
+    "mcc_score",
+    "ece_score",
+    "cost_threshold",
+    "fairness_gaps",
+    "prec_at_k",
+    "gains_auc",
 ]
 
 
