@@ -391,6 +391,13 @@ HEADLINE = [
     "fairness_gaps",
     "prec_at_k",
     "gains_auc",
+    # added r3 continuation: pack #55 (growth accounting)
+    "growth_accounting",
+    "power_user_curve",
+    "diverse_topk",
+    "band_anomaly_days",
+    "rank_stability",
+    "conversion_lag_hist",
 ]
 
 
