@@ -398,6 +398,9 @@ HEADLINE = [
     "band_anomaly_days",
     "rank_stability",
     "conversion_lag_hist",
+    # added r3 continuation: pack #56 (distribution-fit diagnostics)
+    "zipf_r2",
+    "lognormal_fit",
 ]
 
 
