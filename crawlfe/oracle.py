@@ -104,7 +104,15 @@ def oracle_backfill(
         obs["backfilled"] = False
         gr = pd.DataFrame({"grid_ts": grid})
         for c in value_cols:
-            gr[c] = None
+            # match the observed column's concat dtype (all-None object
+            # columns trip pandas' all-NA-concat FutureWarning); floats
+            # take NaN, everything else round-trips through object+None
+            if obs[c].dtype.kind == "f":
+                gr[c] = pd.Series(float("nan"), index=gr.index,
+                                  dtype=obs[c].dtype)
+            else:
+                gr[c] = pd.Series([None] * len(gr), index=gr.index,
+                                  dtype=object)
         gr["backfilled"] = True
         allr = (
             pd.concat([obs, gr], ignore_index=True)

@@ -69,12 +69,8 @@ def test_quality_repetition_planted(spark):
     # reuse the query body by monkey-locating: build directly
     from crawlfe import queries as Q
 
-    orig = Q._t
-    try:
-        Q._t = lambda s, d, n: df  # noqa: E731
+    with Q._patched_tables(lambda s, d, n: df):
         out = {r["doc_id"]: r.asDict() for r in q_quality_repetition(spark, SF).collect()}
-    finally:
-        Q._t = orig
     assert out[1]["dup_token_frac"] == pytest.approx(7 / 8, abs=1e-4)
     assert out[1]["dup_bigram_frac"] == pytest.approx(6 / 7, abs=1e-4)
     assert out[2]["dup_token_frac"] == 0.0
@@ -97,12 +93,8 @@ def test_contamination_planted_overlap(spark):
     )
     from crawlfe import queries as Q
 
-    orig = Q._t
-    try:
-        Q._t = lambda s, d, n: df  # noqa: E731
+    with Q._patched_tables(lambda s, d, n: df):
         out = {r["doc_id"]: r["n_shared_shingles"] for r in q_contamination(spark, SF).collect()}
-    finally:
-        Q._t = orig
     assert out == {1: 2}  # 'the quick brown', 'quick brown fox'
 
 

@@ -10,6 +10,8 @@ import pandas as pd
 
 from crawlfe.queries import (
     _KMPP_K,
+    _KMPP_L,
+    _KMPP_ROUNDS,
     q_domain_weights,
     q_kmeanspp_seeds,
     q_length_buckets,
@@ -19,6 +21,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_kmeanspp_seeds_brute(spark):
+    """k-means|| (deterministic farthest-L oversampling, r4): each of
+    the _KMPP_ROUNDS rounds picks the _KMPP_L vectors with the largest
+    rounded min-sq-L2 to ALL centers chosen in earlier rounds (ties ->
+    smallest vec_id), jointly — no distance update within a round."""
     out = (
         q_kmeanspp_seeds(spark, SF).toPandas().sort_values("seed_rank")
     )
@@ -28,18 +34,19 @@ def test_kmeanspp_seeds_brute(spark):
         for r in emb.itertuples()
     }
     chosen = [(0, 0.0)]
-    for _ in range(_KMPP_K - 1):
+    for _ in range(_KMPP_ROUNDS):
         ids = {c for c, _ in chosen}
-        best = None
+        cand = []
         for vid, v in vecs.items():
             if vid in ids:
                 continue
             d = round(
                 min(float(((v - vecs[c]) ** 2).sum()) for c in ids), 4
             )
-            if best is None or (-d, vid) < (-best[1], best[0]):
-                best = (vid, d)
-        chosen.append(best)
+            cand.append((vid, d))
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        chosen.extend(cand[:_KMPP_L])
+    assert len(chosen) == _KMPP_K == 1 + _KMPP_ROUNDS * _KMPP_L
     got = [
         (r.seed_rank, r.vec_id, r.sel_dist) for r in out.itertuples()
     ]
@@ -47,9 +54,12 @@ def test_kmeanspp_seeds_brute(spark):
         (rank, vid, d) for rank, (vid, d) in enumerate(chosen, start=1)
     ]
     assert got == want
-    # farthest-point property: selection distances never increase
-    dists = [d for _, _, d in got[1:]]
-    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    # farthest-first property WITHIN each round: distances never
+    # increase across a round's L picks
+    for r0 in range(_KMPP_ROUNDS):
+        lo = 1 + r0 * _KMPP_L
+        dists = [d for _, _, d in got[lo : lo + _KMPP_L]]
+        assert all(a >= b for a, b in zip(dists, dists[1:]))
 
 
 def test_domain_weights_brute(spark):

@@ -56,12 +56,8 @@ def test_agg_string_ordered_layout_independent(spark):
     # repartitioned input must give the identical joined strings
     d = spark.read.parquet(f"{SF}/documents.parquet").repartition(17)
     import crawlfe.queries as Q
-    orig = Q._t
-    try:
-        Q._t = lambda s, sf, n: d
+    with Q._patched_tables(lambda s, sf, n: d):
         again = q_agg_string_ordered(spark, SF).toPandas().set_index("source")
-    finally:
-        Q._t = orig
     assert (
         out.sort_index()["langs"].tolist()
         == again.sort_index()["langs"].tolist()

@@ -199,11 +199,9 @@ def test_stateful_sessionize_state_survives_microbatches(spark, tmp_path):
         all_ev, key="user_id", ts="ts", gap_seconds=1800
     ).toPandas()
     b = b.sort_values(["user_id", "session_start"], ignore_index=True)
-    exp = (
-        b.groupby("user_id", group_keys=False)
-        .apply(lambda g: g.iloc[:-1], include_groups=True)
-        .reset_index(drop=True)
-    )
+    # all-but-last session per user (b is sorted by session_start);
+    # head(-1) avoids the deprecated grouping-column apply
+    exp = b.groupby("user_id").head(-1).reset_index(drop=True)
 
     assert len(got) == len(exp), (got, exp)
     for col_g, col_e in [
@@ -617,6 +615,7 @@ def test_stream_interval_join_left_outer_matches_batch(spark, dirs, sf_dir):
     )
 
 
+@pytest.mark.tws
 def test_tws_running_profile_matches_batch_recompute(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 arbitrary-state API) running
     profile: ValueState survives micro-batches, each batch emits the
