@@ -110,11 +110,44 @@ class _Fallback(Exception):
 
 _RAWTEXT_TAGS = frozenset({"script", "style"})  # CDATA in html.parser
 
-# One C-level match per tag: attribute-free start/end/self-closing tags
-# with an ASCII-letter name. ANYTHING else — attributes, comments,
-# declarations, '<' as data, malformed tags — fails to match, shows up
-# as a '<' inside a data segment, and triggers the reference fallback.
-_TAG_RE = _re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[ \t\n\r\f]*(/?)>")
+# Strict-subset START tag (r4: attributes learned — VERDICT r3 #4). The
+# grammar is a provable subset of html.parser's locatestarttagend_tolerant
+# for which parse_starttag yields the same (lowercased name, startend flag,
+# end position): plain ASCII names, WHITESPACE-separated attributes with
+# plain names, values quoted ("..."/'...', any bytes but the quote) or
+# bare. A bare value is PRINTABLE ASCII ONLY (0x21-0x7E minus '>', not
+# starting with a quote): '=' '<' '`' ',' '/' are all allowed and consumed
+# greedily exactly like html.parser's [^>\s]*, so '<p a=1/>' is a plain
+# start tag with value '1/' on both sides and query-string URLs
+# (href=/p?a=1&b=2) stay on the fast path, while '/>' after a quoted
+# value, a bare attr NAME, or the tag name is a true XHTML self-close on
+# both sides. Control/non-ASCII bytes in bare values MUST fall back:
+# html.parser's [^>\s] is unicode-\s-aware, so '\x0b'/'\x85'/'\xa0' end
+# the value there ('<noscript a=b\x0b/>' is a SELF-CLOSE to the
+# reference) while an ASCII-blind charset would swallow them into the
+# value and mis-read a plain start tag (divergence caught in r4 dev).
+# Anything outside the subset fails the anchored match -> reference
+# fallback. Possessive quantifiers (3.11 re) kill backtracking blowups
+# on adversarial non-matching tag soup.
+_START_RE = _re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*+)"                 # 1: tag name
+    r"((?:[ \t\n\r\f]++[a-zA-Z_:][-.a-zA-Z0-9_:]*+" # 2: attrs (ws + name
+    r"(?:[ \t\n\r\f]*+=[ \t\n\r\f]*+"               #    optional = value
+    r"(?:\"[^\"]*+\"|'[^']*+'|[!#-&(-=?-~][!-=?-~]*+))?+)*+)"
+    r"([ \t\n\r\f]*+)(/?)>"                         # 3: trail ws, 4: slash
+)
+
+# Strict-subset END tag: html.parser's endtagfind happy path
+# (r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>') restricted to ASCII whitespace;
+# same handle_endtag(name.lower()) and same end position (the first '>').
+_END_RE = _re.compile(
+    r"</[ \t\n\r\f]*+([a-zA-Z][-.a-zA-Z0-9:_]*+)[ \t\n\r\f]*+>"
+)
+
+# html.parser's _markupbase commentclose, VERBATIM (unicode \s) — the
+# comment is dropped either way, but the fast path must resume scanning at
+# the exact same offset the reference does.
+_COMMENT_CLOSE_RE = _re.compile(r"--\s*>")
 
 # html.parser's CDATA-mode "interesting" pattern, verbatim semantics:
 # set_cdata_mode compiles r'</\s*%s' % elem with re.IGNORECASE. The fast
@@ -127,19 +160,23 @@ _RAWTEXT_CLOSE_RE = {
 
 
 def _fast_scan(raw: str) -> str:
+    """goahead-mirroring scanner: raw.find('<') drives the loop exactly
+    like html.parser's convert_charrefs data segmentation, then the char
+    after '<' dispatches the way goahead does (starttagopen -> '</' ->
+    '<!--' -> '<?' -> '<!' -> bare-'<' data). Every handled construct is a
+    strict subset of the reference's tolerant grammar proven to yield the
+    same events at the same offsets; everything else raises _Fallback."""
     from html import unescape as _unescape
 
     lines: list[str] = []
     cur: list[str] = []
     skip_depth = 0
     pos = 0
-    search = _TAG_RE.search
+    find = raw.find
     while True:
-        m = search(raw, pos)
-        if m is None:
+        lt = find("<", pos)
+        if lt < 0:
             tail = raw[pos:]
-            if "<" in tail:
-                raise _Fallback("unmatched '<' near EOF")
             if skip_depth == 0 and tail:
                 # decode charrefs PER DATA SEGMENT, exactly like
                 # html.parser's convert_charrefs (goahead unescapes each
@@ -148,23 +185,19 @@ def _fast_scan(raw: str) -> str:
                 # an inline tag stays undecoded (VERDICT r2 #2)
                 cur.append(_unescape(tail) if "&" in tail else tail)
             break
-        data = raw[pos : m.start()]
-        if "<" in data:
-            # a '<' the tag regex did not consume: attribute'd tag,
-            # comment, decl, or literal '<' data — html.parser
-            # semantics we don't reproduce here
-            raise _Fallback("unmatched '<' in data")
+        data = raw[pos:lt]
         if skip_depth == 0 and data:
             cur.append(_unescape(data) if "&" in data else data)
-        slash, name, selfclose = m.groups()
-        name = name.lower()
-        if slash:
-            if name in _SKIP_TAGS and skip_depth > 0:
-                skip_depth -= 1
-            if name in _BLOCK_TAGS and cur:
-                lines.append("".join(cur))
-                cur = []
-        else:
+        c = raw[lt + 1 : lt + 2]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            m = _START_RE.match(raw, lt)
+            if m is None:
+                # malformed/over-tolerant start tag (quoted '>', '='-in-
+                # value, unicode whitespace, NUL names, ...) — reference
+                raise _Fallback("unsupported start-tag construct")
+            name, _attrs, _ws3, slash = m.groups()
+            name = name.lower()
+            selfclose = bool(slash)
             if name in _RAWTEXT_TAGS and not selfclose:
                 # html.parser treats script/style content as raw text:
                 # jump to the close tag, dropping the content (they are
@@ -178,7 +211,7 @@ def _fast_scan(raw: str) -> str:
                 if cm.group(0) != "</" + name:
                     raise _Fallback("non-literal rawtext close")
                 close = cm.start()
-                cgt = raw.find(">", close)
+                cgt = find(">", close)
                 if cgt < 0:
                     raise _Fallback("unterminated rawtext close")
                 between = raw[close + 2 + len(name) : cgt]
@@ -194,7 +227,55 @@ def _fast_scan(raw: str) -> str:
             if name in _BLOCK_TAGS and cur:
                 lines.append("".join(cur))
                 cur = []
-        pos = m.end()
+            pos = m.end()
+        elif c == "/":
+            m = _END_RE.match(raw, lt)
+            if m is None:
+                # '</>' / attribute'd / bogus-comment end tags — reference
+                raise _Fallback("unsupported end-tag construct")
+            name = m.group(1).lower()
+            if name in _SKIP_TAGS and skip_depth > 0:
+                skip_depth -= 1
+            if name in _BLOCK_TAGS and cur:
+                lines.append("".join(cur))
+                cur = []
+            pos = m.end()
+        elif c == "!":
+            if raw.startswith("<!--", lt):
+                # parse_comment: resume at commentclose.end(); the
+                # comment body is dropped (no handler, no line break)
+                cm = _COMMENT_CLOSE_RE.search(raw, lt + 4)
+                if cm is None:
+                    raise _Fallback("unterminated comment")
+                pos = cm.end()
+            elif raw.startswith("<![", lt):
+                raise _Fallback("marked section")
+            elif raw[lt : lt + 9].lower() == "<!doctype":
+                # parse_html_declaration: skip to the first '>' past the
+                # 9-char keyword; handle_decl is a no-op
+                gt = find(">", lt + 9)
+                if gt < 0:
+                    raise _Fallback("unterminated doctype")
+                pos = gt + 1
+            else:
+                # parse_bogus_comment: skip to the first '>' after '<!'
+                gt = find(">", lt + 2)
+                if gt < 0:
+                    raise _Fallback("unterminated bogus comment")
+                pos = gt + 1
+        elif c == "?":
+            # parse_pi: skip to the first '>' after '<?' (handle_pi no-op)
+            gt = find(">", lt + 2)
+            if gt < 0:
+                raise _Fallback("unterminated pi")
+            pos = gt + 1
+        else:
+            # goahead's bare-'<' branch: handle_data("<") as its own
+            # segment (also covers '<' as the very last char via the
+            # end-of-input flush), scanning resumes at lt+1
+            if skip_depth == 0:
+                cur.append("<")
+            pos = lt + 1
     if cur:
         lines.append("".join(cur))
     out: list[str] = []

@@ -65,6 +65,12 @@ class SynthConfig:
     static_frac: float = 0.20
     # fraction of urls whose lang flips mid-history
     lang_flip_frac: float = 0.10
+    # fraction of body tags decorated with realistic attributes
+    # (class/id/href/data-*, quoted and bare values). Default 0.0 keeps
+    # every pre-r4 fixture byte-identical; the attribute-bearing variant
+    # exists to measure the fast extractor's hit rate on real-web-shaped
+    # HTML (VERDICT r3 next-round #4 — real pages are attribute-dense).
+    attr_frac: float = 0.0
 
 
 def _domain(cfg: SynthConfig, i: int) -> str:
@@ -98,6 +104,28 @@ def _sentence(cfg: SynthConfig, i: int, rev: int, s: int) -> str:
     return " ".join(words)
 
 
+def _attr(cfg: SynthConfig, i: int, rev: int, s: int, slot: int) -> str:
+    """Deterministic realistic attribute string (leading space) or ''."""
+    if cfg.attr_frac <= 0.0:
+        return ""
+    a = h64(cfg.seed, i, 12, rev, s, slot)
+    if (a % 10_000) >= int(cfg.attr_frac * 10_000):
+        return ""
+    kind = (a >> 16) % 6
+    v = a % 997
+    if kind == 0:
+        return f' class="c{v % 37}"'
+    if kind == 1:
+        return f" id='e{v}'"
+    if kind == 2:  # bare value with '/' — html.parser folds it greedily
+        return f" href=/page/{v}?r={rev}&amp;s={s}"
+    if kind == 3:
+        return f' data-rank="{v}" class=w{v % 11}'
+    if kind == 4:  # boolean attribute, no value
+        return " hidden"
+    return f' style="margin:{v % 9}px" title="t {v}"'
+
+
 def _html(cfg: SynthConfig, i: int, k: int) -> bytes:
     static = (h64(cfg.seed, i, 7) % 10_000) < int(cfg.static_frac * 10_000)
     rev = 0 if static else k
@@ -106,19 +134,22 @@ def _html(cfg: SynthConfig, i: int, k: int) -> bytes:
     parts = [
         f"<html><head><title>T{h % 100_000} — {_sentence(cfg, i, rev, 99)}"
         f"</title>\n<script>var x = {h % 7};</script>"
-        f"<style>.c{h % 5} {{color:red}}</style></head>\n<body>"
+        f"<style>.c{h % 5} {{color:red}}</style></head>\n<body"
+        f"{_attr(cfg, i, rev, 98, 0)}>"
     ]
     for s in range(n_sent):
         sent = _sentence(cfg, i, rev, s)
         mode = h64(cfg.seed, i, 9, rev, s) % 4
+        a0 = _attr(cfg, i, rev, s, 1)
+        a1 = _attr(cfg, i, rev, s, 2)
         if mode == 0:
-            parts.append(f"<p>  {sent} &amp; more\t</p>")
+            parts.append(f"<p{a0}>  {sent} &amp; more\t</p>")
         elif mode == 1:
-            parts.append(f"<div><p><b>{sent}</b> — tail {s}</p></div>")
+            parts.append(f"<div{a0}><p><b{a1}>{sent}</b> — tail {s}</p></div>")
         elif mode == 2:
-            parts.append(f"<li>{sent}</li>\n<li>item&nbsp;{s}</li>")
+            parts.append(f"<li{a0}>{sent}</li>\n<li{a1}>item&nbsp;{s}</li>")
         else:
-            parts.append(f"<pre>{sent}\n  indented {s}</pre>")
+            parts.append(f"<pre{a0}>{sent}\n  indented {s}</pre>")
     parts.append(f"<p>rev {rev} of page {i}</p></body></html>")
     return "\n".join(parts).encode("utf-8")
 

@@ -43,6 +43,20 @@ ATOMS = [
     "<td>", "</td>", "<pre>", "</pre>", "\x00", "�",
     "<b/>", "</p >", "</b/>", "&quot;", "&QUOT;", "&Amp;",
     "&#1114112;", "&#xD800;", "&#6", "&#x0;",
+    # r4: attribute-bearing tags (fast path learned attributes) plus
+    # adversarial near-misses that must take the reference fallback
+    '<p class="x">', "<div id='y' data-k=\"v\">", "<a href=/about>",
+    "<a href=/p/1?a=1&amp;b=2>", "<img src=x.png width=100/>",
+    "<input hidden>", '<p a = "b c">', "<p a=1/>", '<p a=">">',
+    "<p a='<'>", '<td colspan="2" >', "<p a==b>", "<p a/b>",
+    "<p a=b=c>", "<p =x>", '<p "q">', "<p a\x00=1>", "<p\xa0a=1>",
+    '<script type="text/javascript">', '<li class=\'it"em\'>',
+    '<p data-t="a&amp;b">', "<p a='' b=\"\">", "<br />", "<p a=`v`>",
+    # unicode-\s-aware bare-value boundary (the r4-dev divergence class:
+    # html.parser ends a bare value at \x0b/\x85/\xa0, so '.../>'
+    # becomes a true self-close there — fast path must fall back)
+    "<noscript a=b\x0b/>", "<p a=b\xa0/>", "<script a=b\x85/>",
+    "<p a=b=c>", "<p a=1,b=2>", '<p a=b"c>', "<p a=>", "<p a=b<c>",
 ]
 
 

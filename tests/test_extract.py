@@ -171,6 +171,59 @@ def test_rawtext_close_case_insensitive():
             _fast_scan(bytes(html).decode("utf-8", "replace"))
 
 
+def test_attr_corpus_all_fast_path():
+    """VERDICT r3 next-round #4 'done' bar: on an attribute-dense
+    corpus (real-web shape: class/id/href-with-query-string/data-*/
+    boolean attrs, quoted and bare) the fast scanner must (a) stay
+    byte-identical to the reference and (b) actually fire — hit rate
+    must beat 50% (it is 100% on this template set)."""
+    from crawlfe.extract import _Fallback, _fast_scan, extract_text, extract_text_reference
+    from crawlfe.synth import SynthConfig, gen_pages_pdf
+
+    pdf = gen_pages_pdf(SynthConfig(n_urls=150, attr_frac=0.85), 0, 150)
+    n_fast = 0
+    for html in pdf["html"]:
+        assert extract_text(html) == extract_text_reference(html)
+        try:
+            _fast_scan(bytes(html).decode("utf-8", errors="replace"))
+            n_fast += 1
+        except _Fallback:
+            pass
+    assert n_fast / len(pdf) > 0.5, f"hit rate {n_fast}/{len(pdf)}"
+    assert n_fast == len(pdf)  # this template set is fully in-grammar
+
+
+def test_bare_value_unicode_ws_boundary_falls_back():
+    """r4-dev divergence class: html.parser's bare attr value charset
+    is [^>\\s] with UNICODE \\s, so '\\x0b'/'\\x85'/'\\xa0' end the
+    value there and '<noscript a=b\\x0b/>' is a true SELF-CLOSE (no
+    skip-depth push). An ASCII-blind fast grammar would swallow the
+    byte into the value, read a plain start tag, and skip the visible
+    text. These must fall back and stay byte-identical."""
+    import pytest
+
+    from crawlfe.extract import _Fallback, _fast_scan, extract_text, extract_text_reference
+
+    cases = [
+        b"<noscript a=b\x0b/>hidden</noscript>vis",
+        "<noscript a=b\xa0/>hidden</noscript>vis".encode(),
+        b"<script a=b\x0b/>var x;</script>vis",
+        "<noscript a=b\x85/>hidden</noscript>vis".encode(),
+    ]
+    for html in cases:
+        assert extract_text(html) == extract_text_reference(html), html
+        with pytest.raises(_Fallback):
+            _fast_scan(bytes(html).decode("utf-8", "replace"))
+    # while '='-bearing bare values (query-string URLs) stay FAST
+    fast_ok = [
+        b"<a href=/p/1?a=1&amp;b=2>x</a>",
+        b"<p a=b=c>x</p>", b"<p a=1,b=2>x</p>", b"<p a=`v`>x</p>",
+    ]
+    for html in fast_ok:
+        raw = bytes(html).decode("utf-8")
+        assert _fast_scan(raw) == extract_text_reference(html), html
+
+
 def test_fast_scanner_hypothesis_differential():
     """Property fuzz (VERDICT r2 next-round #7): random tag soup —
     entities split by tags, attributes, comments, rawtext with
@@ -193,10 +246,20 @@ def test_fast_scanner_hypothesis_differential():
                 "2;", "&nbsp;", "&unknown;", "&",
                 " ", "\n", "\t", "txt", "a b", "<", ">", "café",
                 "</scri", "pt>", "< p>", "<1x>",
+                # r4: attribute grammar (quoted/bare/boolean values,
+                # '='-bearing URLs, near-misses, unicode-\s bare-value
+                # boundary that must fall back — see scripts/fuzz_extract)
+                '<p class="x">', "<a href=/p/1?a=1&amp;b=2>",
+                "<img src=x.png width=100/>", "<input hidden>",
+                '<p a = "b c">', "<p a=1/>", '<p a=">">', "<p a==b>",
+                "<p a/b>", "<p a=>", "<p a=b<c>", "<p a=`v`>",
+                "<noscript a=b\x0b/>", "<p a=b\xa0/>",
+                "<script a=b\x85/>", '<td colspan="2" >',
             ]
         ),
         st.text(
-            alphabet="ab<>&;#xAP/ \n\t" + "é", min_size=0, max_size=6
+            alphabet="ab<>&;#xAP/ \n\t=\"'\x0b\xa0" + "é", min_size=0,
+            max_size=6,
         ),
     )
 
