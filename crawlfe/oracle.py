@@ -114,10 +114,11 @@ def oracle_backfill(
                 gr[c] = pd.Series([None] * len(gr), index=gr.index,
                                   dtype=object)
         gr["backfilled"] = True
+        # an EMPTY gr (no missing grid points) also trips pandas'
+        # empty/all-NA concat FutureWarning — skip the concat entirely
         allr = (
-            pd.concat([obs, gr], ignore_index=True)
-            .sort_values(["grid_ts", "backfilled"], kind="mergesort")
-        )
+            pd.concat([obs, gr], ignore_index=True) if len(gr) else obs
+        ).sort_values(["grid_ts", "backfilled"], kind="mergesort")
         allr[value_cols] = allr[value_cols].ffill()
         allr.insert(0, key, k)
         frames.append(allr)

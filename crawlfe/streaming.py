@@ -487,3 +487,36 @@ def tws_running_profile(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_state(
+    spark,
+    checkpoint: str,
+    operator_id: int = 0,
+    store_name: str = "default",
+    batch_id: int | None = None,
+):
+    """Read a streaming query's STATE STORE as a DataFrame — the
+    Spark-4 state data source (`spark.read.format("statestore")`),
+    the observability/debug surface for every stateful operator in
+    this module (windowed aggs, dropDuplicates, sessionize): columns
+    (key struct, value struct, partition_id). At scale this reads the
+    checkpoint's HDFS/RocksDB state files directly — no query restart,
+    no state-size-bound driver collect. ``batch_id`` time-travels to a
+    specific committed microbatch (default: latest committed)."""
+    r = (
+        spark.read.format("statestore")
+        .option("operatorId", operator_id)
+        .option("storeName", store_name)
+    )
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load(checkpoint)
+
+
+def stream_state_metadata(spark, checkpoint: str):
+    """Read a checkpoint's STATE METADATA (`format("state-metadata")`):
+    one row per stateful operator — operatorId/operatorName/
+    stateStoreName/numPartitions/min-maxBatchId — the first stop when
+    diagnosing state growth or resume issues on a production job."""
+    return spark.read.format("state-metadata").load(checkpoint)

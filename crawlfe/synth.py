@@ -192,6 +192,48 @@ def gen_pages_pdf(cfg: SynthConfig, url_lo: int, url_hi: int) -> pd.DataFrame:
     )
 
 
+def gen_pages_pdf_slice(
+    cfg: SynthConfig, url_lo: int, url_hi: int, k_lo: int, k_hi: int
+) -> pd.DataFrame:
+    """Pages for url ids in [url_lo, url_hi) restricted to snapshot
+    indices k in [k_lo, k_hi) — the microbatch slice of the streaming
+    source (crawlfe/pagestream.py). Values are BYTE-IDENTICAL to the
+    matching rows of ``gen_pages_pdf`` (same pure functions, same ts
+    accumulation); the union of slices over k = the batch table."""
+    urls, tss, htmls, texts, langs, ks = [], [], [], [], [], []
+    for i in range(url_lo, url_hi):
+        n_snaps = _n_snapshots(cfg, i)
+        hi = min(k_hi, n_snaps)
+        if k_lo >= hi:
+            continue
+        url = f"https://{_domain(cfg, i)}/p/{i}"
+        ts_us = _BASE_US + (h64(cfg.seed, i, 4) % (30 * 86400)) * 1_000_000
+        for k in range(hi):
+            if k > 0:
+                ts_us += _gap_seconds(cfg, i, k) * 1_000_000
+            if k < k_lo:
+                continue
+            html = _html(cfg, i, k)
+            urls.append(url)
+            tss.append(ts_us)
+            htmls.append(html)
+            texts.append(extract_text(html))
+            langs.append(_lang(cfg, i, k, n_snaps))
+            ks.append(k)
+    return pd.DataFrame(
+        {
+            "url": pd.Series(urls, dtype="object"),
+            "warc_ts": pd.Series(
+                np.array(tss, dtype="datetime64[us]"), dtype="datetime64[us]"
+            ),
+            "html": pd.Series(htmls, dtype="object"),
+            "text": pd.Series(texts, dtype="object"),
+            "lang": pd.Series(langs, dtype="object"),
+            "snapshot_k": pd.Series(ks, dtype="int32"),
+        }
+    )
+
+
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
 )

@@ -1,0 +1,166 @@
+"""Streaming Python data source (synthpages) + state-store readers.
+
+Covers the Spark-4 surfaces added in r4:
+  * DataSourceStreamReader (partition-planned, executor-side read)
+  * spark.read.format("statestore") / format("state-metadata")
+
+The parity contract mirrors the batch source's: the UNION of all
+microbatches must be byte-identical to the batch generator's table
+(same pure functions), and a restarted query resumes from the
+committed offset with no duplicates (exactly-once at batch
+granularity).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlfe.pagestream import register
+from crawlfe.synth import SynthConfig, gen_pages_pdf
+
+N_URLS = 40
+MAX_K = 5
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    yield {
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _start(spark, dirs, max_k=MAX_K):
+    register(spark)
+    stream = (
+        spark.readStream.format("synthpages")
+        .option("n_urls", N_URLS)
+        .option("horizon", max_k)
+        .option("n_parts", 3)
+        .load()
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_stream_union_matches_batch_generator(spark, dirs):
+    q = _start(spark, dirs)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = (
+        spark.read.parquet(dirs["out"])
+        .toPandas()
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    # batch twin: urls with <= MAX_K snapshots fully emitted; longer
+    # histories truncated at MAX_K (the stream's configured horizon)
+    full = gen_pages_pdf(SynthConfig(n_urls=N_URLS), 0, N_URLS)
+    full["snapshot_k"] = full.groupby("url").cumcount()
+    want = (
+        full[full["snapshot_k"] < MAX_K]
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert (
+        got["warc_ts"].astype("datetime64[us]").tolist()
+        == want["warc_ts"].tolist()
+    )
+    assert [bytes(b) for b in got["html"]] == [
+        bytes(b) for b in want["html"]
+    ]  # byte-identical payloads
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["snapshot_k"].tolist() == want["snapshot_k"].tolist()
+    assert sorted(got["snapshot_k"].unique()) == list(range(MAX_K))
+
+
+def test_stream_restart_and_grown_horizon_exactly_once(spark, dirs):
+    """The growing-crawl replay contract: run to horizon 2, restart at
+    the same checkpoint with horizon MAX_K (new fetch waves arrived
+    between runs) — the restarted query emits EXACTLY the new waves
+    (k=2..MAX_K-1), never re-emitting committed ones; an unchanged
+    restart is a clean no-op."""
+    q = _start(spark, dirs, max_k=2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    first = spark.read.parquet(dirs["out"]).toPandas()
+    assert sorted(first["snapshot_k"].unique()) == [0, 1]
+    n1 = len(first)
+
+    # no-op restart at the same horizon: nothing new
+    q2 = _start(spark, dirs, max_k=2)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+    assert spark.read.parquet(dirs["out"]).count() == n1
+
+    # grown horizon: resumes from the committed offset
+    q3 = _start(spark, dirs, max_k=MAX_K)
+    q3.processAllAvailable()
+    q3.stop()
+    q3.awaitTermination(60)
+    got = spark.read.parquet(dirs["out"])
+    full = gen_pages_pdf(SynthConfig(n_urls=N_URLS), 0, N_URLS)
+    full["k"] = full.groupby("url").cumcount()
+    assert got.count() == int((full["k"] < MAX_K).sum())
+    dup = (
+        got.groupBy("url", "warc_ts")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_statestore_reader_exposes_agg_state(spark, dirs):
+    """statestore/state-metadata read the checkpoint of a stateful
+    query: per-lang running counts over the page stream."""
+    from crawlfe.streaming import stream_state, stream_state_metadata
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthpages")
+        .option("n_urls", N_URLS)
+        .option("horizon", 3)
+        .load()
+    )
+    q = (
+        stream.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("lang_counts_state")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ckpt"])
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    md = stream_state_metadata(spark, dirs["ckpt"]).toPandas()
+    assert "stateStoreSave" in set(md["operatorName"])
+    assert int(md["numPartitions"].iloc[0]) > 0
+
+    st = stream_state(spark, dirs["ckpt"]).toPandas()
+    got = {
+        r["key"]["lang"]: int(r["value"]["count"])
+        for _, r in st.iterrows()
+    }
+    full = gen_pages_pdf(SynthConfig(n_urls=N_URLS), 0, N_URLS)
+    full["k"] = full.groupby("url").cumcount()
+    want = full[full["k"] < 3].groupby("lang").size().to_dict()
+    assert got == want
