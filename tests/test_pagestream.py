@@ -164,3 +164,52 @@ def test_statestore_reader_exposes_agg_state(spark, dirs):
     full["k"] = full.groupby("url").cumcount()
     want = full[full["k"] < 3].groupby("lang").size().to_dict()
     assert got == want
+
+
+def test_stream_featurize_over_pagestream_matches_batch(spark, dirs):
+    """North-star loop end-to-end: crawl waves arrive on the streaming
+    source -> the SAME frozen featurize stage (mapInPandas over html)
+    runs incrementally -> parquet sink. Feature rows must be
+    byte/bit-identical to batch featurize over the batch twin table
+    (row-local featurizers: batch composition can never matter)."""
+    from crawlfe.features import featurize
+    from crawlfe.synth import PAGES_SCHEMA, synth_pages
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthpages")
+        .option("n_urls", N_URLS)
+        .option("horizon", 3)
+        .option("n_parts", 3)
+        .load()
+        .drop("snapshot_k")
+    )
+    q = (
+        featurize(stream, use_html=True)
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = (
+        spark.read.parquet(dirs["out"])
+        .toPandas()
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    batch = synth_pages(spark, SynthConfig(n_urls=N_URLS), n_partitions=4)
+    want = featurize(batch, use_html=True).toPandas()
+    want["k"] = want.sort_values("warc_ts").groupby("url").cumcount()
+    want = (
+        want[want["k"] < 3]
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["text_sha256"].tolist() == want["text_sha256"].tolist()
+    for a, b in zip(got["feat"], want["feat"]):
+        assert list(a) == list(b)  # bit-identical, not just allclose
