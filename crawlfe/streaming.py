@@ -520,3 +520,53 @@ def stream_state_metadata(spark, checkpoint: str):
     stateStoreName/numPartitions/min-maxBatchId — the first stop when
     diagnosing state growth or resume issues on a production job."""
     return spark.read.format("state-metadata").load(checkpoint)
+
+
+def stream_asof_serve(
+    probe_stream: DataFrame,
+    features: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key: str = "url",
+    ts_probe: str = "join_ts",
+    ts_build: str = "warc_ts",
+    build_cols: list | None = None,
+    strategy: str = "merge_scan_slim",
+):
+    """Point-in-time feature SERVING on the streaming path: each
+    micro-batch of probe events is as-of joined (backward, zero
+    temporal leakage — the same `crawlfe.asof` kernel as the batch
+    pipeline) against the static features table and appended to the
+    sink. The online feature-store pattern: a model-scoring stream
+    asks "the features as of my event time", and gets exactly what a
+    batch backfill would have produced for the same probes — parity
+    pinned by test.
+
+    Implemented via foreachBatch because Structured Streaming has no
+    native stream-static AS-OF join (stream-static equi joins exist;
+    the as-of needs the merge-scan). Inside foreachBatch the batch is
+    a plain DataFrame, so every batch strategy (merge_scan,
+    merge_scan_slim, union_window, salted) works unchanged; the file
+    sink below is idempotent per batchId via the parquet write path +
+    checkpoint. Returns the StreamingQuery."""
+    from .asof import asof_join
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            features,
+            key=key,
+            ts_probe=ts_probe,
+            ts_build=ts_build,
+            build_cols=build_cols,
+            strategy=strategy,
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        probe_stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

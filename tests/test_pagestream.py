@@ -213,3 +213,68 @@ def test_stream_featurize_over_pagestream_matches_batch(spark, dirs):
     assert got["text_sha256"].tolist() == want["text_sha256"].tolist()
     for a, b in zip(got["feat"], want["feat"]):
         assert list(a) == list(b)  # bit-identical, not just allclose
+
+
+def test_stream_asof_serve_matches_batch_asof(spark, tmp_path):
+    """Online point-in-time serving parity: probes streamed in (file
+    source, two separate batches) and as-of served against the static
+    features table must equal the one-shot batch as-of join of the
+    same probes — same matches, zero temporal leakage, regardless of
+    how probes were micro-batched."""
+    from crawlfe.asof import asof_join
+    from crawlfe.features import featurize
+    from crawlfe.streaming import stream_asof_serve
+    from crawlfe.synth import synth_pages
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = synth_pages(spark, SynthConfig(n_urls=N_URLS), n_partitions=4)
+    feats = featurize(pages, use_html=True).select(
+        "url", "warc_ts", "text_sha256", "feat"
+    )
+    feats.write.parquet(str(tmp_path / "feats"))
+    feats = spark.read.parquet(str(tmp_path / "feats"))
+
+    probes = pages.select(
+        "url", F.expr("warc_ts + INTERVAL 1 HOUR").alias("join_ts")
+    )
+    h1, h2 = probes.randomSplit([0.5, 0.5], seed=7)
+    h1.write.parquet(in_dir + "/b1")
+
+    def serve():
+        q = stream_asof_serve(
+            spark.readStream.schema(probes.schema).parquet(in_dir + "/*"),
+            feats,
+            out_dir,
+            ckpt,
+            build_cols=["text_sha256", "feat"],
+        )
+        q.awaitTermination(120)
+
+    serve()
+    h2.write.parquet(in_dir + "/b2")
+    serve()  # availableNow restart picks up only the new probe file
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["url", "join_ts"], ignore_index=True)
+    )
+    want = (
+        asof_join(
+            probes, feats,
+            build_cols=["text_sha256", "feat"],
+            strategy="merge_scan_slim",
+        )
+        .toPandas()
+        .sort_values(["url", "join_ts"], ignore_index=True)
+    )
+    assert len(got) == len(want) == probes.count()
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["warc_ts"].tolist() == want["warc_ts"].tolist()
+    assert got["text_sha256"].tolist() == want["text_sha256"].tolist()
+    # zero temporal leakage on the served rows
+    m = got["warc_ts"].notna()
+    assert (got.loc[m, "warc_ts"] <= got.loc[m, "join_ts"]).all()
