@@ -401,6 +401,11 @@ HEADLINE = [
     # added r3 continuation: pack #56 (distribution-fit diagnostics)
     "zipf_r2",
     "lognormal_fit",
+    # added r4: pack #57 (point-in-time pipeline diagnostics)
+    "asof_staleness",
+    "leakage_audit",
+    "crawl_coverage",
+    "snapshot_churn",
 ]
 
 

@@ -30,6 +30,7 @@ from .stats_anova import *  # noqa: F401,F403
 from .stats_links import *  # noqa: F401,F403
 from .experiments import *  # noqa: F401,F403
 from .classifier_eval import *  # noqa: F401,F403
+from .pit_diag import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
 from .rows_only import _PII_EMAIL_RE, _PII_IP_RE, _SQL_CLEAN_FLAGS, _SQL_DIRTY_DOCS, _dirty_documents, _media_table  # noqa: F401
@@ -769,6 +770,12 @@ REGISTRY: dict[str, tuple] = {
     "media_features": (q_media_features, None),
     "media_resize": (q_media_resize, None),
     "media_frames": (q_media_frames, None),
+    # -- new r4: feature-eng pack #57 — point-in-time pipeline
+    #    diagnostics (appended AFTER the rotated driver window) --
+    "asof_staleness": (q_asof_staleness, SQL_ASOF_STALENESS),
+    "leakage_audit": (q_leakage_audit, SQL_LEAKAGE_AUDIT),
+    "crawl_coverage": (q_crawl_coverage, SQL_CRAWL_COVERAGE),
+    "snapshot_churn": (q_snapshot_churn, SQL_SNAPSHOT_CHURN),
 }
 
 
