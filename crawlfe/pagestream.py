@@ -55,6 +55,7 @@ def _cfg_from_options(options: dict) -> SynthConfig:
 try:
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceReader,
         DataSourceStreamReader,
         InputPartition,
     )
@@ -133,10 +134,36 @@ try:
             # offsets are self-describing; nothing external to clean up
             pass
 
+    class PagesBatchReader(DataSourceReader):
+        """Batch twin of the stream reader: the SAME format works in
+        `spark.read` and `spark.readStream` (the Spark data-source
+        symmetry contract) — url-range InputPartitions, full snapshot
+        history up to `horizon` per url."""
+
+        def __init__(self, options: dict):
+            self._cfg = _cfg_from_options(options)
+            self._horizon = int(
+                options.get("horizon", self._cfg.max_snapshots)
+            )
+            self._n_parts = int(options.get("n_parts", 4))
+
+        def partitions(self) -> Sequence[InputPartition]:
+            n = self._cfg.n_urls
+            parts = max(1, min(self._n_parts, n))
+            step = (n + parts - 1) // parts
+            return [
+                _SlicePartition(lo, min(lo + step, n), 0, self._horizon)
+                for lo in range(0, n, step)
+            ]
+
+        def read(self, partition: _SlicePartition) -> Iterator[Tuple]:
+            return PagesStreamReader.read(self, partition)
+
     class SynthPagesStreamSource(DataSource):
-        """readStream.format("synthpages") — options: seed, n_urls,
-        max_snapshots (generator param), horizon (waves available;
-        grow it across restarts to replay new fetch waves), n_parts."""
+        """format("synthpages") — batch AND stream: options: seed,
+        n_urls, max_snapshots (generator param), horizon (waves
+        available; grow it across stream restarts to replay new fetch
+        waves), n_parts."""
 
         @classmethod
         def name(cls) -> str:
@@ -144,6 +171,9 @@ try:
 
         def schema(self) -> str:
             return STREAM_SCHEMA
+
+        def reader(self, schema) -> PagesBatchReader:
+            return PagesBatchReader(self.options)
 
         def streamReader(self, schema) -> PagesStreamReader:
             return PagesStreamReader(self.options)

@@ -278,3 +278,31 @@ def test_stream_asof_serve_matches_batch_asof(spark, tmp_path):
     # zero temporal leakage on the served rows
     m = got["warc_ts"].notna()
     assert (got.loc[m, "warc_ts"] <= got.loc[m, "join_ts"]).all()
+
+
+def test_batch_read_same_format(spark):
+    """The same registered format serves spark.read AND readStream
+    (data-source symmetry): a batch read at horizon=MAX_K equals the
+    batch generator truncated at MAX_K."""
+    register(spark)
+    got = (
+        spark.read.format("synthpages")
+        .option("n_urls", N_URLS)
+        .option("horizon", MAX_K)
+        .option("n_parts", 3)
+        .load()
+        .toPandas()
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    full = gen_pages_pdf(SynthConfig(n_urls=N_URLS), 0, N_URLS)
+    full["snapshot_k"] = full.groupby("url").cumcount()
+    want = (
+        full[full["snapshot_k"] < MAX_K]
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert [bytes(b) for b in got["html"]] == [
+        bytes(b) for b in want["html"]
+    ]
+    assert got["text"].tolist() == want["text"].tolist()
