@@ -31,7 +31,9 @@ from .stats_links import *  # noqa: F401,F403
 from .experiments import *  # noqa: F401,F403
 from .classifier_eval import *  # noqa: F401,F403
 from .pit_diag import *  # noqa: F401,F403
+from .sketch_period import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
+from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
 from .rows_only import _PII_EMAIL_RE, _PII_IP_RE, _SQL_CLEAN_FLAGS, _SQL_DIRTY_DOCS, _dirty_documents, _media_table  # noqa: F401
 from .pit_scd import _PARA_CHUNK, _zorder_spark, _zorder_sql  # noqa: F401
@@ -776,6 +778,17 @@ REGISTRY: dict[str, tuple] = {
     "leakage_audit": (q_leakage_audit, SQL_LEAKAGE_AUDIT),
     "crawl_coverage": (q_crawl_coverage, SQL_CRAWL_COVERAGE),
     "snapshot_churn": (q_snapshot_churn, SQL_SNAPSHOT_CHURN),
+    # -- new r4: feature-eng pack #58 — distinct sketches + periodicity --
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_union_merge": (q_kmv_union_merge, SQL_KMV_UNION_MERGE),
+    "fold_period_strength": (
+        q_fold_period_strength,
+        SQL_FOLD_PERIOD_STRENGTH,
+    ),
+    "seasonal_anomaly_days": (
+        q_seasonal_anomaly_days,
+        SQL_SEASONAL_ANOMALY_DAYS,
+    ),
 }
 
 
