@@ -32,6 +32,7 @@ from .experiments import *  # noqa: F401,F403
 from .classifier_eval import *  # noqa: F401,F403
 from .pit_diag import *  # noqa: F401,F403
 from .sketch_period import *  # noqa: F401,F403
+from .sql_surface import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -789,6 +790,13 @@ REGISTRY: dict[str, tuple] = {
         q_seasonal_anomaly_days,
         SQL_SEASONAL_ANOMALY_DAYS,
     ),
+    # -- new r4: feature-eng pack #59 — the Spark 4 SQL surface --
+    "sql_udf_scalar": (q_sql_udf_scalar, SQL_SQL_UDF_SCALAR),
+    "sql_udf_table": (q_sql_udf_table, SQL_SQL_UDF_TABLE),
+    "sql_pipe_funnel": (q_sql_pipe_funnel, SQL_SQL_PIPE_FUNNEL),
+    "sql_session_var": (q_sql_session_var, SQL_SQL_SESSION_VAR),
+    "sql_exec_immediate": (q_sql_exec_immediate, SQL_SQL_EXEC_IMMEDIATE),
+    "sql_groupby_all": (q_sql_groupby_all, SQL_SQL_GROUPBY_ALL),
 }
 
 
