@@ -570,3 +570,67 @@ def stream_asof_serve(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_kmv_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    k: int = 32,
+):
+    """Streaming DISTINCT-COUNT sketching: maintain a K-minimum-values
+    sketch of ``key_col`` across micro-batches.  Each batch reduces to
+    its own K smallest 60-bit key hashes (TakeOrderedAndProject —
+    O(K) rows leave the batch) and appends them as one
+    ``sketch-batch-<id>.parquet`` state file; the reader merges all
+    state files and re-takes the K smallest (`kmv_state_estimate`).
+
+    Exactly-once comes FREE from the sketch algebra: KMV merge is an
+    idempotent, commutative, associative monoid (set-union of min
+    hashes), so a batch replayed after a crash just re-unions the same
+    hashes — no transactional sink, no dedup bookkeeping.  This is the
+    streaming twin of the batch `kmv_distinct`/`kmv_union_merge`
+    operators and the shape of every production cardinality monitor
+    (per-partition sketches → tree-merge → O(K) global state).
+    Returns the StreamingQuery."""
+    from .queries.sketch_period import _h60
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        top = (
+            batch_df.select(_h60(F.col(key_col)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        top.write.mode("overwrite").parquet(
+            f"{state_dir}/sketch-batch-{batch_id:06d}.parquet"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_state_estimate(spark, state_dir: str, k: int = 32) -> float:
+    """Merge all per-batch KMV state files and return the distinct
+    estimate (K-1)·2^60 / h_(K) (exact count when fewer than K hashes
+    survive).  Merging is re-taking the K smallest of the union — the
+    same O(K log K) step a tree reduce runs per node."""
+    from .queries.sketch_period import _KMV_DOM
+
+    merged = (
+        spark.read.parquet(f"{state_dir}/sketch-batch-*.parquet")
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    rows = [r.h for r in merged.collect()]  # O(K) driver-side
+    if len(rows) < k:
+        return float(len(rows))
+    return (k - 1) * _KMV_DOM / rows[-1]

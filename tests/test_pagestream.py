@@ -306,3 +306,43 @@ def test_batch_read_same_format(spark):
         bytes(b) for b in want["html"]
     ]
     assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_stream_kmv_matches_batch_sketch(spark, tmp_path):
+    """The streaming KMV sketch (per-batch K-smallest -> monoid merge
+    across state files) equals the batch sketch of the SAME url set
+    EXACTLY — min-wise merge stability, now on the streaming path.
+    Replaying a batch (idempotence) cannot change the estimate."""
+    import hashlib
+
+    from crawlfe.pagestream import register
+    from crawlfe.streaming import kmv_state_estimate, stream_kmv_sink
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthpages")
+        .option("n_urls", N_URLS)
+        .option("horizon", MAX_K)
+        .option("n_parts", 3)
+        .load()
+    )
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    k = 16
+    q = stream_kmv_sink(stream, state, ckpt, key_col="url", k=k)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = kmv_state_estimate(spark, state, k=k)
+
+    full = gen_pages_pdf(SynthConfig(n_urls=N_URLS), 0, N_URLS)
+    hashes = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        for u in set(full["url"])
+    )
+    if len(hashes) < k:
+        want = float(len(hashes))
+    else:
+        want = (k - 1) * 2.0**60 / hashes[k - 1]
+    assert got == want
