@@ -33,6 +33,8 @@ from .classifier_eval import *  # noqa: F401,F403
 from .pit_diag import *  # noqa: F401,F403
 from .sketch_period import *  # noqa: F401,F403
 from .sql_surface import *  # noqa: F401,F403
+from .feateng import *  # noqa: F401,F403
+from .feateng import _CROSS_MIN_N, _PROBIT_SQL  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -797,6 +799,10 @@ REGISTRY: dict[str, tuple] = {
     "sql_session_var": (q_sql_session_var, SQL_SQL_SESSION_VAR),
     "sql_exec_immediate": (q_sql_exec_immediate, SQL_SQL_EXEC_IMMEDIATE),
     "sql_groupby_all": (q_sql_groupby_all, SQL_SQL_GROUPBY_ALL),
+    # -- new r4: feature-eng pack #60 — model-input transforms --
+    "feature_cross": (q_feature_cross, SQL_FEATURE_CROSS),
+    "rank_int": (q_rank_int, SQL_RANK_INT),
+    "isotonic_calibration": (q_isotonic_calibration, None),
 }
 
 
