@@ -35,6 +35,8 @@ from .sketch_period import *  # noqa: F401,F403
 from .sql_surface import *  # noqa: F401,F403
 from .feateng import *  # noqa: F401,F403
 from .feateng import _CROSS_MIN_N, _PROBIT_SQL  # noqa: F401
+from .graph_embed import *  # noqa: F401,F403
+from .graph_embed import _KCORE_K, _KCORE_ROUNDS, _MAT_DIMS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -803,6 +805,9 @@ REGISTRY: dict[str, tuple] = {
     "feature_cross": (q_feature_cross, SQL_FEATURE_CROSS),
     "rank_int": (q_rank_int, SQL_RANK_INT),
     "isotonic_calibration": (q_isotonic_calibration, None),
+    # -- new r4: feature-eng pack #61 — graph peeling + embedding trunc --
+    "kcore_peel": (q_kcore_peel, SQL_KCORE_PEEL),
+    "matryoshka_eval": (q_matryoshka_eval, SQL_MATRYOSHKA_EVAL),
 }
 
 
