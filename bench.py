@@ -406,6 +406,25 @@ HEADLINE = [
     "leakage_audit",
     "crawl_coverage",
     "snapshot_churn",
+    # added r4: pack #58 (distinct sketches + periodicity)
+    "kmv_distinct",
+    "kmv_union_merge",
+    "fold_period_strength",
+    "seasonal_anomaly_days",
+    # added r4: pack #59 (Spark 4 SQL surface)
+    "sql_udf_scalar",
+    "sql_udf_table",
+    "sql_pipe_funnel",
+    "sql_session_var",
+    "sql_exec_immediate",
+    "sql_groupby_all",
+    # added r4: pack #60 (model-input transforms)
+    "feature_cross",
+    "rank_int",
+    "isotonic_calibration",
+    # added r4: pack #61 (graph peel + embedding truncation)
+    "kcore_peel",
+    "matryoshka_eval",
 ]
 
 

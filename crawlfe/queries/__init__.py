@@ -37,6 +37,8 @@ from .feateng import *  # noqa: F401,F403
 from .feateng import _CROSS_MIN_N, _PROBIT_SQL  # noqa: F401
 from .graph_embed import *  # noqa: F401,F403
 from .graph_embed import _KCORE_K, _KCORE_ROUNDS, _MAT_DIMS  # noqa: F401
+from .mining import *  # noqa: F401,F403
+from .mining import _HN_K, _HN_PROBES  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -808,6 +810,8 @@ REGISTRY: dict[str, tuple] = {
     # -- new r4: feature-eng pack #61 — graph peeling + embedding trunc --
     "kcore_peel": (q_kcore_peel, SQL_KCORE_PEEL),
     "matryoshka_eval": (q_matryoshka_eval, SQL_MATRYOSHKA_EVAL),
+    # -- new r4: feature-eng pack #62 — contrastive-pair mining --
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
 }
 
 
