@@ -425,6 +425,12 @@ HEADLINE = [
     # added r4: pack #61 (graph peel + embedding truncation)
     "kcore_peel",
     "matryoshka_eval",
+    # added r4: pack #62 (contrastive-pair mining) + #63 (curation ops)
+    "hard_negatives",
+    "semdedup",
+    "rrf_fusion",
+    "conformal_qhat",
+    "kcenter_coreset",
 ]
 
 

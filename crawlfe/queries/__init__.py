@@ -39,6 +39,8 @@ from .graph_embed import *  # noqa: F401,F403
 from .graph_embed import _KCORE_K, _KCORE_ROUNDS, _MAT_DIMS  # noqa: F401
 from .mining import *  # noqa: F401,F403
 from .mining import _HN_K, _HN_PROBES  # noqa: F401
+from .curation import *  # noqa: F401,F403
+from .curation import _CONF_ALPHA, _KCENTER_K, _RRF_C, _RRF_TOPK, _SEM_K, _SEM_TAU, _semdedup_cluster_summary  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -812,6 +814,11 @@ REGISTRY: dict[str, tuple] = {
     "matryoshka_eval": (q_matryoshka_eval, SQL_MATRYOSHKA_EVAL),
     # -- new r4: feature-eng pack #62 — contrastive-pair mining --
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    # -- new r4: feature-eng pack #63 — modern data-curation ops --
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "conformal_qhat": (q_conformal_qhat, SQL_CONFORMAL_QHAT),
+    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
 }
 
 

@@ -1,0 +1,431 @@
+"""Feature-eng pack #63 (r4): modern data-curation operators.
+
+Four ops a 100 TB training-data pipeline runs between crawl and
+tokenizer, each with the cluster-/block-first shape that survives
+scale (never all-pairs, never a driver-side data loop):
+
+* ``semdedup`` — SemDeDup-style semantic dedup (Abbas et al. 2023,
+  arXiv:2303.09540): assign embeddings to their nearest of K fixed
+  centroids, then mark near-duplicates ONLY within a cluster.  The
+  candidate-pair space is the sum of squared cluster sizes instead of
+  n², and each cluster is one grouped-map BLAS kernel (the
+  `dedup_embedding` scale pattern, driver-green since r1).
+* ``rrf_fusion`` — reciprocal-rank fusion (Cormack et al. 2009) of two
+  rankers; THE standard hybrid-retrieval merge (BM25 + dense).  Pure
+  window algebra, no float accumulation beyond two exact ranks.
+* ``conformal_qhat`` — split-conformal calibration quantile
+  (Vovk et al.; Angelopoulos & Bates 2021): per group, the
+  ceil((n+1)·0.9)-th smallest nonconformity score, plus its achieved
+  empirical coverage.  An exact order statistic — no interpolation, so
+  engine-portable bit-for-bit.
+* ``kcenter_coreset`` — greedy k-center (Gonzalez 1985) coreset
+  selection over embeddings: k=8 rounds, each ONE distributed scan
+  against a broadcast center set; the driver holds only O(k·dim)
+  floats (same bounded-rounds contract as `kmeanspp_seeds`).
+
+Determinism recipe per _shared.py: doubles rounded before compare /
+output, every argmin/argmax carries a vec_id tie-break, all columns
+aliased identically in both engines.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._shared import _t
+
+_SEM_K = 4  # centroids = embeddings of the K lowest vec_ids
+_SEM_TAU = 0.4  # within-cluster rounded-cosine dup threshold (picked
+# against the fixture's within-cluster best-lower-cosine quantiles so
+# the drop rate is live but minority at every tier: ~5% at sf0.001/0.01,
+# ~15% at sf0.1)
+_RRF_C = 60  # the standard RRF damping constant
+_RRF_TOPK = 3
+_CONF_ALPHA = 0.1  # 90% target coverage
+_KCENTER_K = 8
+
+
+def _vec_base(spark, sf_dir):
+    """(vec_id, v double[], nm) — the shared embedding relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
+    return e.select("vec_id", vec_d.alias("v"), nrm.alias("nm"))
+
+
+# --------------------------------------------------------------------------
+# semdedup
+# --------------------------------------------------------------------------
+
+def _semdedup_cluster_summary(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One cluster -> (cluster, n_vecs, n_dropped).
+
+    A vector is DROPPED iff some lower-vec_id vector in the SAME
+    cluster has rounded cosine >= _SEM_TAU with it (keep-first-by-id;
+    deterministic, unlike SemDeDup's per-cluster random keep).  The
+    pairwise block is row-chunked so the in-flight cosine slab stays
+    ~32 MB regardless of cluster width (VERDICT r1 OOM rule).
+    """
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    n = len(ids)
+    dropped = np.zeros(n, dtype=bool)
+    chunk = max(1, (1 << 22) // max(n, 1))
+    for s in range(0, n, chunk):
+        e_ = min(s + chunk, n)
+        cos = np.round(m[s:e_] @ m.T, 6)
+        # lower-id neighbors only: ids are sorted, so columns strictly
+        # before the global row index
+        mask = (
+            np.arange(n)[None, :] < np.arange(s, e_)[:, None]
+        ) & (cos >= _SEM_TAU)
+        dropped[s:e_] = mask.any(axis=1)
+    return pd.DataFrame(
+        {
+            "cluster": [int(pdf["cluster"].iloc[0]) if n else 0],
+            "n_vecs": [n],
+            "n_dropped": [int(dropped.sum())],
+        }
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup: nearest-centroid clustering (K fixed deterministic
+    centroids = the K lowest vec_ids' embeddings; argmax rounded
+    cosine, centroid-id tie-break) -> per-cluster keep-first-by-id
+    near-dup marking at rounded cosine >= _SEM_TAU -> per-cluster
+    summary.  At 10^12 rows the centroid set is a k-means|| output and
+    K is O(sqrt(n)); the shape here — broadcast centroid assign, then
+    grouped-map pairwise INSIDE clusters only — is exactly the paper's
+    and never materializes cross-cluster pairs."""
+    base = _vec_base(spark, sf_dir)
+    cents = base.where(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nm",
+        "cent_id",
+        F.round(dot / (F.col("nm") * F.col("cn")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cluster"))
+    )
+    summary = assigned.groupBy("cluster").applyInPandas(
+        _semdedup_cluster_summary,
+        schema="cluster bigint, n_vecs bigint, n_dropped bigint",
+    )
+    return summary.select(
+        "cluster",
+        "n_vecs",
+        "n_dropped",
+        F.round(
+            F.col("n_dropped") / F.col("n_vecs").cast("double"), 4
+        ).alias("drop_rate"),
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nm AS cn FROM base
+  WHERE vec_id < {_SEM_K}
+), scored AS (
+  SELECT b.vec_id, c.cent_id,
+         round(list_sum(list_transform(list_zip(b.v, c.cv),
+               t -> t[1] * t[2])) / (b.nm * c.cn), 6) AS cos
+  FROM base b, cents c
+), assign AS (
+  SELECT vec_id, cent_id AS cluster FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cent_id) AS rn
+    FROM scored) WHERE rn = 1
+), av AS (
+  SELECT a.vec_id, a.cluster, b.v, b.nm
+  FROM assign a JOIN base b USING (vec_id)
+), best_lower AS (
+  SELECT x.vec_id,
+         max(round(list_sum(list_transform(list_zip(x.v, y.v),
+             t -> t[1] * t[2])) / (x.nm * y.nm), 6)) AS m
+  FROM av x JOIN av y
+    ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+  GROUP BY x.vec_id
+), flags AS (
+  SELECT a.cluster,
+         CASE WHEN p.m >= {_SEM_TAU} THEN 1 ELSE 0 END AS dropped
+  FROM av a LEFT JOIN best_lower p USING (vec_id)
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+       round(sum(dropped) / CAST(count(*) AS DOUBLE), 4) AS drop_rate
+FROM flags GROUP BY cluster
+"""
+
+
+# --------------------------------------------------------------------------
+# rrf_fusion
+# --------------------------------------------------------------------------
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two rankers per source: ranker 1
+    orders by length (n_chars DESC — the BM25 stand-in), ranker 2 by
+    md5(doc_id) (the dense-retriever stand-in; same hex in both
+    engines).  rrf = 1/(60+r1) + 1/(60+r2), top-3 per source.  Rank
+    windows + one arithmetic row — shuffles once on source."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w1 = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    ).withColumn(
+        "rrf",
+        F.round(
+            1.0 / (F.lit(_RRF_C) + F.col("r1"))
+            + 1.0 / (F.lit(_RRF_C) + F.col("r2")),
+            6,
+        ),
+    )
+    w3 = Window.partitionBy("source").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        ranked.withColumn("fused_rank", F.row_number().over(w3))
+        .where(F.col("fused_rank") <= _RRF_TOPK)
+        .select("source", "doc_id", "r1", "r2", "rrf", "fused_rank")
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r1,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS r2
+  FROM documents
+), fused AS (
+  SELECT source, doc_id, r1, r2,
+         round(1.0 / ({_RRF_C} + r1) + 1.0 / ({_RRF_C} + r2), 6) AS rrf
+  FROM ranked
+)
+SELECT source, doc_id, r1, r2, rrf, fused_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY rrf DESC, doc_id) AS fused_rank
+  FROM fused) WHERE fused_rank <= {_RRF_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# conformal_qhat
+# --------------------------------------------------------------------------
+
+def _conf_score():
+    """Nonconformity score: |u - 0.5| where u = md5-derived uniform in
+    [0,1) — a dyadic rational (hash16/65536), so the subtraction and
+    abs are EXACT doubles in both engines (the calibration_bins
+    recipe)."""
+    h16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    return F.abs(h16 / F.lit(65536.0) - F.lit(0.5))
+
+
+def q_conformal_qhat(spark, sf_dir):
+    """Split-conformal calibration per lang: qhat = the
+    ceil((n+1)(1-alpha))-th smallest nonconformity score (clamped to
+    n; ties broken by doc_id), plus the achieved empirical coverage
+    P(s <= qhat).  One shuffle on lang; the quantile is an exact order
+    statistic via row_number, never percentile interpolation."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", _conf_score().alias("s")
+    )
+    w = Window.partitionBy("lang").orderBy("s", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn(
+        "k",
+        F.least(
+            F.ceil(F.lit(1.0 - _CONF_ALPHA) * (F.col("n") + 1)),
+            F.col("n").cast("bigint"),
+        ),
+    )
+    qrow = ranked.where(F.col("rn") == F.col("k")).select(
+        "lang", "n", "k", F.col("s").alias("qhat")
+    )
+    return (
+        ranked.select("lang", "s")
+        .join(F.broadcast(qrow), "lang")
+        .groupBy("lang", "n", "k", "qhat")
+        .agg(
+            F.round(
+                F.sum((F.col("s") <= F.col("qhat")).cast("int"))
+                / F.col("n").cast("double"),
+                4,
+            ).alias("coverage")
+        )
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n"),
+            "k",
+            F.round("qhat", 6).alias("qhat"),
+            "coverage",
+        )
+    )
+
+
+SQL_CONFORMAL_QHAT = f"""
+WITH scores AS (
+  SELECT lang, doc_id,
+         abs(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  AS BIGINT) / 65536.0 - 0.5) AS s
+  FROM documents
+), ranked AS (
+  SELECT lang, s,
+         row_number() OVER (PARTITION BY lang ORDER BY s, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scores
+), kd AS (
+  SELECT *, least(CAST(ceil({1.0 - _CONF_ALPHA} * (n + 1)) AS BIGINT),
+                  CAST(n AS BIGINT)) AS k
+  FROM ranked
+), qrow AS (
+  SELECT lang, CAST(n AS BIGINT) AS n, k, s AS qhat
+  FROM kd WHERE rn = k
+)
+SELECT q.lang, q.n, q.k, round(q.qhat, 6) AS qhat,
+       round(sum(CASE WHEN r.s <= q.qhat THEN 1 ELSE 0 END)
+             / CAST(q.n AS DOUBLE), 4) AS coverage
+FROM ranked r JOIN qrow q ON r.lang = q.lang
+GROUP BY q.lang, q.n, q.k, q.qhat
+"""
+
+
+# --------------------------------------------------------------------------
+# kcenter_coreset
+# --------------------------------------------------------------------------
+
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center (Gonzalez 1985) coreset over embeddings:
+    start at the lowest vec_id, then k-1 rounds of "farthest point
+    from the chosen set" (rounded squared L2; vec_id tie-break).
+    Each round is ONE distributed scan with the center set broadcast
+    as literal arrays; the driver ever holds only the k chosen
+    (vec_id, vector) pairs — O(k·dim), the same bounded-rounds
+    contract as kmeanspp_seeds.  radius[i] = the max-min distance at
+    which center i was picked (radius[1] = 0 by convention); the
+    monotone non-increasing radius sequence IS the coreset quality
+    curve."""
+    base = _vec_base(spark, sf_dir).select("vec_id", "v")
+
+    def dist_to(center_vals):
+        arr = F.array(*[F.lit(float(x)) for x in center_vals])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(int(first["vec_id"]), list(first["v"]), 0.0)]
+    for _ in range(_KCENTER_K - 1):
+        # rebuild least() over all picked centers each round: the
+        # expression stays a pure function of the scan (deterministic
+        # under AQE re-execution), and the round's ONE collect() pulls
+        # a single row
+        md = None
+        for _cid, vec, _r in picked:
+            d_i = dist_to(vec)
+            md = d_i if md is None else F.least(md, d_i)
+        nxt = (
+            base.select("vec_id", "v", md.alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((int(nxt["vec_id"]), list(nxt["v"]), float(nxt["md"])))
+    rows = [
+        (i + 1, cid, float(r)) for i, (cid, _v, r) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, schema="round int, center_id bigint, radius double"
+    )
+
+
+def _sql_kcenter() -> str:
+    """Unrolled k-round greedy chain (k is a compile-time constant, so
+    the oracle is a plain non-recursive CTE pipeline)."""
+    dist = (
+        "round(list_sum(list_transform(list_zip(b.v, {c}.v), "
+        "t -> (t[1] - t[2]) * (t[1] - t[2]))), 6)"
+    )
+    parts = [
+        "WITH base AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "c1 AS (SELECT vec_id, v, 0.0 AS radius FROM base "
+        "ORDER BY vec_id LIMIT 1)",
+        f"d1 AS (SELECT b.vec_id, b.v, {dist.format(c='c')} AS md "
+        "FROM base b, c1 c)",
+    ]
+    for i in range(2, _KCENTER_K + 1):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, md AS radius FROM d{i-1} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < _KCENTER_K:
+            parts.append(
+                f"d{i} AS (SELECT b.vec_id, b.v, "
+                f"least(b.md, {dist.format(c='c')}) AS md "
+                f"FROM d{i-1} b, c{i} c)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS round, CAST(vec_id AS BIGINT) AS center_id, "
+        f"radius FROM c{i}"
+        for i in range(1, _KCENTER_K + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel
+
+
+SQL_KCENTER_CORESET = _sql_kcenter()
