@@ -41,6 +41,8 @@ from .mining import *  # noqa: F401,F403
 from .mining import _HN_K, _HN_PROBES  # noqa: F401
 from .curation import *  # noqa: F401,F403
 from .curation import _CONF_ALPHA, _KCENTER_K, _RRF_C, _RRF_TOPK, _SEM_K, _SEM_TAU, _semdedup_cluster_summary  # noqa: F401
+from .pq import *  # noqa: F401,F403
+from .pq import _ADC_PROBES, _ADC_TOPK, _MIX_ALPHA, _PQ_K, _PQ_M, _PQ_SUB  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -819,6 +821,10 @@ REGISTRY: dict[str, tuple] = {
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "conformal_qhat": (q_conformal_qhat, SQL_CONFORMAL_QHAT),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
+    # -- new r4: feature-eng pack #64 — PQ compression + corpus mixing --
+    "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
+    "adc_topk": (q_adc_topk, SQL_ADC_TOPK),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
 }
 
 
