@@ -356,8 +356,15 @@ def q_label_prop(spark, sf_dir):
     )
     nodes = d.select("doc_id")
     un1 = nodes.join(seeds.select("doc_id"), "doc_id", "left_anti")
-    r1 = _label_prop_round(un1, edges, seeds).withColumn(
-        "rnd", F.lit(1)
+    # the r1 relation feeds THREE downstream consumers (lab01 union,
+    # un2 anti-join, final union) — cut its lineage once so the
+    # 2-join+window subtree isn't recomputed per consumer (the
+    # dedup_clusters / kcore_peel per-round localCheckpoint pattern;
+    # the checkpointed rows are O(nodes) slim (doc_id, label, rnd))
+    r1 = (
+        _label_prop_round(un1, edges, seeds)
+        .withColumn("rnd", F.lit(1))
+        .localCheckpoint(eager=False)
     )
     lab01 = seeds.select("doc_id", "label").unionAll(
         r1.select("doc_id", "label")

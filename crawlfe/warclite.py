@@ -114,6 +114,19 @@ try:  # pyspark is always present in this repo's environments; the
         def __init__(self, path: str):
             self.path = path
 
+    _ARROW_BATCH = 4096  # records per RecordBatch crossing into the JVM
+
+    def _arrow_batch(pa, cols):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], type=pa.string()),
+                pa.array(cols[1], type=pa.int64()),
+                pa.array(cols[2], type=pa.string()),
+                pa.array(cols[3], type=pa.binary()),
+            ],
+            names=["url", "warc_ts_us", "lang", "payload"],
+        )
+
     class WarcLiteReader(DataSourceReader):
         def __init__(self, options: dict):
             self._path = options.get("path")
@@ -145,14 +158,31 @@ try:  # pyspark is always present in this repo's environments; the
                 _FilePartition(p) for p in list_warclite_files(self._path)
             ]
 
-        def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        def read(self, partition: _FilePartition):
             # runs ON THE EXECUTOR; streams records, never materializes
-            # the whole file
+            # the whole file. Yields pyarrow.RecordBatch chunks (the
+            # Spark 4 DataSource Arrow path) so record fields cross the
+            # Python->JVM boundary as columnar buffers instead of
+            # per-row pickled tuples — ~an order of magnitude less
+            # serialization overhead on payload-heavy scans.
+            import pyarrow as pa
+
             recs = read_warclite_file(partition.path)
             if self._lang_eq is not None:
                 want = self._lang_eq
                 recs = (r for r in recs if r[2] == want)
-            yield from recs
+            cols: tuple[list, list, list, list] = ([], [], [], [])
+            n = 0
+            for r in recs:
+                for c, v in zip(cols, r):
+                    c.append(v)
+                n += 1
+                if n >= _ARROW_BATCH:
+                    yield _arrow_batch(pa, cols)
+                    cols = ([], [], [], [])
+                    n = 0
+            if n:
+                yield _arrow_batch(pa, cols)
 
     @dataclass
     class _WLCommit(WriterCommitMessage):

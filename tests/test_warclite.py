@@ -206,5 +206,9 @@ def test_datasource_lang_filter_pushdown(spark, tmp_path):
         )
     )
     assert len(remaining) == 1 and isinstance(remaining[0], GreaterThan)
-    rows = [t for part in r.partitions() for t in r.read(part)]
-    assert len(rows) == 5 and all(t[2] == "en" for t in rows)
+    import pyarrow as pa
+
+    batches = [b for part in r.partitions() for b in r.read(part)]
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.num_rows == 5
+    assert all(v == "en" for v in tbl.column("lang").to_pylist())
