@@ -431,6 +431,14 @@ HEADLINE = [
     "rrf_fusion",
     "conformal_qhat",
     "kcenter_coreset",
+    # added r4: pack #64 (PQ compression) + #65 (privacy + ORC)
+    "pq_encode",
+    "adc_topk",
+    "mixture_temperature",
+    "k_anonymity",
+    "dp_counts",
+    "stratified_kfold",
+    "scan_orc",
 ]
 
 

@@ -43,6 +43,8 @@ from .curation import *  # noqa: F401,F403
 from .curation import _CONF_ALPHA, _KCENTER_K, _RRF_C, _RRF_TOPK, _SEM_K, _SEM_TAU, _semdedup_cluster_summary  # noqa: F401
 from .pq import *  # noqa: F401,F403
 from .pq import _ADC_PROBES, _ADC_TOPK, _MIX_ALPHA, _PQ_K, _PQ_M, _PQ_SUB  # noqa: F401
+from .privacy import *  # noqa: F401,F403
+from .privacy import _DP_EPS, _KANON_BUCKET, _KANON_K, _KFOLD  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -825,6 +827,11 @@ REGISTRY: dict[str, tuple] = {
     "pq_encode": (q_pq_encode, SQL_PQ_ENCODE),
     "adc_topk": (q_adc_topk, SQL_ADC_TOPK),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    # -- new r4: feature-eng pack #65 — privacy audits + ORC source --
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "dp_counts": (q_dp_counts, SQL_DP_COUNTS),
+    "stratified_kfold": (q_stratified_kfold, SQL_STRATIFIED_KFOLD),
+    "scan_orc": (q_scan_orc, SQL_SCAN_ORC),
 }
 
 
