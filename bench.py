@@ -439,6 +439,11 @@ HEADLINE = [
     "dp_counts",
     "stratified_kfold",
     "scan_orc",
+    # added r4: pack #66 (crawl-ops & planner statistics)
+    "recrawl_priority",
+    "salt_plan",
+    "join_cardinality_est",
+    "freshness_sla",
 ]
 
 

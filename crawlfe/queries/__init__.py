@@ -45,6 +45,8 @@ from .pq import *  # noqa: F401,F403
 from .pq import _ADC_PROBES, _ADC_TOPK, _MIX_ALPHA, _PQ_K, _PQ_M, _PQ_SUB  # noqa: F401
 from .privacy import *  # noqa: F401,F403
 from .privacy import _DP_EPS, _KANON_BUCKET, _KANON_K, _KFOLD  # noqa: F401
+from .crawlops import *  # noqa: F401,F403
+from .crawlops import _SALT_CAP, _SALT_TARGET, _SLA_HOURS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -832,6 +834,11 @@ REGISTRY: dict[str, tuple] = {
     "dp_counts": (q_dp_counts, SQL_DP_COUNTS),
     "stratified_kfold": (q_stratified_kfold, SQL_STRATIFIED_KFOLD),
     "scan_orc": (q_scan_orc, SQL_SCAN_ORC),
+    # -- new r4: feature-eng pack #66 — crawl-ops & planner statistics --
+    "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
+    "salt_plan": (q_salt_plan, SQL_SALT_PLAN),
+    "join_cardinality_est": (q_join_cardinality_est, SQL_JOIN_CARDINALITY_EST),
+    "freshness_sla": (q_freshness_sla, SQL_FRESHNESS_SLA),
 }
 
 
