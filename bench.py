@@ -444,6 +444,10 @@ HEADLINE = [
     "salt_plan",
     "join_cardinality_est",
     "freshness_sla",
+    # added r4: pack #67 (survey-sampling estimators)
+    "ht_estimator",
+    "raking_ipf",
+    "neyman_allocation",
 ]
 
 

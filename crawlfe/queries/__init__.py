@@ -47,6 +47,8 @@ from .privacy import *  # noqa: F401,F403
 from .privacy import _DP_EPS, _KANON_BUCKET, _KANON_K, _KFOLD  # noqa: F401
 from .crawlops import *  # noqa: F401,F403
 from .crawlops import _SALT_CAP, _SALT_TARGET, _SLA_HOURS  # noqa: F401
+from .surveystat import *  # noqa: F401,F403
+from .surveystat import _HT_RATE, _IPF_ROUNDS, _NEYMAN_BUDGET  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -839,6 +841,10 @@ REGISTRY: dict[str, tuple] = {
     "salt_plan": (q_salt_plan, SQL_SALT_PLAN),
     "join_cardinality_est": (q_join_cardinality_est, SQL_JOIN_CARDINALITY_EST),
     "freshness_sla": (q_freshness_sla, SQL_FRESHNESS_SLA),
+    # -- new r4: feature-eng pack #67 — survey-sampling estimators --
+    "ht_estimator": (q_ht_estimator, SQL_HT_ESTIMATOR),
+    "raking_ipf": (q_raking_ipf, SQL_RAKING_IPF),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
 }
 
 
