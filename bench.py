@@ -448,6 +448,11 @@ HEADLINE = [
     "ht_estimator",
     "raking_ipf",
     "neyman_allocation",
+    # added r4: pack #68 (Spark 4 SQL surface + containment)
+    "agg_listagg",
+    "collated_dedup",
+    "try_arithmetic",
+    "shingle_containment",
 ]
 
 

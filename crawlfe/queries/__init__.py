@@ -49,6 +49,7 @@ from .crawlops import *  # noqa: F401,F403
 from .crawlops import _SALT_CAP, _SALT_TARGET, _SLA_HOURS  # noqa: F401
 from .surveystat import *  # noqa: F401,F403
 from .surveystat import _HT_RATE, _IPF_ROUNDS, _NEYMAN_BUDGET  # noqa: F401
+from .sql4 import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -845,6 +846,11 @@ REGISTRY: dict[str, tuple] = {
     "ht_estimator": (q_ht_estimator, SQL_HT_ESTIMATOR),
     "raking_ipf": (q_raking_ipf, SQL_RAKING_IPF),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
+    # -- new r4: feature-eng pack #68 — Spark 4 SQL surface + containment --
+    "agg_listagg": (q_agg_listagg, SQL_AGG_LISTAGG),
+    "collated_dedup": (q_collated_dedup, SQL_COLLATED_DEDUP),
+    "try_arithmetic": (q_try_arithmetic, SQL_TRY_ARITHMETIC),
+    "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
 }
 
 
