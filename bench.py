@@ -453,6 +453,10 @@ HEADLINE = [
     "collated_dedup",
     "try_arithmetic",
     "shingle_containment",
+    # added r4: pack #69 (robust estimation + sketch algebra)
+    "huber_mean",
+    "kmv_intersect",
+    "perm_test_mean",
 ]
 
 

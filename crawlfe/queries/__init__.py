@@ -50,6 +50,8 @@ from .crawlops import _SALT_CAP, _SALT_TARGET, _SLA_HOURS  # noqa: F401
 from .surveystat import *  # noqa: F401,F403
 from .surveystat import _HT_RATE, _IPF_ROUNDS, _NEYMAN_BUDGET  # noqa: F401
 from .sql4 import *  # noqa: F401,F403
+from .robust import *  # noqa: F401,F403
+from .robust import _HUBER_C, _HUBER_ROUNDS, _PERM_B  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -851,6 +853,10 @@ REGISTRY: dict[str, tuple] = {
     "collated_dedup": (q_collated_dedup, SQL_COLLATED_DEDUP),
     "try_arithmetic": (q_try_arithmetic, SQL_TRY_ARITHMETIC),
     "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
+    # -- new r4: feature-eng pack #69 — robust estimation + sketch algebra --
+    "huber_mean": (q_huber_mean, SQL_HUBER_MEAN),
+    "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
+    "perm_test_mean": (q_perm_test_mean, SQL_PERM_TEST_MEAN),
 }
 
 
