@@ -52,6 +52,8 @@ from .surveystat import _HT_RATE, _IPF_ROUNDS, _NEYMAN_BUDGET  # noqa: F401
 from .sql4 import *  # noqa: F401,F403
 from .robust import *  # noqa: F401,F403
 from .robust import _HUBER_C, _HUBER_ROUNDS, _PERM_B  # noqa: F401
+from .crawlgraph import *  # noqa: F401,F403
+from .crawlgraph import _REDIR_HOPS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -857,6 +859,10 @@ REGISTRY: dict[str, tuple] = {
     "huber_mean": (q_huber_mean, SQL_HUBER_MEAN),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "perm_test_mean": (q_perm_test_mean, SQL_PERM_TEST_MEAN),
+    # -- new r4: feature-eng pack #70 — crawl-graph + code routing --
+    "redirect_chains": (q_redirect_chains, SQL_REDIRECT_CHAINS),
+    "modularity_q": (q_modularity_q, SQL_MODULARITY_Q),
+    "code_detect": (q_code_detect, SQL_CODE_DETECT),
 }
 
 
