@@ -54,6 +54,8 @@ from .robust import *  # noqa: F401,F403
 from .robust import _HUBER_C, _HUBER_ROUNDS, _PERM_B  # noqa: F401
 from .crawlgraph import *  # noqa: F401,F403
 from .crawlgraph import _REDIR_HOPS  # noqa: F401
+from .stats_strat import *  # noqa: F401,F403
+from .stats_strat import _CA_BIN_CHARS, _CA_MAX_SCORE, _MH_OUTCOME_CENTS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -863,6 +865,10 @@ REGISTRY: dict[str, tuple] = {
     "redirect_chains": (q_redirect_chains, SQL_REDIRECT_CHAINS),
     "modularity_q": (q_modularity_q, SQL_MODULARITY_Q),
     "code_detect": (q_code_detect, SQL_CODE_DETECT),
+    # -- new r4: feature-eng pack #71 — stratified categorical estimators --
+    "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
+    "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
+    "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
 }
 
 
