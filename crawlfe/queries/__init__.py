@@ -56,6 +56,8 @@ from .crawlgraph import *  # noqa: F401,F403
 from .crawlgraph import _REDIR_HOPS  # noqa: F401
 from .stats_strat import *  # noqa: F401,F403
 from .stats_strat import _CA_BIN_CHARS, _CA_MAX_SCORE, _MH_OUTCOME_CENTS  # noqa: F401
+from .encoders import *  # noqa: F401,F403
+from .encoders import _CE_ALPHA, _F1_BIN_CENTS, _F1_TRAIN_DAY_MAX, _OH_TOPK  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -869,6 +871,10 @@ REGISTRY: dict[str, tuple] = {
     "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
     "cochran_armitage": (q_cochran_armitage, SQL_COCHRAN_ARMITAGE),
     "jackknife_ratio": (q_jackknife_ratio, SQL_JACKKNIFE_RATIO),
+    # -- new r4: feature-eng pack #72 — categorical encoders + F1 eval --
+    "count_encode": (q_count_encode, SQL_COUNT_ENCODE),
+    "one_hot_topk": (q_one_hot_topk, SQL_ONE_HOT_TOPK),
+    "macro_f1": (q_macro_f1, SQL_MACRO_F1),
 }
 
 
