@@ -58,6 +58,8 @@ from .stats_strat import *  # noqa: F401,F403
 from .stats_strat import _CA_BIN_CHARS, _CA_MAX_SCORE, _MH_OUTCOME_CENTS  # noqa: F401
 from .encoders import *  # noqa: F401,F403
 from .encoders import _CE_ALPHA, _F1_BIN_CENTS, _F1_TRAIN_DAY_MAX, _OH_TOPK  # noqa: F401
+from .seqtest import *  # noqa: F401,F403
+from .seqtest import _HOLM_ALPHA, _MSPRT_ALPHA, _MSPRT_TAU2, _RAKE_STOPWORDS, _RAKE_TOPK  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -875,6 +877,10 @@ REGISTRY: dict[str, tuple] = {
     "count_encode": (q_count_encode, SQL_COUNT_ENCODE),
     "one_hot_topk": (q_one_hot_topk, SQL_ONE_HOT_TOPK),
     "macro_f1": (q_macro_f1, SQL_MACRO_F1),
+    # -- new r4: feature-eng pack #73 — keywords + sequential inference --
+    "rake_keywords": (q_rake_keywords, SQL_RAKE_KEYWORDS),
+    "msprt_evalue": (q_msprt_evalue, SQL_MSPRT_EVALUE),
+    "holm_bonferroni": (q_holm_bonferroni, SQL_HOLM_BONFERRONI),
 }
 
 
