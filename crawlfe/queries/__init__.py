@@ -60,6 +60,8 @@ from .encoders import *  # noqa: F401,F403
 from .encoders import _CE_ALPHA, _F1_BIN_CENTS, _F1_TRAIN_DAY_MAX, _OH_TOPK  # noqa: F401
 from .seqtest import *  # noqa: F401,F403
 from .seqtest import _HOLM_ALPHA, _MSPRT_ALPHA, _MSPRT_TAU2, _RAKE_STOPWORDS, _RAKE_TOPK  # noqa: F401
+from .llm_eval import *  # noqa: F401,F403
+from .llm_eval import _DSIR_BUCKETS, _ERR_GMAX, _ERR_TOPN, _PASSK_K  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -881,6 +883,10 @@ REGISTRY: dict[str, tuple] = {
     "rake_keywords": (q_rake_keywords, SQL_RAKE_KEYWORDS),
     "msprt_evalue": (q_msprt_evalue, SQL_MSPRT_EVALUE),
     "holm_bonferroni": (q_holm_bonferroni, SQL_HOLM_BONFERRONI),
+    # -- new r4: feature-eng pack #74 — LLM data selection + eval --
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
+    "err_ranking": (q_err_ranking, SQL_ERR_RANKING),
 }
 
 
