@@ -62,6 +62,8 @@ from .seqtest import *  # noqa: F401,F403
 from .seqtest import _HOLM_ALPHA, _MSPRT_ALPHA, _MSPRT_TAU2, _RAKE_STOPWORDS, _RAKE_TOPK  # noqa: F401
 from .llm_eval import *  # noqa: F401,F403
 from .llm_eval import _DSIR_BUCKETS, _ERR_GMAX, _ERR_TOPN, _PASSK_K  # noqa: F401
+from .storeops import *  # noqa: F401,F403
+from .storeops import _PREFIX_BLOCK_CHARS, _SKEW_CUTOFF_DAY, _SPLIT_BUDGET_CENTS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -887,6 +889,10 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "pass_at_k": (q_pass_at_k, SQL_PASS_AT_K),
     "err_ranking": (q_err_ranking, SQL_ERR_RANKING),
+    # -- new r4: feature-eng pack #75 — layout planning + store monitors --
+    "scan_split_plan": (q_scan_split_plan, SQL_SCAN_SPLIT_PLAN),
+    "online_offline_skew": (q_online_offline_skew, SQL_ONLINE_OFFLINE_SKEW),
+    "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
 }
 
 
