@@ -457,6 +457,25 @@ HEADLINE = [
     "huber_mean",
     "kmv_intersect",
     "perm_test_mean",
+    # r4 continuation packs #70-#75
+    "redirect_chains",
+    "modularity_q",
+    "code_detect",
+    "mantel_haenszel",
+    "cochran_armitage",
+    "jackknife_ratio",
+    "count_encode",
+    "one_hot_topk",
+    "macro_f1",
+    "rake_keywords",
+    "msprt_evalue",
+    "holm_bonferroni",
+    "dsir_weights",
+    "pass_at_k",
+    "err_ranking",
+    "scan_split_plan",
+    "online_offline_skew",
+    "dedup_prefix",
 ]
 
 

@@ -926,3 +926,54 @@ def test_poisson_bootstrap_single_pass(spark, sf_dir):
     plan = plan_of(q_poisson_bootstrap(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_redirect_chains_all_hops_broadcast(spark, sf_dir):
+    """Bounded redirect resolution is 4 chained BROADCAST hash joins
+    of the slim (src,dst) map — never a sort-merge or cartesian per
+    hop. At 10^12 pages the redirect relation stays the small side by
+    construction (two longs per redirect), so the chain resolves with
+    zero wide shuffles of the page set."""
+    from crawlfe.queries import _REDIR_HOPS, q_redirect_chains
+
+    plan = plan_of(q_redirect_chains(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= _REDIR_HOPS, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_prefix_equi_join_on_block(spark, sf_dir):
+    """Truncation dedup must compile to an EQUI join keyed on the
+    40-char block hash, with the length inequality and the prefix
+    verify as residual predicates INSIDE the join — candidate pairs
+    only ever form within a block. A nested-loop/cartesian here would
+    be the all-pairs disaster the blocking exists to avoid."""
+    from crawlfe.queries import q_dedup_prefix
+
+    plan = plan_of(q_dedup_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[blk", plan), plan
+
+
+def test_dsir_weights_broadcasts_bucket_dists(spark, sf_dir):
+    """DSIR scoring joins the fat token stream against the O(64)-row
+    bucket log-ratio relation — that side must BROADCAST; the only
+    wide exchange over tokens is the per-doc aggregate. The token
+    stream itself must never sort-merge against the tiny dist."""
+    from crawlfe.queries import q_dsir_weights
+
+    plan = plan_of(q_dsir_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_one_hot_topk_broadcasts_level_set(spark, sf_dir):
+    """Top-k-plus-other folding joins events against the O(K) top-level
+    relation: broadcast, never a shuffle of the fat side for the map
+    step; the single wide exchange is the (user, feature) aggregate."""
+    from crawlfe.queries import q_one_hot_topk
+
+    plan = plan_of(q_one_hot_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
