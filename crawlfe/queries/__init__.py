@@ -64,6 +64,8 @@ from .llm_eval import *  # noqa: F401,F403
 from .llm_eval import _DSIR_BUCKETS, _ERR_GMAX, _ERR_TOPN, _PASSK_K  # noqa: F401
 from .storeops import *  # noqa: F401,F403
 from .storeops import _PREFIX_BLOCK_CHARS, _SKEW_CUTOFF_DAY, _SPLIT_BUDGET_CENTS  # noqa: F401
+from .bitemporal import *  # noqa: F401,F403
+from .bitemporal import _DELAY_MAX_S, _JOIN_US, _KT1_US, _WM_SECONDS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -893,6 +895,10 @@ REGISTRY: dict[str, tuple] = {
     "scan_split_plan": (q_scan_split_plan, SQL_SCAN_SPLIT_PLAN),
     "online_offline_skew": (q_online_offline_skew, SQL_ONLINE_OFFLINE_SKEW),
     "dedup_prefix": (q_dedup_prefix, SQL_DEDUP_PREFIX),
+    # -- new r4: feature-eng pack #76 — bitemporal + late-data audits --
+    "asof_bitemporal": (q_asof_bitemporal, SQL_ASOF_BITEMPORAL),
+    "watermark_lag_audit": (q_watermark_lag_audit, SQL_WATERMARK_LAG_AUDIT),
+    "late_arrival_impact": (q_late_arrival_impact, SQL_LATE_ARRIVAL_IMPACT),
 }
 
 
