@@ -476,6 +476,12 @@ HEADLINE = [
     "scan_split_plan",
     "online_offline_skew",
     "dedup_prefix",
+    "asof_bitemporal",
+    "watermark_lag_audit",
+    "late_arrival_impact",
+    "decision_stump",
+    "naive_bayes",
+    "competing_risks_cif",
 ]
 
 

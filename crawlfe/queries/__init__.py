@@ -66,6 +66,8 @@ from .storeops import *  # noqa: F401,F403
 from .storeops import _PREFIX_BLOCK_CHARS, _SKEW_CUTOFF_DAY, _SPLIT_BUDGET_CENTS  # noqa: F401
 from .bitemporal import *  # noqa: F401,F403
 from .bitemporal import _DELAY_MAX_S, _JOIN_US, _KT1_US, _WM_SECONDS  # noqa: F401
+from .trainers import *  # noqa: F401,F403
+from .trainers import _NB_BIN_CENTS, _NB_MAX_BIN, _NB_TRAIN_DAY_MAX, _STUMP_BIN_CENTS, _STUMP_MAX_BIN  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -899,6 +901,10 @@ REGISTRY: dict[str, tuple] = {
     "asof_bitemporal": (q_asof_bitemporal, SQL_ASOF_BITEMPORAL),
     "watermark_lag_audit": (q_watermark_lag_audit, SQL_WATERMARK_LAG_AUDIT),
     "late_arrival_impact": (q_late_arrival_impact, SQL_LATE_ARRIVAL_IMPACT),
+    # -- new r4: feature-eng pack #77 — in-engine trainers + competing risks --
+    "decision_stump": (q_decision_stump, SQL_DECISION_STUMP),
+    "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
+    "competing_risks_cif": (q_competing_risks_cif, SQL_COMPETING_RISKS_CIF),
 }
 
 
