@@ -68,6 +68,8 @@ from .bitemporal import *  # noqa: F401,F403
 from .bitemporal import _DELAY_MAX_S, _JOIN_US, _KT1_US, _WM_SECONDS  # noqa: F401
 from .trainers import *  # noqa: F401,F403
 from .trainers import _NB_BIN_CENTS, _NB_MAX_BIN, _NB_TRAIN_DAY_MAX, _STUMP_BIN_CENTS, _STUMP_MAX_BIN  # noqa: F401
+from .model_audit import *  # noqa: F401,F403
+from .model_audit import _MA_BIN_CENTS, _MA_MAX_BIN, _MA_TRAIN_DAY_MAX, _QINI_TILES  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -905,6 +907,10 @@ REGISTRY: dict[str, tuple] = {
     "decision_stump": (q_decision_stump, SQL_DECISION_STUMP),
     "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
     "competing_risks_cif": (q_competing_risks_cif, SQL_COMPETING_RISKS_CIF),
+    # -- new r4: feature-eng pack #78 — model audits: calibration + uplift --
+    "spiegelhalter_z": (q_spiegelhalter_z, SQL_SPIEGELHALTER_Z),
+    "hosmer_lemeshow": (q_hosmer_lemeshow, SQL_HOSMER_LEMESHOW),
+    "qini_uplift": (q_qini_uplift, SQL_QINI_UPLIFT),
 }
 
 
