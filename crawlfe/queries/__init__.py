@@ -70,6 +70,8 @@ from .trainers import *  # noqa: F401,F403
 from .trainers import _NB_BIN_CENTS, _NB_MAX_BIN, _NB_TRAIN_DAY_MAX, _STUMP_BIN_CENTS, _STUMP_MAX_BIN  # noqa: F401
 from .model_audit import *  # noqa: F401,F403
 from .model_audit import _MA_BIN_CENTS, _MA_MAX_BIN, _MA_TRAIN_DAY_MAX, _QINI_TILES  # noqa: F401
+from .offpolicy import *  # noqa: F401,F403
+from .offpolicy import _OP_ACTIONS, _OP_BIN_CENTS, _OP_MAX_BIN, _OP_TRAIN_DAY_MAX  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -911,6 +913,10 @@ REGISTRY: dict[str, tuple] = {
     "spiegelhalter_z": (q_spiegelhalter_z, SQL_SPIEGELHALTER_Z),
     "hosmer_lemeshow": (q_hosmer_lemeshow, SQL_HOSMER_LEMESHOW),
     "qini_uplift": (q_qini_uplift, SQL_QINI_UPLIFT),
+    # -- new r4: feature-eng pack #79 — off-policy evaluation --
+    "ips_offpolicy": (q_ips_offpolicy, SQL_IPS_OFFPOLICY),
+    "dr_offpolicy": (q_dr_offpolicy, SQL_DR_OFFPOLICY),
+    "policy_sweep": (q_policy_sweep, SQL_POLICY_SWEEP),
 }
 
 
