@@ -72,6 +72,8 @@ from .model_audit import *  # noqa: F401,F403
 from .model_audit import _MA_BIN_CENTS, _MA_MAX_BIN, _MA_TRAIN_DAY_MAX, _QINI_TILES  # noqa: F401
 from .offpolicy import *  # noqa: F401,F403
 from .offpolicy import _OP_ACTIONS, _OP_BIN_CENTS, _OP_MAX_BIN, _OP_TRAIN_DAY_MAX  # noqa: F401
+from .agreement import *  # noqa: F401,F403
+from .agreement import _GPD_DECILE  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -917,6 +919,10 @@ REGISTRY: dict[str, tuple] = {
     "ips_offpolicy": (q_ips_offpolicy, SQL_IPS_OFFPOLICY),
     "dr_offpolicy": (q_dr_offpolicy, SQL_DR_OFFPOLICY),
     "policy_sweep": (q_policy_sweep, SQL_POLICY_SWEEP),
+    # -- new r4: feature-eng pack #80 — partition agreement + EVT POT --
+    "adjusted_rand": (q_adjusted_rand, SQL_ADJUSTED_RAND),
+    "cluster_vmeasure": (q_cluster_vmeasure, SQL_CLUSTER_VMEASURE),
+    "gpd_fit": (q_gpd_fit, SQL_GPD_FIT),
 }
 
 
