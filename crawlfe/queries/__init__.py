@@ -74,6 +74,8 @@ from .offpolicy import *  # noqa: F401,F403
 from .offpolicy import _OP_ACTIONS, _OP_BIN_CENTS, _OP_MAX_BIN, _OP_TRAIN_DAY_MAX  # noqa: F401
 from .agreement import *  # noqa: F401,F403
 from .agreement import _GPD_DECILE  # noqa: F401
+from .privacy2 import *  # noqa: F401,F403
+from .privacy2 import _LDIV_L, _TCLOSE_M, _TCLOSE_W  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -923,6 +925,10 @@ REGISTRY: dict[str, tuple] = {
     "adjusted_rand": (q_adjusted_rand, SQL_ADJUSTED_RAND),
     "cluster_vmeasure": (q_cluster_vmeasure, SQL_CLUSTER_VMEASURE),
     "gpd_fit": (q_gpd_fit, SQL_GPD_FIT),
+    # -- new r4: feature-eng pack #81 — privacy auditing II --
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "entropy_l_diversity": (q_entropy_l_diversity, SQL_ENTROPY_L_DIVERSITY),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
 }
 
 
