@@ -76,6 +76,8 @@ from .agreement import *  # noqa: F401,F403
 from .agreement import _GPD_DECILE  # noqa: F401
 from .privacy2 import *  # noqa: F401,F403
 from .privacy2 import _LDIV_L, _TCLOSE_M, _TCLOSE_W  # noqa: F401
+from .regdiag import *  # noqa: F401,F403
+from .regdiag import _BP_CRIT95, _HOUR_US  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -929,6 +931,10 @@ REGISTRY: dict[str, tuple] = {
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
     "entropy_l_diversity": (q_entropy_l_diversity, SQL_ENTROPY_L_DIVERSITY),
     "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    # -- new r4: feature-eng pack #82 — regression diagnostics --
+    "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
+    "breusch_pagan": (q_breusch_pagan, SQL_BREUSCH_PAGAN),
+    "fe_within": (q_fe_within, SQL_FE_WITHIN),
 }
 
 
