@@ -78,6 +78,8 @@ from .privacy2 import *  # noqa: F401,F403
 from .privacy2 import _LDIV_L, _TCLOSE_M, _TCLOSE_W  # noqa: F401
 from .regdiag import *  # noqa: F401,F403
 from .regdiag import _BP_CRIT95, _HOUR_US  # noqa: F401
+from .freqmoments import *  # noqa: F401,F403
+from .freqmoments import _AMS_G, _AMS_R, _CS_D, _CS_TOPK, _CS_W  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -935,6 +937,10 @@ REGISTRY: dict[str, tuple] = {
     "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
     "breusch_pagan": (q_breusch_pagan, SQL_BREUSCH_PAGAN),
     "fe_within": (q_fe_within, SQL_FE_WITHIN),
+    # -- new r4: feature-eng pack #83 — frequency-moment sketches --
+    "freq_moments": (q_freq_moments, SQL_FREQ_MOMENTS),
+    "ams_f2": (q_ams_f2, SQL_AMS_F2),
+    "countsketch_freq": (q_countsketch_freq, SQL_COUNTSKETCH_FREQ),
 }
 
 
