@@ -80,6 +80,8 @@ from .regdiag import *  # noqa: F401,F403
 from .regdiag import _BP_CRIT95, _HOUR_US  # noqa: F401
 from .freqmoments import *  # noqa: F401,F403
 from .freqmoments import _AMS_G, _AMS_R, _CS_D, _CS_TOPK, _CS_W  # noqa: F401
+from .raters import *  # noqa: F401,F403
+from .raters import _CATS, _FLIP_MOD, _LANGS, _RATERS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -941,6 +943,10 @@ REGISTRY: dict[str, tuple] = {
     "freq_moments": (q_freq_moments, SQL_FREQ_MOMENTS),
     "ams_f2": (q_ams_f2, SQL_AMS_F2),
     "countsketch_freq": (q_countsketch_freq, SQL_COUNTSKETCH_FREQ),
+    # -- new r4: feature-eng pack #84 — multi-rater agreement --
+    "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
+    "krippendorff_alpha": (q_krippendorff_alpha, SQL_KRIPPENDORFF_ALPHA),
+    "gwet_ac1": (q_gwet_ac1, SQL_GWET_AC1),
 }
 
 
