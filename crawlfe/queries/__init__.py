@@ -82,6 +82,8 @@ from .freqmoments import *  # noqa: F401,F403
 from .freqmoments import _AMS_G, _AMS_R, _CS_D, _CS_TOPK, _CS_W  # noqa: F401
 from .raters import *  # noqa: F401,F403
 from .raters import _CATS, _FLIP_MOD, _LANGS, _RATERS  # noqa: F401
+from .overlap_eval import *  # noqa: F401,F403
+from .overlap_eval import _OVL_TOPK, _Z95  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -947,6 +949,10 @@ REGISTRY: dict[str, tuple] = {
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "krippendorff_alpha": (q_krippendorff_alpha, SQL_KRIPPENDORFF_ALPHA),
     "gwet_ac1": (q_gwet_ac1, SQL_GWET_AC1),
+    # -- new r4: feature-eng pack #85 — overlap join / AUC CI / observe --
+    "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "auc_ci": (q_auc_ci, SQL_AUC_CI),
+    "observe_metrics": (q_observe_metrics, SQL_OBSERVE_METRICS),
 }
 
 

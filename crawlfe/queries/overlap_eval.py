@@ -1,0 +1,276 @@
+"""Feature-eng pack #85 (r4): interval-overlap join, AUC confidence
+interval, and the Spark ``Observation`` in-flight metrics surface.
+
+* ``interval_overlap`` — pairwise interval-overlap self-join: each
+  user's daily activity span [min ts, max ts] is an interval; report
+  the top-20 user pairs by total co-active microseconds.  The
+  distributed shape is the standard bucketed overlap join (the
+  equi-join reduction of IEJoin, Khayyat et al. 2015): every interval
+  explodes to the absolute HOURS it covers, candidate pairs meet in
+  an hour-bucket equi join (never a cross join), are deduped on the
+  interval key, then checked exactly — overlap arithmetic is all
+  BIGINT microseconds.
+* ``auc_ci`` — corpus-level ROC AUC of ``value`` separating purchase
+  from click with the Hanley & McNeil (1982) standard error and
+  normal 95% CI.  The Mann-Whitney numerator is the registry's exact
+  tie-credited BIGINT (2*neg_below*pos_at + neg_at*pos_at); Q1/Q2 and
+  the SE are closed forms of (auc, n1, n0), so both engines agree to
+  the last double.
+* ``observe_metrics`` — Spark's df.observe()/Observation API (the
+  zero-extra-pass metric hooks a production featurize job attaches to
+  its write): count / sum / min / max collected DURING a single scan
+  of events, returned as one row.  The oracle recomputes the same
+  aggregates in SQL — parity proves the observed values equal the
+  batch truth.  (DataFrame-API surface; observation metrics are
+  collected on the executors and merged, no second job.)
+"""
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._shared import _t, _us
+
+_OVL_TOPK = 20
+_HOUR_US = 3_600_000_000
+_Z95 = 1.959964  # two-sided normal 97.5% quantile
+
+
+def q_interval_overlap(spark, sf_dir):
+    """BUCKETED INTERVAL-OVERLAP JOIN: user-day activity spans meet in
+    hour buckets; exact BIGINT-µs overlap per interval pair, summed
+    per user pair; top-20 pairs by co-active time (ties: user ids).
+    Hot hour buckets split under AQE; payloads are 4 bigints/row."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), _us("ts").alias("us")
+    )
+    iv = e.groupBy("user_id", "day").agg(
+        F.min("us").alias("s"), F.max("us").alias("t")
+    )
+    hours = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "t",
+        F.explode(
+            F.sequence(
+                (F.col("s") / _HOUR_US).cast("bigint"),
+                (F.col("t") / _HOUR_US).cast("bigint"),
+            )
+        ).alias("hr"),
+    )
+    a, b = hours.alias("a"), hours.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.hr") == F.col("b.hr"),
+                      F.col("a.user_id") < F.col("b.user_id")])
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("a.day").alias("da"),
+            F.col("a.s").alias("sa"),
+            F.col("a.t").alias("ta"),
+            F.col("b.user_id").alias("ub"),
+            F.col("b.day").alias("db"),
+            F.col("b.s").alias("sb"),
+            F.col("b.t").alias("tb"),
+        )
+        .distinct()
+    )
+    ovl = pairs.select(
+        "ua",
+        "ub",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least("ta", "tb") - F.greatest("sa", "sb"),
+        ).alias("ov_us"),
+    ).where(F.col("ov_us") > 0)
+    agg = ovl.groupBy("ua", "ub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("ov_us").cast("bigint").alias("overlap_us"),
+    )
+    return agg.orderBy(
+        F.desc("overlap_us"), F.asc("ua"), F.asc("ub")
+    ).limit(_OVL_TOPK)
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS s,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS t
+  FROM events GROUP BY 1, 2
+), hours AS (
+  SELECT user_id, day, s, t,
+         unnest(generate_series(s // {_HOUR_US}, t // {_HOUR_US})) AS hr
+  FROM iv
+), pairs AS (
+  SELECT DISTINCT a.user_id AS ua, a.day AS da, a.s AS sa, a.t AS ta,
+                  b.user_id AS ub, b.day AS db, b.s AS sb, b.t AS tb
+  FROM hours a JOIN hours b
+    ON a.hr = b.hr AND a.user_id < b.user_id
+), ovl AS (
+  SELECT ua, ub,
+         greatest(0, least(ta, tb) - greatest(sa, sb)) AS ov_us
+  FROM pairs
+  WHERE greatest(0, least(ta, tb) - greatest(sa, sb)) > 0
+)
+SELECT ua, ub, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov_us) AS BIGINT) AS overlap_us
+FROM ovl GROUP BY ua, ub
+ORDER BY overlap_us DESC, ua ASC, ub ASC LIMIT {_OVL_TOPK}
+"""
+
+
+def q_auc_ci(spark, sf_dir):
+    """ROC AUC with HANLEY-McNEIL 95% CI: exact tie-credited BIGINT
+    Mann-Whitney numerator over the (value, pos/neg) histogram;
+    SE^2 = (A(1-A) + (n1-1)(Q1-A^2) + (n0-1)(Q2-A^2)) / (n1 n0) with
+    Q1 = A/(2-A), Q2 = 2A^2/(1+A)."""
+    ev = _t(spark, sf_dir, "events")
+    pv = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.col("value").alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pos_at"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("neg_at"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        "pos_at",
+        "neg_at",
+        (F.sum("neg_at").over(w) - F.col("neg_at")).alias("neg_below"),
+    )
+    m = cum.agg(
+        F.sum("pos_at").cast("bigint").alias("n1"),
+        F.sum("neg_at").cast("bigint").alias("n0"),
+        F.sum(
+            2 * F.col("neg_below") * F.col("pos_at")
+            + F.col("neg_at") * F.col("pos_at")
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    a = F.col("u2").cast("double") / (
+        2 * F.col("n1") * F.col("n0")
+    ).cast("double")
+    q1 = a / (2 - a)
+    q2 = 2 * a * a / (1 + a)
+    se = F.sqrt(
+        (
+            a * (1 - a)
+            + (F.col("n1") - 1) * (q1 - a * a)
+            + (F.col("n0") - 1) * (q2 - a * a)
+        )
+        / (F.col("n1") * F.col("n0")).cast("double")
+    )
+    return m.select(
+        "n1",
+        "n0",
+        "u2",
+        F.round(a, 6).alias("auc"),
+        F.round(se, 6).alias("se"),
+        F.round(a - _Z95 * se, 6).alias("lo95"),
+        F.round(a + _Z95 * se, 6).alias("hi95"),
+    )
+
+
+SQL_AUC_CI = f"""
+WITH pv AS (
+  SELECT value AS v,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_at,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS neg_at
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY value
+), cum AS (
+  SELECT pos_at, neg_at,
+         sum(neg_at) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - neg_at
+           AS neg_below
+  FROM pv
+), m AS (
+  SELECT CAST(sum(pos_at) AS BIGINT) AS n1,
+         CAST(sum(neg_at) AS BIGINT) AS n0,
+         CAST(sum(2 * neg_below * pos_at + neg_at * pos_at) AS BIGINT)
+           AS u2
+  FROM cum
+), s AS (
+  SELECT n1, n0, u2,
+         CAST(u2 AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE) AS a
+  FROM m
+)
+SELECT n1, n0, u2, round(a, 6) AS auc,
+       round(sqrt((a * (1 - a)
+                   + (n1 - 1) * (a / (2 - a) - a * a)
+                   + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+                  / CAST(n1 * n0 AS DOUBLE)), 6) AS se,
+       round(a - {_Z95} * sqrt((a * (1 - a)
+                   + (n1 - 1) * (a / (2 - a) - a * a)
+                   + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+                  / CAST(n1 * n0 AS DOUBLE)), 6) AS lo95,
+       round(a + {_Z95} * sqrt((a * (1 - a)
+                   + (n1 - 1) * (a / (2 - a) - a * a)
+                   + (n0 - 1) * (2 * a * a / (1 + a) - a * a))
+                  / CAST(n1 * n0 AS DOUBLE)), 6) AS hi95
+FROM s
+"""
+
+
+def q_observe_metrics(spark, sf_dir):
+    """SPARK OBSERVATION API: attach count / sum(cents) / min / max
+    (epoch µs) observers to a single scan of events — the in-flight
+    metric hooks a production job publishes to its lineage table with
+    NO second pass — then return the harvested metrics as one row.
+    The oracle recomputes the same aggregates, proving the observed
+    values equal the batch truth."""
+    from pyspark.sql import Observation
+
+    obs = Observation("pack85")
+    e = _t(spark, sf_dir, "events").select(
+        _us("ts").alias("us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    watched = e.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.min("us").cast("bigint").alias("min_us"),
+        F.max("us").cast("bigint").alias("max_us"),
+    )
+    watched.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+            T.StructField("min_us", T.LongType()),
+            T.StructField("max_us", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["sum_cents"],
+                row["min_us"],
+                row["max_us"],
+            )
+        ],
+        schema,
+    )
+
+
+SQL_OBSERVE_METRICS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+FROM events
+"""
