@@ -482,6 +482,34 @@ HEADLINE = [
     "decision_stump",
     "naive_bayes",
     "competing_risks_cif",
+    # added r4: packs #78-#80 (calibration audits, off-policy eval,
+    # partition agreement + EVT)
+    "spiegelhalter_z",
+    "hosmer_lemeshow",
+    "qini_uplift",
+    "ips_offpolicy",
+    "dr_offpolicy",
+    "policy_sweep",
+    "adjusted_rand",
+    "cluster_vmeasure",
+    "gpd_fit",
+    # added r4: packs #81-#85 (privacy II, regression diagnostics,
+    # frequency-moment sketches, rater agreement, overlap join)
+    "l_diversity",
+    "entropy_l_diversity",
+    "t_closeness",
+    "durbin_watson",
+    "breusch_pagan",
+    "fe_within",
+    "freq_moments",
+    "ams_f2",
+    "countsketch_freq",
+    "fleiss_kappa",
+    "krippendorff_alpha",
+    "gwet_ac1",
+    "interval_overlap",
+    "auc_ci",
+    "observe_metrics",
 ]
 
 

@@ -84,6 +84,8 @@ from .raters import *  # noqa: F401,F403
 from .raters import _CATS, _FLIP_MOD, _LANGS, _RATERS  # noqa: F401
 from .overlap_eval import *  # noqa: F401,F403
 from .overlap_eval import _OVL_TOPK, _Z95  # noqa: F401
+from .causal2 import *  # noqa: F401,F403
+from .causal2 import _ES_POLICY_DAY, _ES_TREAT_MOD, _ES_WEEKS, _RD_BW, _RD_CUT  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -953,6 +955,10 @@ REGISTRY: dict[str, tuple] = {
     "interval_overlap": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "auc_ci": (q_auc_ci, SQL_AUC_CI),
     "observe_metrics": (q_observe_metrics, SQL_OBSERVE_METRICS),
+    # -- new r4: feature-eng pack #86 — causal inference II --
+    "rd_estimate": (q_rd_estimate, SQL_RD_ESTIMATE),
+    "iv_wald": (q_iv_wald, SQL_IV_WALD),
+    "event_study": (q_event_study, SQL_EVENT_STUDY),
 }
 
 
