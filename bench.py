@@ -510,6 +510,14 @@ HEADLINE = [
     "interval_overlap",
     "auc_ci",
     "observe_metrics",
+    # added r4: packs #86-#87 (causal designs, bucketed layout,
+    # dedup-detector eval, sequential drift)
+    "rd_estimate",
+    "iv_wald",
+    "event_study",
+    "bucketed_join",
+    "neardup_eval",
+    "page_hinkley",
 ]
 
 

@@ -86,6 +86,8 @@ from .overlap_eval import *  # noqa: F401,F403
 from .overlap_eval import _OVL_TOPK, _Z95  # noqa: F401
 from .causal2 import *  # noqa: F401,F403
 from .causal2 import _ES_POLICY_DAY, _ES_TREAT_MOD, _ES_WEEKS, _RD_BW, _RD_CUT  # noqa: F401
+from .bucketops import *  # noqa: F401,F403
+from .bucketops import _BKT_N, _ND_MOD, _ND_OFF, _PH_LAMBDA_E4  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -959,6 +961,11 @@ REGISTRY: dict[str, tuple] = {
     "rd_estimate": (q_rd_estimate, SQL_RD_ESTIMATE),
     "iv_wald": (q_iv_wald, SQL_IV_WALD),
     "event_study": (q_event_study, SQL_EVENT_STUDY),
+    # -- new r4: feature-eng pack #87 — bucketed layout / dedup eval /
+    # sequential drift --
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "neardup_eval": (q_neardup_eval, SQL_NEARDUP_EVAL),
+    "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
 }
 
 

@@ -39,51 +39,37 @@ _Z95 = 1.959964  # two-sided normal 97.5% quantile
 
 def q_interval_overlap(spark, sf_dir):
     """BUCKETED INTERVAL-OVERLAP JOIN: user-day activity spans meet in
-    hour buckets; exact BIGINT-µs overlap per interval pair, summed
-    per user pair; top-20 pairs by co-active time (ties: user ids).
-    Hot hour buckets split under AQE; payloads are 4 bigints/row."""
+    their containing bucket — the CALENDAR DAY, since each interval is
+    day-bounded by construction, so every pair shares exactly ONE
+    bucket (no multi-bucket dedup pass at all); exact BIGINT-µs
+    overlap per interval pair, summed per user pair; top-20 pairs by
+    co-active time (ties: user ids).  For intervals that crossed
+    bucket boundaries the standard refinement applies (assign each
+    pair to greatest(start_a, start_b)'s bucket); hot buckets split
+    under AQE.  An earlier hour-exploded variant produced ~800M
+    duplicated candidates at sf0.1 and a 40 s DISTINCT — the
+    one-bucket-per-pair form is the scale-correct shape."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), _us("ts").alias("us")
     )
     iv = e.groupBy("user_id", "day").agg(
         F.min("us").alias("s"), F.max("us").alias("t")
     )
-    hours = iv.select(
-        "user_id",
-        "day",
-        "s",
-        "t",
-        F.explode(
-            F.sequence(
-                (F.col("s") / _HOUR_US).cast("bigint"),
-                (F.col("t") / _HOUR_US).cast("bigint"),
-            )
-        ).alias("hr"),
-    )
-    a, b = hours.alias("a"), hours.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.hr") == F.col("b.hr"),
-                      F.col("a.user_id") < F.col("b.user_id")])
-        .select(
-            F.col("a.user_id").alias("ua"),
-            F.col("a.day").alias("da"),
-            F.col("a.s").alias("sa"),
-            F.col("a.t").alias("ta"),
-            F.col("b.user_id").alias("ub"),
-            F.col("b.day").alias("db"),
-            F.col("b.s").alias("sb"),
-            F.col("b.t").alias("tb"),
-        )
-        .distinct()
-    )
-    ovl = pairs.select(
-        "ua",
-        "ub",
-        F.greatest(
-            F.lit(0).cast("bigint"),
-            F.least("ta", "tb") - F.greatest("sa", "sb"),
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.day") == F.col("b.day"),
+            F.col("a.user_id") < F.col("b.user_id"),
+        ],
+    ).select(
+        F.col("a.user_id").alias("ua"),
+        F.col("b.user_id").alias("ub"),
+        (
+            F.least("a.t", "b.t") - F.greatest("a.s", "b.s")
         ).alias("ov_us"),
-    ).where(F.col("ov_us") > 0)
+    )
+    ovl = pairs.where(F.col("ov_us") > 0)
     agg = ovl.groupBy("ua", "ub").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum("ov_us").cast("bigint").alias("overlap_us"),
@@ -99,20 +85,12 @@ WITH iv AS (
          CAST(min(epoch_us(ts)) AS BIGINT) AS s,
          CAST(max(epoch_us(ts)) AS BIGINT) AS t
   FROM events GROUP BY 1, 2
-), hours AS (
-  SELECT user_id, day, s, t,
-         unnest(generate_series(s // {_HOUR_US}, t // {_HOUR_US})) AS hr
-  FROM iv
-), pairs AS (
-  SELECT DISTINCT a.user_id AS ua, a.day AS da, a.s AS sa, a.t AS ta,
-                  b.user_id AS ub, b.day AS db, b.s AS sb, b.t AS tb
-  FROM hours a JOIN hours b
-    ON a.hr = b.hr AND a.user_id < b.user_id
 ), ovl AS (
-  SELECT ua, ub,
-         greatest(0, least(ta, tb) - greatest(sa, sb)) AS ov_us
-  FROM pairs
-  WHERE greatest(0, least(ta, tb) - greatest(sa, sb)) > 0
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         least(a.t, b.t) - greatest(a.s, b.s) AS ov_us
+  FROM iv a JOIN iv b
+    ON a.day = b.day AND a.user_id < b.user_id
+  WHERE least(a.t, b.t) - greatest(a.s, b.s) > 0
 )
 SELECT ua, ub, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(ov_us) AS BIGINT) AS overlap_us
