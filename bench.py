@@ -518,6 +518,10 @@ HEADLINE = [
     "bucketed_join",
     "neardup_eval",
     "page_hinkley",
+    # added r4: pack #88 (FDR family II + record linkage)
+    "benjamini_yekutieli",
+    "storey_pi0",
+    "fs_weights",
 ]
 
 

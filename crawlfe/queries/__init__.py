@@ -88,6 +88,8 @@ from .causal2 import *  # noqa: F401,F403
 from .causal2 import _ES_POLICY_DAY, _ES_TREAT_MOD, _ES_WEEKS, _RD_BW, _RD_CUT  # noqa: F401
 from .bucketops import *  # noqa: F401,F403
 from .bucketops import _BKT_N, _ND_MOD, _ND_OFF, _PH_LAMBDA_E4  # noqa: F401
+from .fdr2 import *  # noqa: F401,F403
+from .fdr2 import _FS_PREFIX, _STOREY_LAMBDA_PPB  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -966,6 +968,10 @@ REGISTRY: dict[str, tuple] = {
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "neardup_eval": (q_neardup_eval, SQL_NEARDUP_EVAL),
     "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
+    # -- new r4: feature-eng pack #88 — FDR family II + record linkage --
+    "benjamini_yekutieli": (q_benjamini_yekutieli, SQL_BENJAMINI_YEKUTIELI),
+    "storey_pi0": (q_storey_pi0, SQL_STOREY_PI0),
+    "fs_weights": (q_fs_weights, SQL_FS_WEIGHTS),
 }
 
 
