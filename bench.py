@@ -522,6 +522,10 @@ HEADLINE = [
     "benjamini_yekutieli",
     "storey_pi0",
     "fs_weights",
+    # added r4: pack #89 (concordance / robust test / overdispersion)
+    "kendall_w",
+    "yuen_test",
+    "beta_binomial_mom",
 ]
 
 

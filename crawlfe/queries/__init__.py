@@ -90,6 +90,8 @@ from .bucketops import *  # noqa: F401,F403
 from .bucketops import _BKT_N, _ND_MOD, _ND_OFF, _PH_LAMBDA_E4  # noqa: F401
 from .fdr2 import *  # noqa: F401,F403
 from .fdr2 import _FS_PREFIX, _STOREY_LAMBDA_PPB  # noqa: F401
+from .concord import *  # noqa: F401,F403
+from .concord import _KW_NOISE, _KW_RATERS, _YUEN_TRIM_PCT  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -972,6 +974,11 @@ REGISTRY: dict[str, tuple] = {
     "benjamini_yekutieli": (q_benjamini_yekutieli, SQL_BENJAMINI_YEKUTIELI),
     "storey_pi0": (q_storey_pi0, SQL_STOREY_PI0),
     "fs_weights": (q_fs_weights, SQL_FS_WEIGHTS),
+    # -- new r4: feature-eng pack #89 — concordance / robust test /
+    # overdispersion --
+    "kendall_w": (q_kendall_w, SQL_KENDALL_W),
+    "yuen_test": (q_yuen_test, SQL_YUEN_TEST),
+    "beta_binomial_mom": (q_beta_binomial_mom, SQL_BETA_BINOMIAL_MOM),
 }
 
 
