@@ -526,6 +526,10 @@ HEADLINE = [
     "kendall_w",
     "yuen_test",
     "beta_binomial_mom",
+    # added r4: pack #90 (distributional effects)
+    "qte_deciles",
+    "exp_hazard_ratio",
+    "hellinger_hist",
 ]
 
 

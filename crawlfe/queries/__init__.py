@@ -92,6 +92,8 @@ from .fdr2 import *  # noqa: F401,F403
 from .fdr2 import _FS_PREFIX, _STOREY_LAMBDA_PPB  # noqa: F401
 from .concord import *  # noqa: F401,F403
 from .concord import _KW_NOISE, _KW_RATERS, _YUEN_TRIM_PCT  # noqa: F401
+from .qte import *  # noqa: F401,F403
+from .qte import _HH_BIN, _QTE_DECILES  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -979,6 +981,10 @@ REGISTRY: dict[str, tuple] = {
     "kendall_w": (q_kendall_w, SQL_KENDALL_W),
     "yuen_test": (q_yuen_test, SQL_YUEN_TEST),
     "beta_binomial_mom": (q_beta_binomial_mom, SQL_BETA_BINOMIAL_MOM),
+    # -- new r4: feature-eng pack #90 — distributional effects --
+    "qte_deciles": (q_qte_deciles, SQL_QTE_DECILES),
+    "exp_hazard_ratio": (q_exp_hazard_ratio, SQL_EXP_HAZARD_RATIO),
+    "hellinger_hist": (q_hellinger_hist, SQL_HELLINGER_HIST),
 }
 
 
