@@ -530,6 +530,10 @@ HEADLINE = [
     "qte_deciles",
     "exp_hazard_ratio",
     "hellinger_hist",
+    # added r4: pack #91 (survival curve layer + inequality)
+    "km_greenwood",
+    "km_rmst",
+    "atkinson_index",
 ]
 
 

@@ -94,6 +94,8 @@ from .concord import *  # noqa: F401,F403
 from .concord import _KW_NOISE, _KW_RATERS, _YUEN_TRIM_PCT  # noqa: F401
 from .qte import *  # noqa: F401,F403
 from .qte import _HH_BIN, _QTE_DECILES  # noqa: F401
+from .survival2 import *  # noqa: F401,F403
+from .survival2 import _KM_TAU  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -985,6 +987,10 @@ REGISTRY: dict[str, tuple] = {
     "qte_deciles": (q_qte_deciles, SQL_QTE_DECILES),
     "exp_hazard_ratio": (q_exp_hazard_ratio, SQL_EXP_HAZARD_RATIO),
     "hellinger_hist": (q_hellinger_hist, SQL_HELLINGER_HIST),
+    # -- new r4: feature-eng pack #91 — survival curve layer + inequality --
+    "km_greenwood": (q_km_greenwood, SQL_KM_GREENWOOD),
+    "km_rmst": (q_km_rmst, SQL_KM_RMST),
+    "atkinson_index": (q_atkinson_index, SQL_ATKINSON_INDEX),
 }
 
 
