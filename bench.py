@@ -534,6 +534,10 @@ HEADLINE = [
     "km_greenwood",
     "km_rmst",
     "atkinson_index",
+    # added r4: pack #92 (embedding-space geometry)
+    "mean_pairwise_cosine",
+    "embedding_isotropy",
+    "jl_distortion",
 ]
 
 

@@ -96,6 +96,8 @@ from .qte import *  # noqa: F401,F403
 from .qte import _HH_BIN, _QTE_DECILES  # noqa: F401
 from .survival2 import *  # noqa: F401,F403
 from .survival2 import _KM_TAU  # noqa: F401
+from .embedgeom import *  # noqa: F401,F403
+from .embedgeom import _ISO_DIRS, _JL_K  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -991,6 +993,10 @@ REGISTRY: dict[str, tuple] = {
     "km_greenwood": (q_km_greenwood, SQL_KM_GREENWOOD),
     "km_rmst": (q_km_rmst, SQL_KM_RMST),
     "atkinson_index": (q_atkinson_index, SQL_ATKINSON_INDEX),
+    # -- new r4: feature-eng pack #92 — embedding-space geometry --
+    "mean_pairwise_cosine": (q_mean_pairwise_cosine, SQL_MEAN_PAIRWISE_COSINE),
+    "embedding_isotropy": (q_embedding_isotropy, SQL_EMBEDDING_ISOTROPY),
+    "jl_distortion": (q_jl_distortion, SQL_JL_DISTORTION),
 }
 
 
