@@ -538,6 +538,10 @@ HEADLINE = [
     "mean_pairwise_cosine",
     "embedding_isotropy",
     "jl_distortion",
+    # added r4: pack #93 (MinHash estimator calibration)
+    "minhash_accuracy",
+    "bbit_minhash",
+    "containment_est",
 ]
 
 

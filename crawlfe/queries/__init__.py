@@ -98,6 +98,8 @@ from .survival2 import *  # noqa: F401,F403
 from .survival2 import _KM_TAU  # noqa: F401
 from .embedgeom import *  # noqa: F401,F403
 from .embedgeom import _ISO_DIRS, _JL_K  # noqa: F401
+from .minhash_eval import *  # noqa: F401,F403
+from .minhash_eval import _MH_K  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -997,6 +999,10 @@ REGISTRY: dict[str, tuple] = {
     "mean_pairwise_cosine": (q_mean_pairwise_cosine, SQL_MEAN_PAIRWISE_COSINE),
     "embedding_isotropy": (q_embedding_isotropy, SQL_EMBEDDING_ISOTROPY),
     "jl_distortion": (q_jl_distortion, SQL_JL_DISTORTION),
+    # -- new r4: feature-eng pack #93 — MinHash estimator calibration --
+    "minhash_accuracy": (q_minhash_accuracy, SQL_MINHASH_ACCURACY),
+    "bbit_minhash": (q_bbit_minhash, SQL_BBIT_MINHASH),
+    "containment_est": (q_containment_est, SQL_CONTAINMENT_EST),
 }
 
 
