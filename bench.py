@@ -542,6 +542,10 @@ HEADLINE = [
     "minhash_accuracy",
     "bbit_minhash",
     "containment_est",
+    # added r4: pack #94 (Spark 4 DataFrame API surfaces)
+    "grouped_arrow",
+    "df_transpose",
+    "set_ops_all",
 ]
 
 

@@ -100,6 +100,8 @@ from .embedgeom import *  # noqa: F401,F403
 from .embedgeom import _ISO_DIRS, _JL_K  # noqa: F401
 from .minhash_eval import *  # noqa: F401,F403
 from .minhash_eval import _MH_K  # noqa: F401
+from .spark4api import *  # noqa: F401,F403
+from .spark4api import _SO_BUCKET  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1003,6 +1005,10 @@ REGISTRY: dict[str, tuple] = {
     "minhash_accuracy": (q_minhash_accuracy, SQL_MINHASH_ACCURACY),
     "bbit_minhash": (q_bbit_minhash, SQL_BBIT_MINHASH),
     "containment_est": (q_containment_est, SQL_CONTAINMENT_EST),
+    # -- new r4: feature-eng pack #94 — Spark 4 DataFrame API surfaces --
+    "grouped_arrow": (q_grouped_arrow, SQL_GROUPED_ARROW),
+    "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
+    "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
 }
 
 
