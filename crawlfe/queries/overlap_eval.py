@@ -55,11 +55,21 @@ def q_interval_overlap(spark, sf_dir):
     iv = e.groupBy("user_id", "day").agg(
         F.min("us").alias("s"), F.max("us").alias("t")
     )
-    a, b = iv.alias("a"), iv.alias("b")
+    # day alone gives only ~30 join keys — parallelism-starved at any
+    # core count.  Salt: bucket the build side by user_id % 8 and
+    # explode the probe side over the 8 buckets (the registry's
+    # skew_salted idiom) -> 8x the join keys, each pair still meets
+    # exactly once (at the build user's bucket)
+    G = 8
+    a = iv.withColumn(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(G - 1)))
+    ).alias("a")
+    b = iv.withColumn("g", (F.col("user_id") % G).cast("int")).alias("b")
     pairs = a.join(
         b,
         on=[
             F.col("a.day") == F.col("b.day"),
+            F.col("a.g") == F.col("b.g"),
             F.col("a.user_id") < F.col("b.user_id"),
         ],
     ).select(
