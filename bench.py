@@ -546,6 +546,10 @@ HEADLINE = [
     "grouped_arrow",
     "df_transpose",
     "set_ops_all",
+    # added r4: pack #95 (forecast evaluation)
+    "prequential_error",
+    "mincer_zarnowitz",
+    "diebold_mariano",
 ]
 
 

@@ -102,6 +102,8 @@ from .minhash_eval import *  # noqa: F401,F403
 from .minhash_eval import _MH_K  # noqa: F401
 from .spark4api import *  # noqa: F401,F403
 from .spark4api import _SO_BUCKET  # noqa: F401
+from .forecast_eval import *  # noqa: F401,F403
+from .forecast_eval import _MZ_LAG  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1009,6 +1011,10 @@ REGISTRY: dict[str, tuple] = {
     "grouped_arrow": (q_grouped_arrow, SQL_GROUPED_ARROW),
     "df_transpose": (q_df_transpose, SQL_DF_TRANSPOSE),
     "set_ops_all": (q_set_ops_all, SQL_SET_OPS_ALL),
+    # -- new r4: feature-eng pack #95 — forecast evaluation --
+    "prequential_error": (q_prequential_error, SQL_PREQUENTIAL_ERROR),
+    "mincer_zarnowitz": (q_mincer_zarnowitz, SQL_MINCER_ZARNOWITZ),
+    "diebold_mariano": (q_diebold_mariano, SQL_DIEBOLD_MARIANO),
 }
 
 
