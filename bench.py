@@ -550,6 +550,10 @@ HEADLINE = [
     "prequential_error",
     "mincer_zarnowitz",
     "diebold_mariano",
+    # added r4: pack #96 (Shapley / migration / queueing)
+    "shapley_features",
+    "decile_migration",
+    "littles_law",
 ]
 
 

@@ -104,6 +104,8 @@ from .spark4api import *  # noqa: F401,F403
 from .spark4api import _SO_BUCKET  # noqa: F401
 from .forecast_eval import *  # noqa: F401,F403
 from .forecast_eval import _MZ_LAG  # noqa: F401
+from .opsmetrics import *  # noqa: F401,F403
+from .opsmetrics import _DM_W1, _DM_W4, _SH_CENTS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1015,6 +1017,11 @@ REGISTRY: dict[str, tuple] = {
     "prequential_error": (q_prequential_error, SQL_PREQUENTIAL_ERROR),
     "mincer_zarnowitz": (q_mincer_zarnowitz, SQL_MINCER_ZARNOWITZ),
     "diebold_mariano": (q_diebold_mariano, SQL_DIEBOLD_MARIANO),
+    # -- new r4: feature-eng pack #96 — exact Shapley / rank migration /
+    # queueing identity --
+    "shapley_features": (q_shapley_features, SQL_SHAPLEY_FEATURES),
+    "decile_migration": (q_decile_migration, SQL_DECILE_MIGRATION),
+    "littles_law": (q_littles_law, SQL_LITTLES_LAW),
 }
 
 
