@@ -554,6 +554,10 @@ HEADLINE = [
     "shapley_features",
     "decile_migration",
     "littles_law",
+    # added r4: pack #97 (one-step Cox / SNM / KS)
+    "cox_one_step",
+    "sorted_neighborhood",
+    "ks_classifier",
 ]
 
 

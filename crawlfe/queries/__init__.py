@@ -106,6 +106,8 @@ from .forecast_eval import *  # noqa: F401,F403
 from .forecast_eval import _MZ_LAG  # noqa: F401
 from .opsmetrics import *  # noqa: F401,F403
 from .opsmetrics import _DM_W1, _DM_W4, _SH_CENTS  # noqa: F401
+from .coxsnm import *  # noqa: F401,F403
+from .coxsnm import _SNM_KEY, _SNM_W  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1022,6 +1024,10 @@ REGISTRY: dict[str, tuple] = {
     "shapley_features": (q_shapley_features, SQL_SHAPLEY_FEATURES),
     "decile_migration": (q_decile_migration, SQL_DECILE_MIGRATION),
     "littles_law": (q_littles_law, SQL_LITTLES_LAW),
+    # -- new r4: feature-eng pack #97 — one-step Cox / SNM blocking / KS --
+    "cox_one_step": (q_cox_one_step, SQL_COX_ONE_STEP),
+    "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
+    "ks_classifier": (q_ks_classifier, SQL_KS_CLASSIFIER),
 }
 
 
