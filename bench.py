@@ -558,6 +558,10 @@ HEADLINE = [
     "cox_one_step",
     "sorted_neighborhood",
     "ks_classifier",
+    # added r4: pack #98 (population estimation)
+    "german_tank",
+    "capture_recapture",
+    "linear_counting",
 ]
 
 

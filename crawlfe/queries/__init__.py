@@ -108,6 +108,8 @@ from .opsmetrics import *  # noqa: F401,F403
 from .opsmetrics import _DM_W1, _DM_W4, _SH_CENTS  # noqa: F401
 from .coxsnm import *  # noqa: F401,F403
 from .coxsnm import _SNM_KEY, _SNM_W  # noqa: F401
+from .popest import *  # noqa: F401,F403
+from .popest import _CR_W1, _CR_W2, _GT_MOD, _LC_M  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1028,6 +1030,10 @@ REGISTRY: dict[str, tuple] = {
     "cox_one_step": (q_cox_one_step, SQL_COX_ONE_STEP),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "ks_classifier": (q_ks_classifier, SQL_KS_CLASSIFIER),
+    # -- new r4: feature-eng pack #98 — population estimation --
+    "german_tank": (q_german_tank, SQL_GERMAN_TANK),
+    "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
+    "linear_counting": (q_linear_counting, SQL_LINEAR_COUNTING),
 }
 
 
