@@ -562,6 +562,10 @@ HEADLINE = [
     "german_tank",
     "capture_recapture",
     "linear_counting",
+    # added r4: pack #99 (experimentation III)
+    "tost_equivalence",
+    "obrien_fleming",
+    "winners_curse",
 ]
 
 

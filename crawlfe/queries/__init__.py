@@ -110,6 +110,8 @@ from .coxsnm import *  # noqa: F401,F403
 from .coxsnm import _SNM_KEY, _SNM_W  # noqa: F401
 from .popest import *  # noqa: F401,F403
 from .popest import _CR_W1, _CR_W2, _GT_MOD, _LC_M  # noqa: F401
+from .seqtest2 import *  # noqa: F401,F403
+from .seqtest2 import _OBF_FINAL, _OBF_INTERIM, _TOST_DELTA  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1034,6 +1036,10 @@ REGISTRY: dict[str, tuple] = {
     "german_tank": (q_german_tank, SQL_GERMAN_TANK),
     "capture_recapture": (q_capture_recapture, SQL_CAPTURE_RECAPTURE),
     "linear_counting": (q_linear_counting, SQL_LINEAR_COUNTING),
+    # -- new r4: feature-eng pack #99 — experimentation III --
+    "tost_equivalence": (q_tost_equivalence, SQL_TOST_EQUIVALENCE),
+    "obrien_fleming": (q_obrien_fleming, SQL_OBRIEN_FLEMING),
+    "winners_curse": (q_winners_curse, SQL_WINNERS_CURSE),
 }
 
 
