@@ -566,6 +566,10 @@ HEADLINE = [
     "tost_equivalence",
     "obrien_fleming",
     "winners_curse",
+    # added r4: pack #100 (state-carrying as-of features)
+    "asof_decay_feature",
+    "asof_count_window",
+    "asof_kth_recent",
 ]
 
 

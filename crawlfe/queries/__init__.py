@@ -112,6 +112,8 @@ from .popest import *  # noqa: F401,F403
 from .popest import _CR_W1, _CR_W2, _GT_MOD, _LC_M  # noqa: F401
 from .seqtest2 import *  # noqa: F401,F403
 from .seqtest2 import _OBF_FINAL, _OBF_INTERIM, _TOST_DELTA  # noqa: F401
+from .asof_feats import *  # noqa: F401,F403
+from .asof_feats import _KTH, _TAU_H  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1040,6 +1042,10 @@ REGISTRY: dict[str, tuple] = {
     "tost_equivalence": (q_tost_equivalence, SQL_TOST_EQUIVALENCE),
     "obrien_fleming": (q_obrien_fleming, SQL_OBRIEN_FLEMING),
     "winners_curse": (q_winners_curse, SQL_WINNERS_CURSE),
+    # -- new r4: feature-eng pack #100 — state-carrying as-of features --
+    "asof_decay_feature": (q_asof_decay_feature, SQL_ASOF_DECAY_FEATURE),
+    "asof_count_window": (q_asof_count_window, SQL_ASOF_COUNT_WINDOW),
+    "asof_kth_recent": (q_asof_kth_recent, SQL_ASOF_KTH_RECENT),
 }
 
 
