@@ -570,6 +570,10 @@ HEADLINE = [
     "asof_decay_feature",
     "asof_count_window",
     "asof_kth_recent",
+    # added r4: pack #101 (extreme-value theory II)
+    "extremal_index",
+    "gpd_return_level",
+    "tail_dependence",
 ]
 
 

@@ -114,6 +114,8 @@ from .seqtest2 import *  # noqa: F401,F403
 from .seqtest2 import _OBF_FINAL, _OBF_INTERIM, _TOST_DELTA  # noqa: F401
 from .asof_feats import *  # noqa: F401,F403
 from .asof_feats import _KTH, _TAU_H  # noqa: F401
+from .evt2 import *  # noqa: F401,F403
+from .evt2 import _EI_GAP_US, _RL_M  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1046,6 +1048,10 @@ REGISTRY: dict[str, tuple] = {
     "asof_decay_feature": (q_asof_decay_feature, SQL_ASOF_DECAY_FEATURE),
     "asof_count_window": (q_asof_count_window, SQL_ASOF_COUNT_WINDOW),
     "asof_kth_recent": (q_asof_kth_recent, SQL_ASOF_KTH_RECENT),
+    # -- new r4: feature-eng pack #101 — extreme-value theory II --
+    "extremal_index": (q_extremal_index, SQL_EXTREMAL_INDEX),
+    "gpd_return_level": (q_gpd_return_level, SQL_GPD_RETURN_LEVEL),
+    "tail_dependence": (q_tail_dependence, SQL_TAIL_DEPENDENCE),
 }
 
 
