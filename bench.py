@@ -574,6 +574,10 @@ HEADLINE = [
     "extremal_index",
     "gpd_return_level",
     "tail_dependence",
+    # added r4: pack #102 (stylometry + classical outliers)
+    "burrows_delta",
+    "mahalanobis_outliers",
+    "grubbs_test",
 ]
 
 

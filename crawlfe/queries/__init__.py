@@ -116,6 +116,8 @@ from .asof_feats import *  # noqa: F401,F403
 from .asof_feats import _KTH, _TAU_H  # noqa: F401
 from .evt2 import *  # noqa: F401,F403
 from .evt2 import _EI_GAP_US, _RL_M  # noqa: F401
+from .stylo import *  # noqa: F401,F403
+from .stylo import _BD_TOPK, _GRUBBS_CRIT, _MAH_TOPK  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1052,6 +1054,10 @@ REGISTRY: dict[str, tuple] = {
     "extremal_index": (q_extremal_index, SQL_EXTREMAL_INDEX),
     "gpd_return_level": (q_gpd_return_level, SQL_GPD_RETURN_LEVEL),
     "tail_dependence": (q_tail_dependence, SQL_TAIL_DEPENDENCE),
+    # -- new r4: feature-eng pack #102 — stylometry + classical outliers --
+    "burrows_delta": (q_burrows_delta, SQL_BURROWS_DELTA),
+    "mahalanobis_outliers": (q_mahalanobis_outliers, SQL_MAHALANOBIS_OUTLIERS),
+    "grubbs_test": (q_grubbs_test, SQL_GRUBBS_TEST),
 }
 
 
