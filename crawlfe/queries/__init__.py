@@ -118,6 +118,8 @@ from .evt2 import *  # noqa: F401,F403
 from .evt2 import _EI_GAP_US, _RL_M  # noqa: F401
 from .stylo import *  # noqa: F401,F403
 from .stylo import _BD_TOPK, _GRUBBS_CRIT, _MAH_TOPK  # noqa: F401
+from .forecast_eval2 import *  # noqa: F401,F403
+from .forecast_eval2 import _SN_LAG  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1058,6 +1060,12 @@ REGISTRY: dict[str, tuple] = {
     "burrows_delta": (q_burrows_delta, SQL_BURROWS_DELTA),
     "mahalanobis_outliers": (q_mahalanobis_outliers, SQL_MAHALANOBIS_OUTLIERS),
     "grubbs_test": (q_grubbs_test, SQL_GRUBBS_TEST),
+    "mase_smape": (q_mase_smape, SQL_MASE_SMAPE),
+    "theil_u2": (q_theil_u2, SQL_THEIL_U2),
+    "forecast_encompassing": (
+        q_forecast_encompassing,
+        SQL_FORECAST_ENCOMPASSING,
+    ),
 }
 
 
