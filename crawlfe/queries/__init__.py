@@ -120,6 +120,8 @@ from .stylo import *  # noqa: F401,F403
 from .stylo import _BD_TOPK, _GRUBBS_CRIT, _MAH_TOPK  # noqa: F401
 from .forecast_eval2 import *  # noqa: F401,F403
 from .forecast_eval2 import _SN_LAG  # noqa: F401
+from .survival3 import *  # noqa: F401,F403
+from .survival3 import _LT_WEEK_US  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1066,6 +1068,9 @@ REGISTRY: dict[str, tuple] = {
         q_forecast_encompassing,
         SQL_FORECAST_ENCOMPASSING,
     ),
+    "fh_logrank": (q_fh_logrank, SQL_FH_LOGRANK),
+    "life_table": (q_life_table, SQL_LIFE_TABLE),
+    "schoenfeld_trend": (q_schoenfeld_trend, SQL_SCHOENFELD_TREND),
 }
 
 
