@@ -122,6 +122,8 @@ from .forecast_eval2 import *  # noqa: F401,F403
 from .forecast_eval2 import _SN_LAG  # noqa: F401
 from .survival3 import *  # noqa: F401,F403
 from .survival3 import _LT_WEEK_US  # noqa: F401
+from .methodcmp import *  # noqa: F401,F403
+from .methodcmp import _BA_Z, _SPLIT_DAY  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1071,6 +1073,9 @@ REGISTRY: dict[str, tuple] = {
     "fh_logrank": (q_fh_logrank, SQL_FH_LOGRANK),
     "life_table": (q_life_table, SQL_LIFE_TABLE),
     "schoenfeld_trend": (q_schoenfeld_trend, SQL_SCHOENFELD_TREND),
+    "lins_ccc": (q_lins_ccc, SQL_LINS_CCC),
+    "bland_altman": (q_bland_altman, SQL_BLAND_ALTMAN),
+    "deming_regression": (q_deming_regression, SQL_DEMING_REGRESSION),
 }
 
 
