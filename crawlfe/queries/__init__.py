@@ -124,6 +124,8 @@ from .survival3 import *  # noqa: F401,F403
 from .survival3 import _LT_WEEK_US  # noqa: F401
 from .methodcmp import *  # noqa: F401,F403
 from .methodcmp import _BA_Z, _SPLIT_DAY  # noqa: F401
+from .contingency import *  # noqa: F401,F403
+from .contingency import _FE_HEAVY, _FE_TIE_EPS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1076,6 +1078,12 @@ REGISTRY: dict[str, tuple] = {
     "lins_ccc": (q_lins_ccc, SQL_LINS_CCC),
     "bland_altman": (q_bland_altman, SQL_BLAND_ALTMAN),
     "deming_regression": (q_deming_regression, SQL_DEMING_REGRESSION),
+    "fisher_exact": (q_fisher_exact, SQL_FISHER_EXACT),
+    "breslow_day": (q_breslow_day, SQL_BRESLOW_DAY),
+    "poisson_dispersion": (
+        q_poisson_dispersion,
+        SQL_POISSON_DISPERSION,
+    ),
 }
 
 
