@@ -126,6 +126,8 @@ from .methodcmp import *  # noqa: F401,F403
 from .methodcmp import _BA_Z, _SPLIT_DAY  # noqa: F401
 from .contingency import *  # noqa: F401,F403
 from .contingency import _FE_HEAVY, _FE_TIE_EPS  # noqa: F401
+from .matching import *  # noqa: F401,F403
+from .matching import _GAMMAS, _PLACEBO_SPLIT, _TREAT_MOD, _matched  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1084,6 +1086,9 @@ REGISTRY: dict[str, tuple] = {
         q_poisson_dispersion,
         SQL_POISSON_DISPERSION,
     ),
+    "nn_matching_att": (q_nn_matching_att, SQL_NN_MATCHING_ATT),
+    "rosenbaum_bounds": (q_rosenbaum_bounds, SQL_ROSENBAUM_BOUNDS),
+    "placebo_did": (q_placebo_did, SQL_PLACEBO_DID),
 }
 
 
