@@ -128,6 +128,8 @@ from .contingency import *  # noqa: F401,F403
 from .contingency import _FE_HEAVY, _FE_TIE_EPS  # noqa: F401
 from .matching import *  # noqa: F401,F403
 from .matching import _GAMMAS, _PLACEBO_SPLIT, _TREAT_MOD, _matched  # noqa: F401
+from .rankmodels import *  # noqa: F401,F403
+from .rankmodels import _BT_ROUNDS, _RBP_K, _RBP_P, _RBP_WTS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1089,6 +1091,9 @@ REGISTRY: dict[str, tuple] = {
     "nn_matching_att": (q_nn_matching_att, SQL_NN_MATCHING_ATT),
     "rosenbaum_bounds": (q_rosenbaum_bounds, SQL_ROSENBAUM_BOUNDS),
     "placebo_did": (q_placebo_did, SQL_PLACEBO_DID),
+    "bradley_terry": (q_bradley_terry, SQL_BRADLEY_TERRY),
+    "rbp_eval": (q_rbp_eval, SQL_RBP_EVAL),
+    "borda_consensus": (q_borda_consensus, SQL_BORDA_CONSENSUS),
 }
 
 
