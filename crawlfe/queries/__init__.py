@@ -130,6 +130,8 @@ from .matching import *  # noqa: F401,F403
 from .matching import _GAMMAS, _PLACEBO_SPLIT, _TREAT_MOD, _matched  # noqa: F401
 from .rankmodels import *  # noqa: F401,F403
 from .rankmodels import _BT_ROUNDS, _RBP_K, _RBP_P, _RBP_WTS  # noqa: F401
+from .neighbors import *  # noqa: F401,F403
+from .neighbors import _NB_K, _NB_PANEL  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1094,6 +1096,9 @@ REGISTRY: dict[str, tuple] = {
     "bradley_terry": (q_bradley_terry, SQL_BRADLEY_TERRY),
     "rbp_eval": (q_rbp_eval, SQL_RBP_EVAL),
     "borda_consensus": (q_borda_consensus, SQL_BORDA_CONSENSUS),
+    "lof_scores": (q_lof_scores, SQL_LOF_SCORES),
+    "twonn_dim": (q_twonn_dim, SQL_TWONN_DIM),
+    "hubness_skew": (q_hubness_skew, SQL_HUBNESS_SKEW),
 }
 
 
