@@ -132,6 +132,8 @@ from .rankmodels import *  # noqa: F401,F403
 from .rankmodels import _BT_ROUNDS, _RBP_K, _RBP_P, _RBP_WTS  # noqa: F401
 from .neighbors import *  # noqa: F401,F403
 from .neighbors import _NB_K, _NB_PANEL  # noqa: F401
+from .dataqc import *  # noqa: F401,F403
+from .dataqc import _FDS, _FKS, _KEYS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1099,6 +1101,9 @@ REGISTRY: dict[str, tuple] = {
     "lof_scores": (q_lof_scores, SQL_LOF_SCORES),
     "twonn_dim": (q_twonn_dim, SQL_TWONN_DIM),
     "hubness_skew": (q_hubness_skew, SQL_HUBNESS_SKEW),
+    "fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
+    "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
+    "dup_key_audit": (q_dup_key_audit, SQL_DUP_KEY_AUDIT),
 }
 
 
