@@ -134,6 +134,8 @@ from .neighbors import *  # noqa: F401,F403
 from .neighbors import _NB_K, _NB_PANEL  # noqa: F401
 from .dataqc import *  # noqa: F401,F403
 from .dataqc import _FDS, _FKS, _KEYS  # noqa: F401
+from .queueing import *  # noqa: F401,F403
+from .queueing import _CAP_FACTOR, _EC_MU_DIV, _EC_SERVERS, _SLO_TARGET  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1104,6 +1106,12 @@ REGISTRY: dict[str, tuple] = {
     "fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
     "fd_violations": (q_fd_violations, SQL_FD_VIOLATIONS),
     "dup_key_audit": (q_dup_key_audit, SQL_DUP_KEY_AUDIT),
+    "erlang_c": (q_erlang_c, SQL_ERLANG_C),
+    "slo_burn_rate": (q_slo_burn_rate, SQL_SLO_BURN_RATE),
+    "capacity_headroom": (
+        q_capacity_headroom,
+        SQL_CAPACITY_HEADROOM,
+    ),
 }
 
 
