@@ -136,6 +136,8 @@ from .dataqc import *  # noqa: F401,F403
 from .dataqc import _FDS, _FKS, _KEYS  # noqa: F401
 from .queueing import *  # noqa: F401,F403
 from .queueing import _CAP_FACTOR, _EC_MU_DIV, _EC_SERVERS, _SLO_TARGET  # noqa: F401
+from .robust2 import *  # noqa: F401,F403
+from .robust2 import _BW_C, _QN_D, _SN_C  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1112,6 +1114,9 @@ REGISTRY: dict[str, tuple] = {
         q_capacity_headroom,
         SQL_CAPACITY_HEADROOM,
     ),
+    "qn_sn_scale": (q_qn_sn_scale, SQL_QN_SN_SCALE),
+    "biweight_midvar": (q_biweight_midvar, SQL_BIWEIGHT_MIDVAR),
+    "dagostino_k2": (q_dagostino_k2, SQL_DAGOSTINO_K2),
 }
 
 
