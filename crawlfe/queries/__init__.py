@@ -138,6 +138,8 @@ from .queueing import *  # noqa: F401,F403
 from .queueing import _CAP_FACTOR, _EC_MU_DIV, _EC_SERVERS, _SLO_TARGET  # noqa: F401
 from .robust2 import *  # noqa: F401,F403
 from .robust2 import _BW_C, _QN_D, _SN_C  # noqa: F401
+from .spectral import *  # noqa: F401,F403
+from .spectral import _SP_PMAX, _SP_PMIN, _TRIG  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1117,6 +1119,9 @@ REGISTRY: dict[str, tuple] = {
     "qn_sn_scale": (q_qn_sn_scale, SQL_QN_SN_SCALE),
     "biweight_midvar": (q_biweight_midvar, SQL_BIWEIGHT_MIDVAR),
     "dagostino_k2": (q_dagostino_k2, SQL_DAGOSTINO_K2),
+    "periodogram_peak": (q_periodogram_peak, SQL_PERIODOGRAM_PEAK),
+    "ar2_yule_walker": (q_ar2_yule_walker, SQL_AR2_YULE_WALKER),
+    "spectral_entropy": (q_spectral_entropy, SQL_SPECTRAL_ENTROPY),
 }
 
 
