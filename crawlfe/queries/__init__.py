@@ -140,6 +140,8 @@ from .robust2 import *  # noqa: F401,F403
 from .robust2 import _BW_C, _QN_D, _SN_C  # noqa: F401
 from .spectral import *  # noqa: F401,F403
 from .spectral import _SP_PMAX, _SP_PMIN, _TRIG  # noqa: F401
+from .lmeval2 import *  # noqa: F401,F403
+from .lmeval2 import _KN_D, _KN_TOPN  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1122,6 +1124,9 @@ REGISTRY: dict[str, tuple] = {
     "periodogram_peak": (q_periodogram_peak, SQL_PERIODOGRAM_PEAK),
     "ar2_yule_walker": (q_ar2_yule_walker, SQL_AR2_YULE_WALKER),
     "spectral_entropy": (q_spectral_entropy, SQL_SPECTRAL_ENTROPY),
+    "kneser_ney_bigram": (q_kneser_ney_bigram, SQL_KNESER_NEY_BIGRAM),
+    "distinct_n": (q_distinct_n, SQL_DISTINCT_N),
+    "self_bleu_lite": (q_self_bleu_lite, SQL_SELF_BLEU_LITE),
 }
 
 
