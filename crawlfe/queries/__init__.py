@@ -142,6 +142,8 @@ from .spectral import *  # noqa: F401,F403
 from .spectral import _SP_PMAX, _SP_PMIN, _TRIG  # noqa: F401
 from .lmeval2 import *  # noqa: F401,F403
 from .lmeval2 import _KN_D, _KN_TOPN  # noqa: F401
+from .seqtest3 import *  # noqa: F401,F403
+from .seqtest3 import _AVCI_ALPHA, _CUSUM_H, _CUSUM_K, _POCOCK_CRIT, _POCOCK_LOOKS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1127,6 +1129,9 @@ REGISTRY: dict[str, tuple] = {
     "kneser_ney_bigram": (q_kneser_ney_bigram, SQL_KNESER_NEY_BIGRAM),
     "distinct_n": (q_distinct_n, SQL_DISTINCT_N),
     "self_bleu_lite": (q_self_bleu_lite, SQL_SELF_BLEU_LITE),
+    "pocock_boundary": (q_pocock_boundary, SQL_POCOCK_BOUNDARY),
+    "always_valid_ci": (q_always_valid_ci, SQL_ALWAYS_VALID_CI),
+    "cusum_spc": (q_cusum_spc, SQL_CUSUM_SPC),
 }
 
 
