@@ -144,6 +144,8 @@ from .lmeval2 import *  # noqa: F401,F403
 from .lmeval2 import _KN_D, _KN_TOPN  # noqa: F401
 from .seqtest3 import *  # noqa: F401,F403
 from .seqtest3 import _AVCI_ALPHA, _CUSUM_H, _CUSUM_K, _POCOCK_CRIT, _POCOCK_LOOKS  # noqa: F401
+from .forecast_prob import *  # noqa: F401,F403
+from .forecast_prob import _FP_LAG, _PIT_BINS, _WK_ALPHA, _WK_Z, _phi_cdf_col, _phi_cdf_sql  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1132,6 +1134,9 @@ REGISTRY: dict[str, tuple] = {
     "pocock_boundary": (q_pocock_boundary, SQL_POCOCK_BOUNDARY),
     "always_valid_ci": (q_always_valid_ci, SQL_ALWAYS_VALID_CI),
     "cusum_spc": (q_cusum_spc, SQL_CUSUM_SPC),
+    "crps_eval": (q_crps_eval, SQL_CRPS_EVAL),
+    "pit_histogram": (q_pit_histogram, SQL_PIT_HISTOGRAM),
+    "winkler_score": (q_winkler_score, SQL_WINKLER_SCORE),
 }
 
 
