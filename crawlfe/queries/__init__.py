@@ -146,6 +146,8 @@ from .seqtest3 import *  # noqa: F401,F403
 from .seqtest3 import _AVCI_ALPHA, _CUSUM_H, _CUSUM_K, _POCOCK_CRIT, _POCOCK_LOOKS  # noqa: F401
 from .forecast_prob import *  # noqa: F401,F403
 from .forecast_prob import _FP_LAG, _PIT_BINS, _WK_ALPHA, _WK_Z, _phi_cdf_col, _phi_cdf_sql  # noqa: F401
+from .graph_cent import *  # noqa: F401,F403
+from .graph_cent import _CENT_TOPK, _EV_ROUNDS, _KATZ_ALPHA, _KATZ_TERMS, _RC_KS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1137,6 +1139,12 @@ REGISTRY: dict[str, tuple] = {
     "crps_eval": (q_crps_eval, SQL_CRPS_EVAL),
     "pit_histogram": (q_pit_histogram, SQL_PIT_HISTOGRAM),
     "winkler_score": (q_winkler_score, SQL_WINKLER_SCORE),
+    "eigenvector_centrality": (
+        q_eigenvector_centrality,
+        SQL_EIGENVECTOR_CENTRALITY,
+    ),
+    "katz_centrality": (q_katz_centrality, SQL_KATZ_CENTRALITY),
+    "rich_club": (q_rich_club, SQL_RICH_CLUB),
 }
 
 
