@@ -148,6 +148,8 @@ from .forecast_prob import *  # noqa: F401,F403
 from .forecast_prob import _FP_LAG, _PIT_BINS, _WK_ALPHA, _WK_Z, _phi_cdf_col, _phi_cdf_sql  # noqa: F401
 from .graph_cent import *  # noqa: F401,F403
 from .graph_cent import _CENT_TOPK, _EV_ROUNDS, _KATZ_ALPHA, _KATZ_TERMS, _RC_KS  # noqa: F401
+from .markov import *  # noqa: F401,F403
+from .markov import _MC_ROUNDS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1145,6 +1147,9 @@ REGISTRY: dict[str, tuple] = {
     ),
     "katz_centrality": (q_katz_centrality, SQL_KATZ_CENTRALITY),
     "rich_club": (q_rich_club, SQL_RICH_CLUB),
+    "mc_stationary": (q_mc_stationary, SQL_MC_STATIONARY),
+    "entropy_rate": (q_entropy_rate, SQL_ENTROPY_RATE),
+    "mc_reversibility": (q_mc_reversibility, SQL_MC_REVERSIBILITY),
 }
 
 
