@@ -150,6 +150,8 @@ from .graph_cent import *  # noqa: F401,F403
 from .graph_cent import _CENT_TOPK, _EV_ROUNDS, _KATZ_ALPHA, _KATZ_TERMS, _RC_KS  # noqa: F401
 from .markov import *  # noqa: F401,F403
 from .markov import _MC_ROUNDS  # noqa: F401
+from .decompose import *  # noqa: F401,F403
+from .decompose import _ABC_A, _ABC_B, _STL_W  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1150,6 +1152,9 @@ REGISTRY: dict[str, tuple] = {
     "mc_stationary": (q_mc_stationary, SQL_MC_STATIONARY),
     "entropy_rate": (q_entropy_rate, SQL_ENTROPY_RATE),
     "mc_reversibility": (q_mc_reversibility, SQL_MC_REVERSIBILITY),
+    "abc_analysis": (q_abc_analysis, SQL_ABC_ANALYSIS),
+    "stl_decompose": (q_stl_decompose, SQL_STL_DECOMPOSE),
+    "seasonal_strength": (q_seasonal_strength, SQL_SEASONAL_STRENGTH),
 }
 
 
