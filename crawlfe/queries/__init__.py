@@ -154,6 +154,8 @@ from .decompose import *  # noqa: F401,F403
 from .decompose import _ABC_A, _ABC_B, _STL_W  # noqa: F401
 from .momentq import *  # noqa: F401,F403
 from .momentq import _BC_LAMBDAS, _CF_P, _CF_Z, _CHEB_KS  # noqa: F401
+from .curation2 import *  # noqa: F401,F403
+from .curation2 import _CCDF_GRID  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1160,6 +1162,12 @@ REGISTRY: dict[str, tuple] = {
     "cornish_fisher_q": (q_cornish_fisher_q, SQL_CORNISH_FISHER_Q),
     "chebyshev_audit": (q_chebyshev_audit, SQL_CHEBYSHEV_AUDIT),
     "box_cox": (q_box_cox, SQL_BOX_COX),
+    "tokenizer_fertility": (
+        q_tokenizer_fertility,
+        SQL_TOKENIZER_FERTILITY,
+    ),
+    "length_ccdf": (q_length_ccdf, SQL_LENGTH_CCDF),
+    "langid_by_source": (q_langid_by_source, SQL_LANGID_BY_SOURCE),
 }
 
 
