@@ -156,6 +156,8 @@ from .momentq import *  # noqa: F401,F403
 from .momentq import _BC_LAMBDAS, _CF_P, _CF_Z, _CHEB_KS  # noqa: F401
 from .curation2 import *  # noqa: F401,F403
 from .curation2 import _CCDF_GRID  # noqa: F401
+from .inequality import *  # noqa: F401,F403
+from .inequality import _LD_DECILES  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1168,6 +1170,9 @@ REGISTRY: dict[str, tuple] = {
     ),
     "length_ccdf": (q_length_ccdf, SQL_LENGTH_CCDF),
     "langid_by_source": (q_langid_by_source, SQL_LANGID_BY_SOURCE),
+    "oaxaca_blinder": (q_oaxaca_blinder, SQL_OAXACA_BLINDER),
+    "theil_decomp": (q_theil_decomp, SQL_THEIL_DECOMP),
+    "lorenz_dominance": (q_lorenz_dominance, SQL_LORENZ_DOMINANCE),
 }
 
 
