@@ -158,6 +158,7 @@ from .curation2 import *  # noqa: F401,F403
 from .curation2 import _CCDF_GRID  # noqa: F401
 from .inequality import *  # noqa: F401,F403
 from .inequality import _LD_DECILES  # noqa: F401
+from .bayes_ab import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1173,6 +1174,12 @@ REGISTRY: dict[str, tuple] = {
     "oaxaca_blinder": (q_oaxaca_blinder, SQL_OAXACA_BLINDER),
     "theil_decomp": (q_theil_decomp, SQL_THEIL_DECOMP),
     "lorenz_dominance": (q_lorenz_dominance, SQL_LORENZ_DOMINANCE),
+    "bayes_ab_prob": (q_bayes_ab_prob, SQL_BAYES_AB_PROB),
+    "bayes_expected_loss": (
+        q_bayes_expected_loss,
+        SQL_BAYES_EXPECTED_LOSS,
+    ),
+    "dirichlet_shares": (q_dirichlet_shares, SQL_DIRICHLET_SHARES),
 }
 
 
