@@ -159,6 +159,8 @@ from .curation2 import _CCDF_GRID  # noqa: F401
 from .inequality import *  # noqa: F401,F403
 from .inequality import _LD_DECILES  # noqa: F401
 from .bayes_ab import *  # noqa: F401,F403
+from .pricing import *  # noqa: F401,F403
+from .pricing import _NV_CO, _NV_CU, _POOL_TOP, _POOL_Z  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1180,6 +1182,9 @@ REGISTRY: dict[str, tuple] = {
         SQL_BAYES_EXPECTED_LOSS,
     ),
     "dirichlet_shares": (q_dirichlet_shares, SQL_DIRICHLET_SHARES),
+    "price_elasticity": (q_price_elasticity, SQL_PRICE_ELASTICITY),
+    "newsvendor_stock": (q_newsvendor_stock, SQL_NEWSVENDOR_STOCK),
+    "demand_pooling": (q_demand_pooling, SQL_DEMAND_POOLING),
 }
 
 
