@@ -161,6 +161,8 @@ from .inequality import _LD_DECILES  # noqa: F401
 from .bayes_ab import *  # noqa: F401,F403
 from .pricing import *  # noqa: F401,F403
 from .pricing import _NV_CO, _NV_CU, _POOL_TOP, _POOL_Z  # noqa: F401
+from .robreg import *  # noqa: F401,F403
+from .robreg import _HUBER_K, _INFL_TOPK, _IRLS_ROUNDS, _LAD_EPS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1185,6 +1187,12 @@ REGISTRY: dict[str, tuple] = {
     "price_elasticity": (q_price_elasticity, SQL_PRICE_ELASTICITY),
     "newsvendor_stock": (q_newsvendor_stock, SQL_NEWSVENDOR_STOCK),
     "demand_pooling": (q_demand_pooling, SQL_DEMAND_POOLING),
+    "qreg_median": (q_qreg_median, SQL_QREG_MEDIAN),
+    "huber_trend": (q_huber_trend, SQL_HUBER_TREND),
+    "regression_influence": (
+        q_regression_influence,
+        SQL_REGRESSION_INFLUENCE,
+    ),
 }
 
 
