@@ -164,6 +164,8 @@ from .pricing import _NV_CO, _NV_CU, _POOL_TOP, _POOL_Z  # noqa: F401
 from .robreg import *  # noqa: F401,F403
 from .robreg import _HUBER_K, _INFL_TOPK, _IRLS_ROUNDS, _LAD_EPS  # noqa: F401
 from .meta import *  # noqa: F401,F403
+from .optstats import *  # noqa: F401,F403
+from .optstats import _HIST_B, _HIST_RANGES, _NDV_MOD  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1197,6 +1199,12 @@ REGISTRY: dict[str, tuple] = {
     "meta_analysis": (q_meta_analysis, SQL_META_ANALYSIS),
     "egger_test": (q_egger_test, SQL_EGGER_TEST),
     "loo_meta": (q_loo_meta, SQL_LOO_META),
+    "selectivity_audit": (q_selectivity_audit, SQL_SELECTIVITY_AUDIT),
+    "histogram_est_error": (
+        q_histogram_est_error,
+        SQL_HISTOGRAM_EST_ERROR,
+    ),
+    "ndv_sample_est": (q_ndv_sample_est, SQL_NDV_SAMPLE_EST),
 }
 
 
