@@ -166,6 +166,8 @@ from .robreg import _HUBER_K, _INFL_TOPK, _IRLS_ROUNDS, _LAD_EPS  # noqa: F401
 from .meta import *  # noqa: F401,F403
 from .optstats import *  # noqa: F401,F403
 from .optstats import _HIST_B, _HIST_RANGES, _NDV_MOD  # noqa: F401
+from .featqc import *  # noqa: F401,F403
+from .featqc import _FEATS, _MRMR_K  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1205,6 +1207,9 @@ REGISTRY: dict[str, tuple] = {
         SQL_HISTOGRAM_EST_ERROR,
     ),
     "ndv_sample_est": (q_ndv_sample_est, SQL_NDV_SAMPLE_EST),
+    "mrmr_lite": (q_mrmr_lite, SQL_MRMR_LITE),
+    "vif3_audit": (q_vif3_audit, SQL_VIF3_AUDIT),
+    "feature_stability": (q_feature_stability, SQL_FEATURE_STABILITY),
 }
 
 
