@@ -168,6 +168,8 @@ from .optstats import *  # noqa: F401,F403
 from .optstats import _HIST_B, _HIST_RANGES, _NDV_MOD  # noqa: F401
 from .featqc import *  # noqa: F401,F403
 from .featqc import _FEATS, _MRMR_K  # noqa: F401
+from .twosample import *  # noqa: F401,F403
+from .twosample import _TS_DQ, _TS_KQ, _TS_PROJ  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1210,6 +1212,9 @@ REGISTRY: dict[str, tuple] = {
     "mrmr_lite": (q_mrmr_lite, SQL_MRMR_LITE),
     "vif3_audit": (q_vif3_audit, SQL_VIF3_AUDIT),
     "feature_stability": (q_feature_stability, SQL_FEATURE_STABILITY),
+    "mmd_shift": (q_mmd_shift, SQL_MMD_SHIFT),
+    "energy_distance": (q_energy_distance, SQL_ENERGY_DISTANCE),
+    "ks_proj_max": (q_ks_proj_max, SQL_KS_PROJ_MAX),
 }
 
 
