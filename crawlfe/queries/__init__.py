@@ -170,6 +170,8 @@ from .featqc import *  # noqa: F401,F403
 from .featqc import _FEATS, _MRMR_K  # noqa: F401
 from .twosample import *  # noqa: F401,F403
 from .twosample import _TS_DQ, _TS_KQ, _TS_PROJ  # noqa: F401
+from .corpusqc import *  # noqa: F401,F403
+from .corpusqc import _COV_KS  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1215,6 +1217,15 @@ REGISTRY: dict[str, tuple] = {
     "mmd_shift": (q_mmd_shift, SQL_MMD_SHIFT),
     "energy_distance": (q_energy_distance, SQL_ENERGY_DISTANCE),
     "ks_proj_max": (q_ks_proj_max, SQL_KS_PROJ_MAX),
+    "dup_cluster_profile": (
+        q_dup_cluster_profile,
+        SQL_DUP_CLUSTER_PROFILE,
+    ),
+    "ngram_coverage_curve": (
+        q_ngram_coverage_curve,
+        SQL_NGRAM_COVERAGE_CURVE,
+    ),
+    "readability_panel": (q_readability_panel, SQL_READABILITY_PANEL),
 }
 
 
