@@ -172,6 +172,8 @@ from .twosample import *  # noqa: F401,F403
 from .twosample import _TS_DQ, _TS_KQ, _TS_PROJ  # noqa: F401
 from .corpusqc import *  # noqa: F401,F403
 from .corpusqc import _COV_KS  # noqa: F401
+from .causal3 import *  # noqa: F401,F403
+from .causal3 import _PC_Z  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1226,6 +1228,12 @@ REGISTRY: dict[str, tuple] = {
         SQL_NGRAM_COVERAGE_CURVE,
     ),
     "readability_panel": (q_readability_panel, SQL_READABILITY_PANEL),
+    "mediation_sobel": (q_mediation_sobel, SQL_MEDIATION_SOBEL),
+    "partial_corr_skeleton": (
+        q_partial_corr_skeleton,
+        SQL_PARTIAL_CORR_SKELETON,
+    ),
+    "granger_lite": (q_granger_lite, SQL_GRANGER_LITE),
 }
 
 
