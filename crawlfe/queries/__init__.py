@@ -174,6 +174,8 @@ from .corpusqc import *  # noqa: F401,F403
 from .corpusqc import _COV_KS  # noqa: F401
 from .causal3 import *  # noqa: F401,F403
 from .causal3 import _PC_Z  # noqa: F401
+from .breaks import *  # noqa: F401,F403
+from .breaks import _BRK_T0  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1234,6 +1236,9 @@ REGISTRY: dict[str, tuple] = {
         SQL_PARTIAL_CORR_SKELETON,
     ),
     "granger_lite": (q_granger_lite, SQL_GRANGER_LITE),
+    "its_segmented": (q_its_segmented, SQL_ITS_SEGMENTED),
+    "pettitt_test": (q_pettitt_test, SQL_PETTITT_TEST),
+    "chow_test": (q_chow_test, SQL_CHOW_TEST),
 }
 
 
