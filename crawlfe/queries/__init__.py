@@ -176,6 +176,8 @@ from .causal3 import *  # noqa: F401,F403
 from .causal3 import _PC_Z  # noqa: F401
 from .breaks import *  # noqa: F401,F403
 from .breaks import _BRK_T0  # noqa: F401
+from .factorize import *  # noqa: F401,F403
+from .factorize import _SVD_ROUNDS, _SVD_TOPK  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1239,6 +1241,9 @@ REGISTRY: dict[str, tuple] = {
     "its_segmented": (q_its_segmented, SQL_ITS_SEGMENTED),
     "pettitt_test": (q_pettitt_test, SQL_PETTITT_TEST),
     "chow_test": (q_chow_test, SQL_CHOW_TEST),
+    "svd_rank1": (q_svd_rank1, SQL_SVD_RANK1),
+    "user_factor_topk": (q_user_factor_topk, SQL_USER_FACTOR_TOPK),
+    "svd_recon_error": (q_svd_recon_error, SQL_SVD_RECON_ERROR),
 }
 
 
