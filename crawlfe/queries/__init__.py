@@ -178,6 +178,8 @@ from .breaks import *  # noqa: F401,F403
 from .breaks import _BRK_T0  # noqa: F401
 from .factorize import *  # noqa: F401,F403
 from .factorize import _SVD_ROUNDS, _SVD_TOPK  # noqa: F401
+from .ordinal import *  # noqa: F401,F403
+from .ordinal import _ORD_K  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1244,6 +1246,9 @@ REGISTRY: dict[str, tuple] = {
     "svd_rank1": (q_svd_rank1, SQL_SVD_RANK1),
     "user_factor_topk": (q_user_factor_topk, SQL_USER_FACTOR_TOPK),
     "svd_recon_error": (q_svd_recon_error, SQL_SVD_RECON_ERROR),
+    "weighted_kappa": (q_weighted_kappa, SQL_WEIGHTED_KAPPA),
+    "ordinal_gamma": (q_ordinal_gamma, SQL_ORDINAL_GAMMA),
+    "somers_d": (q_somers_d, SQL_SOMERS_D),
 }
 
 
