@@ -180,6 +180,8 @@ from .factorize import *  # noqa: F401,F403
 from .factorize import _SVD_ROUNDS, _SVD_TOPK  # noqa: F401
 from .ordinal import *  # noqa: F401,F403
 from .ordinal import _ORD_K  # noqa: F401
+from .resample import *  # noqa: F401,F403
+from .resample import _BB_B, _BB_L, _BB_NB, _HS_B, _LCG_A, _LCG_C, _LCG_M  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1249,6 +1251,15 @@ REGISTRY: dict[str, tuple] = {
     "weighted_kappa": (q_weighted_kappa, SQL_WEIGHTED_KAPPA),
     "ordinal_gamma": (q_ordinal_gamma, SQL_ORDINAL_GAMMA),
     "somers_d": (q_somers_d, SQL_SOMERS_D),
+    "block_bootstrap_se": (
+        q_block_bootstrap_se,
+        SQL_BLOCK_BOOTSTRAP_SE,
+    ),
+    "jackknife_median": (q_jackknife_median, SQL_JACKKNIFE_MEDIAN),
+    "half_sample_stability": (
+        q_half_sample_stability,
+        SQL_HALF_SAMPLE_STABILITY,
+    ),
 }
 
 
