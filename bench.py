@@ -578,6 +578,27 @@ HEADLINE = [
     "burrows_delta",
     "mahalanobis_outliers",
     "grubbs_test",
+    # added r4 (session 3): packs #103-#135 — the shuffle/join-heavy
+    # representatives (one per family; the tiny daily-series closed
+    # forms are not bench-worthy)
+    "fh_logrank",
+    "nn_matching_att",
+    "bradley_terry",
+    "lof_scores",
+    "fk_orphans",
+    "kneser_ney_bigram",
+    "self_bleu_lite",
+    "eigenvector_centrality",
+    "mc_stationary",
+    "bayes_ab_prob",
+    "price_elasticity",
+    "mmd_shift",
+    "svd_rank1",
+    "weighted_kappa",
+    "block_bootstrap_se",
+    "ngram_coverage_curve",
+    "mrmr_lite",
+    "histogram_est_error",
 ]
 
 
