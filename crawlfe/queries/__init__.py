@@ -182,6 +182,7 @@ from .ordinal import *  # noqa: F401,F403
 from .ordinal import _ORD_K  # noqa: F401
 from .resample import *  # noqa: F401,F403
 from .resample import _BB_B, _BB_L, _BB_NB, _HS_B, _LCG_A, _LCG_C, _LCG_M  # noqa: F401
+from .nominal import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1259,6 +1260,12 @@ REGISTRY: dict[str, tuple] = {
     "half_sample_stability": (
         q_half_sample_stability,
         SQL_HALF_SAMPLE_STABILITY,
+    ),
+    "goodman_lambda": (q_goodman_lambda, SQL_GOODMAN_LAMBDA),
+    "theils_u": (q_theils_u, SQL_THEILS_U),
+    "cramers_v_corrected": (
+        q_cramers_v_corrected,
+        SQL_CRAMERS_V_CORRECTED,
     ),
 }
 
