@@ -183,6 +183,8 @@ from .ordinal import _ORD_K  # noqa: F401
 from .resample import *  # noqa: F401,F403
 from .resample import _BB_B, _BB_L, _BB_NB, _HS_B, _LCG_A, _LCG_C, _LCG_M  # noqa: F401
 from .nominal import *  # noqa: F401,F403
+from .layout import *  # noqa: F401,F403
+from .layout import _BK_N, _CHUNK, _CR_COLS, _PRUNE_HI_D, _PRUNE_LO_D  # noqa: F401
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1266,6 +1268,15 @@ REGISTRY: dict[str, tuple] = {
     "cramers_v_corrected": (
         q_cramers_v_corrected,
         SQL_CRAMERS_V_CORRECTED,
+    ),
+    "compression_ratio_est": (
+        q_compression_ratio_est,
+        SQL_COMPRESSION_RATIO_EST,
+    ),
+    "bucket_skew_plan": (q_bucket_skew_plan, SQL_BUCKET_SKEW_PLAN),
+    "minmax_prune_benefit": (
+        q_minmax_prune_benefit,
+        SQL_MINMAX_PRUNE_BENEFIT,
     ),
 }
 
