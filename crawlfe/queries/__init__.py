@@ -185,6 +185,7 @@ from .resample import _BB_B, _BB_L, _BB_NB, _HS_B, _LCG_A, _LCG_C, _LCG_M  # noq
 from .nominal import *  # noqa: F401,F403
 from .layout import *  # noqa: F401,F403
 from .layout import _BK_N, _CHUNK, _CR_COLS, _PRUNE_HI_D, _PRUNE_LO_D  # noqa: F401
+from .diversity import *  # noqa: F401,F403
 from ._shared import _patched_tables, _scratch_dir, _t, _us  # noqa: F401
 from .sketch_period import _FOLD_PMAX, _KMV_DOM, _KMV_K  # noqa: F401
 from .text import _BPE_RE, _LANG_MARKERS, _SQL_SW, _STOPWORDS, _dedup_embedding_block_pairs, _sql_markers  # noqa: F401
@@ -1278,6 +1279,9 @@ REGISTRY: dict[str, tuple] = {
         q_minmax_prune_benefit,
         SQL_MINMAX_PRUNE_BENEFIT,
     ),
+    "simpson_diversity": (q_simpson_diversity, SQL_SIMPSON_DIVERSITY),
+    "shannon_evenness": (q_shannon_evenness, SQL_SHANNON_EVENNESS),
+    "renyi_spectrum": (q_renyi_spectrum, SQL_RENYI_SPECTRUM),
 }
 
 
