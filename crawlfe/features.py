@@ -90,7 +90,15 @@ def featurize(
 
 def lineage_rows(features: DataFrame, input_snapshot: str) -> DataFrame:
     """Per-partition lineage (BASELINE.json:6): one row per physical
-    partition of the featurize stage — map-side combinable aggregate."""
+    partition of the featurize stage — map-side combinable aggregate.
+
+    ``feature_hash`` is an order-independent bit_xor of xxhash64 rows so
+    the hash is reproducible under any scan order; ``committed_at`` is
+    ``current_timestamp()`` and therefore NOT reproducible across
+    retries of the same partition.  That is intentional — resume logic
+    treats the manifest (crawlfe/io.py) as authoritative and never
+    compares lineage tables byte-wise; diff on (partition_id,
+    input_snapshot, offsets, n_rows, feature_hash) only."""
     return (
         features.groupBy("part_id")
         .agg(

@@ -172,10 +172,16 @@ def q_fisher_exact(spark, sf_dir):
             "b",
             "c",
             "d",
-            F.round(
-                (F.col("a") * F.col("d")).cast("double")
-                / (F.col("b") * F.col("c")),
-                6,
+            # degenerate table guard (r4 ADVICE): an empty off-diagonal
+            # cell (b*c = 0) must be NULL in BOTH engines — Spark's
+            # double/0 yields NULL-vs-inf divergence against DuckDB
+            F.when(
+                (F.col("b") > 0) & (F.col("c") > 0),
+                F.round(
+                    (F.col("a") * F.col("d")).cast("double")
+                    / (F.col("b") * F.col("c")),
+                    6,
+                ),
             ).alias("odds_ratio"),
             F.round(F.least(F.col("_p2"), F.lit(1.0)), 6).alias(
                 "p_two_sided"
@@ -216,7 +222,7 @@ g AS (
   FROM p CROSS JOIN pobs
 )
 SELECT a, b, c, d,
-       round(CAST(a * d AS DOUBLE) / (b * c), 6) AS odds_ratio,
+       round(CAST(a * d AS DOUBLE) / NULLIF(b * c, 0), 6) AS odds_ratio,
        round(least(_p2, 1.0), 6) AS p_two_sided
 FROM g CROSS JOIN p2
 """

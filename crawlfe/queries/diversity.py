@@ -97,7 +97,11 @@ def q_shannon_evenness(spark, sf_dir):
         F.round(F.col("h") / F.log(F.lit(2.0)), 6).alias(
             "shannon_bits"
         ),
-        F.round(F.col("h") / F.log("k"), 6).alias("pielou_j"),
+        # k=1 guard (r4 ADVICE): a single source makes J = 0/ln(1) =
+        # 0/0 — NULL in both engines, not a NaN divergence
+        F.when(
+            F.col("k") > 1, F.round(F.col("h") / F.log("k"), 6)
+        ).alias("pielou_j"),
     )
 
 
@@ -109,7 +113,7 @@ m AS (
 )
 SELECT CAST(k AS BIGINT) AS k, round(h, 6) AS shannon_nats,
        round(h / ln(2.0), 6) AS shannon_bits,
-       round(h / ln(k), 6) AS pielou_j
+       CASE WHEN k > 1 THEN round(h / ln(k), 6) END AS pielou_j
 FROM m
 """
 

@@ -98,9 +98,37 @@ def q_mc_stationary(spark, sf_dir):
                 "i",
             )
             .groupBy(F.col("j").alias("s"))
-            .agg(F.sum(F.col("pi_i") * F.col("p")).alias("raw"))
+            # i-ordered fold (r4 ADVICE): sort the (i, term) pairs and
+            # fold left-to-right so the double-association order is
+            # identical in Spark and the DuckDB twin's
+            # sum(... ORDER BY i) — the spectral.py ordered-running-sum
+            # discipline applied to the power-iteration update
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i"),
+                                (F.col("pi_i") * F.col("p")).alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("raw")
+            )
         )
-        tot = nxt.agg(F.sum("raw").alias("tot"))
+        tot = nxt.agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("s"), F.col("raw").alias("v"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("tot")
+        )
         pi = (
             nxt.crossJoin(F.broadcast(tot))
             .select("s", (F.col("raw") / F.col("tot")).alias("pi"))
@@ -134,11 +162,11 @@ def _mc_prefix_sql():
     prev = "pi0"
     for r in range(1, _MC_ROUNDS + 1):
         rounds += f""", n{r} AS MATERIALIZED (
-  SELECT pmat.j AS s, sum(p.pi * pmat.p) AS raw
+  SELECT pmat.j AS s, sum(p.pi * pmat.p ORDER BY pmat.i) AS raw
   FROM pmat JOIN {prev} p ON pmat.i = p.s
   GROUP BY 1
 ), t{r} AS MATERIALIZED (
-  SELECT sum(raw) AS tot FROM n{r}
+  SELECT sum(raw ORDER BY s) AS tot FROM n{r}
 ), pi{r} AS MATERIALIZED (
   SELECT s, raw / tot AS pi FROM n{r} CROSS JOIN t{r}
 )"""
@@ -189,9 +217,37 @@ def _stationary_and_p(spark, sf_dir):
                 "i",
             )
             .groupBy(F.col("j").alias("s"))
-            .agg(F.sum(F.col("pi_i") * F.col("p")).alias("raw"))
+            # i-ordered fold (r4 ADVICE): sort the (i, term) pairs and
+            # fold left-to-right so the double-association order is
+            # identical in Spark and the DuckDB twin's
+            # sum(... ORDER BY i) — the spectral.py ordered-running-sum
+            # discipline applied to the power-iteration update
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i"),
+                                (F.col("pi_i") * F.col("p")).alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("raw")
+            )
         )
-        tot = nxt.agg(F.sum("raw").alias("tot"))
+        tot = nxt.agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("s"), F.col("raw").alias("v"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("tot")
+        )
         pi = (
             nxt.crossJoin(F.broadcast(tot))
             .select("s", (F.col("raw") / F.col("tot")).alias("pi"))
