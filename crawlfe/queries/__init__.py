@@ -1326,7 +1326,50 @@ assert len(_R4_DRIVER_WINDOW) == 50, len(_R4_DRIVER_WINDOW)
 assert len(set(_R4_DRIVER_WINDOW)) == 50
 assert all(k in REGISTRY for k in _R4_DRIVER_WINDOW)
 
-_window = {k: REGISTRY[k] for k in _R4_DRIVER_WINDOW}
+# --------------------------------------------------------------------------
+# r5 driver-window rotation (VERDICT.md r4 next-round item #4): 50 MORE
+# never-driver-checked oracle-backed keys (cumulative driver-green after
+# r4 is 160; every key below is outside that set and ALL-GREEN in the
+# committed tri-SF sweeps).  Leads with the 16 keys the judge named —
+# `isotonic_calibration` already holds a driver row (r2), so its
+# reliability-diagram sibling `calibration_bins` takes that slot — then
+# the as-of/PIT spine variants, source/layout/join-strategy keys, the
+# dedup/sampling family, the distinct-count sketch family, the SQL-4
+# surface, and the embedding/vector ops.
+# --------------------------------------------------------------------------
+
+_R5_DRIVER_WINDOW: list[str] = [
+    # 16 judge-named keys (VERDICT r4 item #4)
+    "sql_udf_scalar", "sql_udf_table", "sql_pipe_funnel", "kmv_distinct",
+    "kmv_union_merge", "asof_staleness", "leakage_audit", "feature_cross",
+    "rank_int", "calibration_bins", "kcore_peel", "kmeanspp_seeds",
+    "embedding_outliers", "token_budget_mix", "dataset_card", "ks_drift",
+    # as-of / PIT engine-spine variants
+    "asof_bitemporal", "asof_count_window", "asof_decay_feature",
+    "asof_kth_recent", "pit_histogram",
+    # sources / layout / join strategy
+    "scan_jsonl", "scan_orc", "scan_split_plan", "bucketed_join",
+    "join_range_bucketed", "bucket_skew_plan", "join_cardinality_est",
+    # dedup / sampling / curation
+    "collated_dedup", "dedup_prefix", "semdedup", "temporal_split",
+    "negative_sample", "pps_sample", "weighted_sample", "sample_split",
+    "lang_balance_sample",
+    # sketches / distinct-count family
+    "hll_distinct", "kmv_intersect", "countsketch_freq", "ndv_sample_est",
+    # SQL surface (Spark 4)
+    "sql_correlated", "sql_groupby_all", "sql_session_var",
+    "sql_exec_immediate",
+    # embedding / vector ops
+    "embedding_pca1", "quantize_embed", "embedding_isotropy", "pq_encode",
+    "quantile_norm",
+]
+
+assert len(_R5_DRIVER_WINDOW) == 50, len(_R5_DRIVER_WINDOW)
+assert len(set(_R5_DRIVER_WINDOW)) == 50
+assert all(k in REGISTRY for k in _R5_DRIVER_WINDOW)
+assert not set(_R5_DRIVER_WINDOW) & set(_R4_DRIVER_WINDOW)
+
+_window = {k: REGISTRY[k] for k in _R5_DRIVER_WINDOW}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}
 REGISTRY = {**_window, **_rest}
 del _window, _rest
