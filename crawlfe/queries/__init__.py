@@ -1062,6 +1062,7 @@ REGISTRY: dict[str, tuple] = {
     # -- new r4: feature-eng pack #87 — bucketed layout / dedup eval /
     # sequential drift --
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "asof_bucketed": (q_asof_bucketed, SQL_ASOF_BUCKETED),
     "neardup_eval": (q_neardup_eval, SQL_NEARDUP_EVAL),
     "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
     # -- new r4: feature-eng pack #88 — FDR family II + record linkage --

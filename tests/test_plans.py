@@ -977,3 +977,20 @@ def test_one_hot_topk_broadcasts_level_set(spark, sf_dir):
     plan = plan_of(q_one_hot_topk(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_bucketed_no_exchange(spark, sf_dir):
+    """The storage-bucketed as-of join (r5 engine-spine surface): both
+    catalog tables are written bucketBy(8, bkt), so the cogroup's
+    required clustered distribution is satisfied by the SCANS — the
+    re-read join plan must contain ZERO Exchange and both scans must
+    report Bucketed: true. This is the write-once/join-many layout
+    contract a 100 TB features table relies on."""
+    from crawlfe.queries.bucketops import _asof_bucketed_df
+
+    df = _asof_bucketed_df(spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the plan
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
