@@ -353,7 +353,17 @@ def q_kcenter_coreset(spark, sf_dir):
     contract as kmeanspp_seeds.  radius[i] = the max-min distance at
     which center i was picked (radius[1] = 0 by convention); the
     monotone non-increasing radius sequence IS the coreset quality
-    curve."""
+    curve.
+
+    SCALE CONTRACT (r5, per the r4 verdict): this is the DIDACTIC
+    exact-Gonzalez variant — k-1 sequential driver-round-trip scans by
+    construction (each center depends on all previous).  It is kept
+    because the exact greedy chain is DuckDB-expressible (the unrolled
+    CTE oracle below) and therefore correctness-gated; the declared
+    production path for seeding/coresets at 100 TB is `kmeanspp_seeds`
+    (crawlfe/queries/selection.py), whose k-means|| oversampling picks
+    k centers in 3 scans.  See BENCH/STRATEGIES.md "Iterative
+    selection at scale"."""
     base = _vec_base(spark, sf_dir).select("vec_id", "v")
 
     def dist_to(center_vals):
