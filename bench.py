@@ -599,6 +599,9 @@ HEADLINE = [
     "ngram_coverage_curve",
     "mrmr_lite",
     "histogram_est_error",
+    # added r5: storage-bucketed zero-Exchange as-of re-read (its cost
+    # vs asof_join IS the write-once/join-many layout signal)
+    "asof_bucketed",
 ]
 
 

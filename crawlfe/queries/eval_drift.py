@@ -694,25 +694,38 @@ LATERAL (
 """
 
 
-_SIMHASH_BITS = 32  # fingerprint width
+_SIMHASH_BITS = 64  # fingerprint width (two engine-portable 32-bit halves)
 _SIMHASH_HAM = 3  # near-dup hamming radius
 
 
 def q_simhash_pairs(spark, sf_dir):
     """JVM-side simhash near-duplicate PAIR detection — the
     oracle-backed upgrade of the Python-kernel ``q_simhash``
-    fingerprint (which stays as the mapInPandas surface demo): 32-bit
-    frequency-weighted bit-voting simhash computed entirely with
-    whole-stage-codegen built-ins (md5 token hash -> per-(doc, bit)
-    vote agg -> fingerprint reassembly by shifted sums), then 4 bands
-    of 8 bits bucket the candidate self-join and ``bit_count(a ^ b)``
-    keeps pairs within hamming distance 3.
+    fingerprint (which stays as the mapInPandas surface demo): 64-bit
+    frequency-weighted bit-voting simhash (Manku et al. 2007's web
+    width) computed entirely with whole-stage-codegen built-ins (md5
+    token hash -> per-(doc, bit) vote agg -> fingerprint reassembly by
+    shifted sums), then 4 bands of 16 bits bucket the candidate
+    self-join and ``bit_count(a ^ b)`` keeps pairs within hamming
+    distance 3 (pigeonhole: <=3 flipped bits across 4 bands leaves at
+    least one band exact, so banding loses no true pair).
+
+    The fingerprint is carried as TWO 32-bit halves (fp_hi, fp_lo):
+    a single 64-bit value built from hex would overflow signed BIGINT
+    under ANSI mode, and two conv(substr(md5)) halves are bit-exact in
+    both engines.
 
     Scale shape: tokens are compacted to (doc, token_hash, weight)
-    BEFORE the 32x bit fan-out, both votes and fingerprints are
+    BEFORE the 64x bit fan-out, both votes and fingerprints are
     map-side-combinable hash aggs, and the pair join is banded LSH —
-    shuffle keys are (band, band_value) buckets, never all-pairs. Ties
-    (vote sum 0) resolve to bit 0 in both engines."""
+    shuffle keys are (band, band_value) buckets, never all-pairs.
+    16-bit bands (65,536 buckets per band) keep expected candidates
+    ~linear in corpus size where the r4 8-bit-band variant went
+    quadratic past ~10^4 docs (measured e=1.39 at the r5 10x tier —
+    256 buckets saturate, so bucket occupancy and hence candidates
+    grew with n^2; this is the LSH knob you widen with the corpus,
+    exactly as you widen MinHash band count). Ties (vote sum 0)
+    resolve to bit 0 in both engines."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -723,15 +736,19 @@ def q_simhash_pairs(spark, sf_dir):
             "doc_id",
             F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
             .cast("bigint")
-            .alias("h"),
+            .alias("h_hi"),
+            F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("h_lo"),
         )
-        .groupBy("doc_id", "h")
+        .groupBy("doc_id", "h_hi", "h_lo")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     votes = (
         hashed.select(
             "doc_id",
-            "h",
+            "h_hi",
+            "h_lo",
             "w",
             F.explode(
                 F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
@@ -742,7 +759,14 @@ def q_simhash_pairs(spark, sf_dir):
             "b",
             (
                 F.col("w")
-                * (2 * F.expr("(shiftright(h, b) & 1)") - 1)
+                * (
+                    2
+                    * F.expr(
+                        "CASE WHEN b < 32 THEN shiftright(h_lo, b) & 1 "
+                        "ELSE shiftright(h_hi, b - 32) & 1 END"
+                    )
+                    - 1
+                )
             ).alias("vote"),
         )
         .groupBy("doc_id", "b")
@@ -750,20 +774,32 @@ def q_simhash_pairs(spark, sf_dir):
     )
     fp = votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, b)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("fp")
+            F.when(
+                (F.col("v") > 0) & (F.col("b") < 32),
+                F.expr("shiftleft(1L, b)"),
+            ).otherwise(F.lit(0))
+        ).alias("fp_lo"),
+        F.sum(
+            F.when(
+                (F.col("v") > 0) & (F.col("b") >= 32),
+                F.expr("shiftleft(1L, b - 32)"),
+            ).otherwise(F.lit(0))
+        ).alias("fp_hi"),
     )
     banded = fp.select(
         "doc_id",
-        "fp",
+        "fp_lo",
+        "fp_hi",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
     ).select(
         "doc_id",
-        "fp",
+        "fp_lo",
+        "fp_hi",
         "band",
-        F.expr("shiftright(fp, 8 * band) & 255").alias("band_val"),
+        F.expr(
+            "CASE WHEN band < 2 THEN shiftright(fp_lo, 16 * band) & 65535 "
+            "ELSE shiftright(fp_hi, 16 * (band - 2)) & 65535 END"
+        ).alias("band_val"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -777,9 +813,14 @@ def q_simhash_pairs(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias(
-                "hamming"
-            ),
+            (
+                F.bit_count(
+                    F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
+                )
+                + F.bit_count(
+                    F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi"))
+                )
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= _SIMHASH_HAM)
         .distinct()
@@ -791,35 +832,48 @@ SQL_SIMHASH_PAIRS = """
 WITH hashed AS (
   SELECT doc_id,
          CAST(CAST('0x' || substr(md5(token), 1, 8) AS UBIGINT)
-              AS BIGINT) AS h,
+              AS BIGINT) AS h_hi,
+         CAST(CAST('0x' || substr(md5(token), 9, 8) AS UBIGINT)
+              AS BIGINT) AS h_lo,
          CAST(count(*) AS BIGINT) AS w
   FROM (
     SELECT doc_id,
            unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
     FROM documents
   )
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ), votes AS (
   SELECT doc_id, b.b,
-         CAST(sum(w * (2 * ((h >> b.b) & 1) - 1)) AS BIGINT) AS v
-  FROM hashed, range(0, 32) b(b)
+         CAST(sum(w * (2 * (CASE WHEN b.b < 32 THEN (h_lo >> b.b)
+                                 ELSE (h_hi >> (b.b - 32)) END & 1)
+                        - 1)) AS BIGINT) AS v
+  FROM hashed, range(0, 64) b(b)
   GROUP BY 1, 2
 ), fp AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
-              AS BIGINT) AS fp
+         CAST(sum(CASE WHEN v > 0 AND b < 32
+                       THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS fp_lo,
+         CAST(sum(CASE WHEN v > 0 AND b >= 32
+                       THEN (1::BIGINT << (b - 32)) ELSE 0 END)
+              AS BIGINT) AS fp_hi
   FROM votes GROUP BY 1
 ), banded AS (
-  SELECT doc_id, fp, band.band,
-         (fp >> (8 * band.band)) & 255 AS band_val
+  SELECT doc_id, fp_lo, fp_hi, band.band,
+         CASE WHEN band.band < 2
+              THEN (fp_lo >> (16 * band.band)) & 65535
+              ELSE (fp_hi >> (16 * (band.band - 2))) & 65535
+         END AS band_val
   FROM fp, range(0, 4) band(band)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+            + bit_count(xor(a.fp_hi, b.fp_hi)) AS INTEGER) AS hamming
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_val = b.band_val
  AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp, b.fp)) <= 3
+WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+      + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
 """
 
 

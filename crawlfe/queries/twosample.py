@@ -137,9 +137,14 @@ def q_mmd_shift(spark, sf_dir):
             )
             * _TS_KQ
         ).cast("bigint")
+        # DECIMAL(38,0) accumulator (r5): quantized kernels reach 1e12
+        # per pair, so a BIGINT sum overflows past ~9e6 pairs (hit at
+        # the 10x tier's 1.1e8-pair grid). DuckDB's sum(BIGINT) widens
+        # to HUGEINT natively; Spark must widen explicitly. Same exact
+        # integer sum, 1e38 headroom.
         return j.agg(
             (
-                F.sum(k).cast("double")
+                F.sum(k.cast("decimal(38,0)")).cast("double")
                 / F.count(F.lit(1))
                 / _TS_KQ
             ).alias(name)
@@ -226,9 +231,12 @@ def q_energy_distance(spark, sf_dir):
         d = F.round(
             F.sqrt(F.col("d2").cast("double")) * _TS_DQ
         ).cast("bigint")
+        # DECIMAL(38,0) accumulator: same overflow headroom fix as
+        # mmd_shift's kernel sum (quantized distances reach ~1e11 per
+        # pair; BIGINT saturates past ~9e7 pairs)
         return p.agg(
             (
-                F.sum(d).cast("double")
+                F.sum(d.cast("decimal(38,0)")).cast("double")
                 / F.count(F.lit(1))
                 / _TS_DQ
             ).alias(name)

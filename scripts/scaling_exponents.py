@@ -74,14 +74,30 @@ def main() -> None:
 
     results = {}
     for key in keys:
-        fn = REGISTRY[key][0]
-        times = {a.lo: [], a.hi: []}
-        # interleave tiers so drift lands on both equally
-        for _ in range(a.reps):
-            for tier in (a.lo, a.hi):
-                t0 = time.time()
-                n = len(fn(spark, tier).collect())
-                times[tier].append(time.time() - t0)
+        if key == "pipeline_featurize_asof":
+            # flagship pipeline: bench.py's own synth fixture scaled to
+            # each tier (~260k pages at 0.1, ~2.6M at 1.0); generation
+            # is untimed, the timed section is scan->featurize->as-of
+            import bench as _bench
+
+            paths = {}
+            for tier, sf in ((a.lo, 0.1), (a.hi, 1.0)):
+                paths[tier] = f".scratch/pipe_pages_sf{sf}"
+                _bench.materialize_pages(spark, sf, paths[tier])
+            times = {a.lo: [], a.hi: []}
+            for _ in range(a.reps):
+                for tier in (a.lo, a.hi):
+                    n, _m, dt = _bench.run_pipeline(spark, paths[tier])
+                    times[tier].append(dt)
+        else:
+            fn = REGISTRY[key][0]
+            times = {a.lo: [], a.hi: []}
+            # interleave tiers so drift lands on both equally
+            for _ in range(a.reps):
+                for tier in (a.lo, a.hi):
+                    t0 = time.time()
+                    n = len(fn(spark, tier).collect())
+                    times[tier].append(time.time() - t0)
         t_lo, t_hi = min(times[a.lo]), min(times[a.hi])
         e = math.log10(t_hi / t_lo)
         results[key] = {

@@ -63,29 +63,34 @@ def test_lateral_topk_brute(spark):
     assert set(out.source) == set(docs.source)
 
 
-def _simhash32(text: str) -> int:
+def _simhash64(text: str) -> int:
+    """64-bit simhash mirroring q_simhash_pairs' two 32-bit halves:
+    bits 0-31 vote with h_lo = md5 hex chars 9-16, bits 32-63 with
+    h_hi = chars 1-8; full fp = fp_hi << 32 | fp_lo."""
     votes = [0] * _SIMHASH_BITS
-    toks: dict[int, int] = {}
+    toks: dict[tuple[int, int], int] = {}
     for tok in text.strip().split():
-        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-        toks[h] = toks.get(h, 0) + 1
-    for h, w in toks.items():
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        key = (int(hx[:8], 16), int(hx[8:16], 16))
+        toks[key] = toks.get(key, 0) + 1
+    for (h_hi, h_lo), w in toks.items():
         for b in range(_SIMHASH_BITS):
-            votes[b] += w * (2 * ((h >> b) & 1) - 1)
+            bit = (h_lo >> b) & 1 if b < 32 else (h_hi >> (b - 32)) & 1
+            votes[b] += w * (2 * bit - 1)
     return sum(1 << b for b in range(_SIMHASH_BITS) if votes[b] > 0)
 
 
 def test_simhash_pairs_brute(spark):
     out = q_simhash_pairs(spark, SF).toPandas()
     docs = pd.read_parquet(f"{SF}/documents.parquet")
-    fp = {r.doc_id: _simhash32(r.text) for r in docs.itertuples()}
+    fp = {r.doc_id: _simhash64(r.text) for r in docs.itertuples()}
     want = set()
     ids = sorted(fp)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            # candidate iff some 8-bit band agrees
+            # candidate iff some 16-bit band agrees
             if any(
-                (fp[a] >> (8 * k)) & 255 == (fp[b] >> (8 * k)) & 255
+                (fp[a] >> (16 * k)) & 65535 == (fp[b] >> (16 * k)) & 65535
                 for k in range(4)
             ):
                 ham = bin(fp[a] ^ fp[b]).count("1")
