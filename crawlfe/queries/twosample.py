@@ -115,18 +115,64 @@ def _pairs3(x, y):
 
 def q_mmd_shift(spark, sf_dir):
     """RBF-KERNEL MMD^2 between the half-month user panels; kernel
-    values quantized to 1e-12 before exact integer summation."""
+    values quantized to 1e-12 before exact integer summation.
+
+    The bandwidth (mean pairwise squared distance over the pooled
+    sample) is computed from CLOSED-FORM MOMENTS, never by
+    materializing pairs:  Σ_{i<j}|x_i-x_j|² = Σ_f (n·S2_f - S1_f²)
+    and  Σ_{i,j}|x_i-y_j|² = Σ_f (n_y·S2x_f + n_x·S2y_f - 2 S1x_f
+    S1y_f) — six exact integer sums per side.  The r4 variant
+    localCheckpoint'ed the full pooled pair grid (3.4e8 rows at the
+    10x tier, a 7.9 GiB cache that thrashed to 442 s); moments make
+    the bandwidth pass O(n), and each kernel grid is then consumed
+    exactly once, streaming, never cached.  The kernel sums remain
+    O(n²) BY DEFINITION (exact MMD evaluates every pair); the
+    documented production path for the statistic at scale is sampling
+    the panel first."""
     x, y = _halves(spark, sf_dir)
     x = x.localCheckpoint(eager=True)
     y = y.localCheckpoint(eager=True)
     xx, yy, xy = _pairs3(x, y)
-    pooled = (
-        xx.unionByName(yy).unionByName(xy).localCheckpoint(
-            eager=True
+
+    def moments(p, tag):
+        dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        return p.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias(f"n_{tag}"),
+            *[
+                dec(F.sum(F.col(f))).alias(f"s1_{f}_{tag}")
+                for f in ("f1", "f2", "f3")
+            ],
+            *[
+                dec(F.sum(F.col(f) * F.col(f))).alias(f"s2_{f}_{tag}")
+                for f in ("f1", "f2", "f3")
+            ],
         )
+
+    mx = moments(x, "x")
+    my = moments(y, "y")
+    m = mx.crossJoin(my)
+    sum_within = sum(
+        F.col(f"n_{t}") * F.col(f"s2_{f}_{t}")
+        - F.col(f"s1_{f}_{t}") * F.col(f"s1_{f}_{t}")
+        for t in ("x", "y")
+        for f in ("f1", "f2", "f3")
     )
-    sig = pooled.agg(
-        (F.sum("d2") / F.count(F.lit(1))).alias("s2")
+    sum_cross = sum(
+        F.col("n_y") * F.col(f"s2_{f}_x")
+        + F.col("n_x") * F.col(f"s2_{f}_y")
+        - 2 * F.col(f"s1_{f}_x") * F.col(f"s1_{f}_y")
+        for f in ("f1", "f2", "f3")
+    )
+    n_pairs = (
+        F.col("n_x") * (F.col("n_x") - 1) / 2
+        + F.col("n_y") * (F.col("n_y") - 1) / 2
+        + F.col("n_x") * F.col("n_y")
+    )
+    sig = m.select(
+        (
+            (sum_within + sum_cross).cast("double")
+            / n_pairs.cast("double")
+        ).alias("s2")
     )
 
     def kmean(p, name):
@@ -191,11 +237,41 @@ xx AS MATERIALIZED (
 SQL_MMD_SHIFT = f"""
 WITH {_SQL_HALVES},
 {_sql_pairs3()},
-pooled AS (
-  SELECT d2 FROM xx UNION ALL SELECT d2 FROM yy
-  UNION ALL SELECT d2 FROM xy
+mx AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_x,
+         CAST(sum(f1) AS HUGEINT) AS s1_f1_x,
+         CAST(sum(f2) AS HUGEINT) AS s1_f2_x,
+         CAST(sum(f3) AS HUGEINT) AS s1_f3_x,
+         CAST(sum(f1 * f1) AS HUGEINT) AS s2_f1_x,
+         CAST(sum(f2 * f2) AS HUGEINT) AS s2_f2_x,
+         CAST(sum(f3 * f3) AS HUGEINT) AS s2_f3_x
+  FROM ex
+), my AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_y,
+         CAST(sum(f1) AS HUGEINT) AS s1_f1_y,
+         CAST(sum(f2) AS HUGEINT) AS s1_f2_y,
+         CAST(sum(f3) AS HUGEINT) AS s1_f3_y,
+         CAST(sum(f1 * f1) AS HUGEINT) AS s2_f1_y,
+         CAST(sum(f2 * f2) AS HUGEINT) AS s2_f2_y,
+         CAST(sum(f3 * f3) AS HUGEINT) AS s2_f3_y
+  FROM ey
 ), sig AS (
-  SELECT sum(d2) / CAST(count(*) AS DOUBLE) AS s2 FROM pooled
+  -- closed-form pooled mean pairwise squared distance (same exact
+  -- integer total the pair grid would sum; no pairs materialized)
+  SELECT CAST(
+      (n_x * s2_f1_x - s1_f1_x * s1_f1_x)
+    + (n_x * s2_f2_x - s1_f2_x * s1_f2_x)
+    + (n_x * s2_f3_x - s1_f3_x * s1_f3_x)
+    + (n_y * s2_f1_y - s1_f1_y * s1_f1_y)
+    + (n_y * s2_f2_y - s1_f2_y * s1_f2_y)
+    + (n_y * s2_f3_y - s1_f3_y * s1_f3_y)
+    + (n_y * s2_f1_x + n_x * s2_f1_y - 2 * s1_f1_x * s1_f1_y)
+    + (n_y * s2_f2_x + n_x * s2_f2_y - 2 * s1_f2_x * s1_f2_y)
+    + (n_y * s2_f3_x + n_x * s2_f3_y - 2 * s1_f3_x * s1_f3_y)
+      AS DOUBLE)
+    / CAST(n_x * (n_x - 1) / 2 + n_y * (n_y - 1) / 2 + n_x * n_y
+      AS DOUBLE) AS s2
+  FROM mx CROSS JOIN my
 ), mxx AS (
   SELECT CAST(sum(CAST(round(exp(-CAST(d2 AS DOUBLE) / (2 * s2))
                   * {_TS_KQ}) AS BIGINT)) AS DOUBLE)

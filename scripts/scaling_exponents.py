@@ -47,12 +47,15 @@ DEFAULT_KEYS = [
     "asof_join", "tpch_q3", "dedup_exact", "sessionize",
 ]
 
-# Keys whose OUTPUT grows super-linearly on this fixture by semantics,
-# so a super-linear runtime exponent is the correct behavior, not a
-# defect. interval_overlap: true co-active pairs grow ~x100 when
-# daily-active users grow x10 on an activity-dense fixture (the job is
-# output-bound; its CANDIDATE count tracks output, see overlap_eval.py).
-OUTPUT_BOUND = {"interval_overlap"}
+# Keys whose WORK grows super-linearly by semantics, so a super-linear
+# runtime exponent is the correct behavior, not a defect.
+# interval_overlap: true co-active pairs grow ~x100 when daily-active
+# users grow x10 on an activity-dense fixture (output-bound; its
+# CANDIDATE count tracks output, see overlap_eval.py).  mmd_shift /
+# energy_distance: exact pairwise statistics — every kernel/distance
+# pair is evaluated by definition; the documented production path is
+# sampling the panel first (twosample.py module docstring).
+OUTPUT_BOUND = {"interval_overlap", "mmd_shift", "energy_distance"}
 
 
 def main() -> None:
