@@ -225,11 +225,18 @@ def main() -> int:
     # 2-core window measured "1.12 efficiency") — such runs stay in the
     # history but cannot become the headline.
     calib_ok = 3.6 <= summary.get("hardware_speedup", 4.0) <= 4.1
+    # super-linear efficiency on identical hardware means the N-core
+    # denominator leg was contended (the r4 1.106 adjudication) — such
+    # runs stay in the history but can never be or beat the headline
+    sane = summary["scaling_efficiency"] <= 1.02
+    if prev_best and prev_best["scaling_efficiency"] > 1.02:
+        prev_best = None  # drop a poisoned best (pre-r5 guard)
     if (prev_best and prev_best["scaling_efficiency"]
-            >= summary["scaling_efficiency"]) or not calib_ok:
-        why = ("calibration outside sane band" if not calib_ok else
-               f"{prev_best['scaling_efficiency']} >= "
-               f"{summary['scaling_efficiency']}")
+            >= summary["scaling_efficiency"]) or not calib_ok or not sane:
+        why = ("calibration outside sane band" if not calib_ok
+               else "super-linear (contended N leg)" if not sane
+               else f"{prev_best['scaling_efficiency']} >= "
+                    f"{summary['scaling_efficiency']}")
         print(
             f"kept existing best ({why}); run appended to runs.jsonl",
             file=sys.stderr,
