@@ -92,13 +92,32 @@ def gen(sf: float, out: str, seed: int) -> None:
         "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: 31-word vocab, ~0.2% injected exact duplicates
+    # documents: Heaps-law vocabulary, ~0.2% injected exact duplicates.
+    # The driver fixture uses a FIXED 31-word vocab at every tier; held
+    # fixed while docs grow 100x, every pair of documents collides with
+    # every other (simhash buckets saturate, token groupBys have 31
+    # keys for 28M rows) — an adversarial density stress no real corpus
+    # exhibits. Real text follows Heaps' law V ~ K n^0.5, so the
+    # extrapolation tiers grow a Zipf-weighted tail vocabulary with the
+    # corpus: 31 head words keep ~85% of token mass (driver-like), a
+    # sqrt-scaled tail carries the rest.
     n_doc = int(BASE["documents"] * ratio)
+    tail_n = max(100, int(40 * np.sqrt(n_doc)))
+    tail = np.array([f"w{i:05d}" for i in range(tail_n)])
+    # Zipf-ish tail weights (1/rank), normalized
+    tail_p = 1.0 / np.arange(1, tail_n + 1)
+    tail_p /= tail_p.sum()
     vocab = np.array(VOCAB)
     n_words = rng.integers(8, 108, n_doc)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
-    ]
+    texts = []
+    for k in n_words:
+        n_tail = int(rng.binomial(k, 0.15))
+        words = np.concatenate([
+            vocab[rng.integers(0, len(vocab), k - n_tail)],
+            rng.choice(tail, n_tail, p=tail_p),
+        ])
+        rng.shuffle(words)
+        texts.append(" ".join(words))
     n_dup = max(1, n_doc // 600)
     dup_dst = rng.integers(0, n_doc, n_dup)
     dup_src = rng.integers(0, n_doc, n_dup)
